@@ -1,0 +1,191 @@
+"""Sort / unique / segmented-reduce / binary-search primitives over
+multi-word keys.
+
+This is the TPU-idiomatic replacement for the reference's pointer-chasing
+hash tables: the local store of every distributed container becomes sorted
+flat arrays + ``searchsorted``-style batched binary search, the design the
+reference itself offers as ``dsc::sorted_map``
+(/root/reference/src/containers/distributed_sorted_map.hpp:114-141) and
+which maps directly onto XLA's fused sort + segment ops.
+
+Keys are ``uint32[n, nwords]`` rows in big-endian word order (word 0 most
+significant), so lexicographic row order == k-mer order.  All functions take
+a ``valid`` mask and route invalid rows to the end of the sort with an
+explicit flag key, keeping every shape static under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "sort_rows",
+    "unique_counts",
+    "segment_reduce_sorted",
+    "lower_bound",
+    "upper_bound",
+    "rows_equal_at",
+]
+
+
+def sort_rows(words: jax.Array, payloads=(), valid: jax.Array | None = None,
+              is_stable: bool = True):
+    """Sort rows of uint32[n, w] lexicographically, carrying payloads.
+
+    Invalid rows sort after all valid rows (regardless of key bits) via a
+    leading invalid-flag key.
+
+    Returns (sorted_words, sorted_payloads_tuple, sorted_valid).
+    """
+    n, w = words.shape
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    invalid_key = (~valid).astype(jnp.uint32)
+    operands = (invalid_key,) + tuple(words[:, j] for j in range(w)) + tuple(payloads)
+    out = jax.lax.sort(operands, num_keys=1 + w, is_stable=is_stable)
+    sorted_valid = out[0] == 0
+    sorted_words = jnp.stack(out[1:1 + w], axis=1)
+    sorted_payloads = tuple(out[1 + w:])
+    return sorted_words, sorted_payloads, sorted_valid
+
+
+def _row_neq_prev(sorted_words: jax.Array) -> jax.Array:
+    """bool[n]: row differs from previous row (row 0 -> True)."""
+    prev = jnp.roll(sorted_words, 1, axis=0)
+    neq = jnp.any(sorted_words != prev, axis=1)
+    return neq.at[0].set(True)
+
+
+def unique_counts(sorted_words: jax.Array, sorted_valid: jax.Array,
+                  sentinel: int = 0xFFFFFFFF):
+    """Deduplicate sorted rows and count multiplicities.
+
+    The tensor analog of "insert into counting hash map": after the global
+    sort, each run of equal keys becomes one entry whose count is the run
+    length (counting_densehash_map insert semantics,
+    distributed_densehash_map.hpp:2669+, computed as sort + segment-sum).
+
+    Args:
+      sorted_words: uint32[n, w], valid rows sorted to the front.
+      sorted_valid: bool[n].
+
+    Returns:
+      (uniq: uint32[n, w] — first n_unique rows are the distinct keys, rest
+       filled with `sentinel`;
+       counts: int32[n] — multiplicity per distinct key, 0 past n_unique;
+       n_unique: int32 scalar).
+    """
+    n, w = sorted_words.shape
+    is_new = _row_neq_prev(sorted_words) & sorted_valid
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # segment id per row
+    counts = jax.ops.segment_sum(
+        sorted_valid.astype(jnp.int32), jnp.maximum(seg, 0), num_segments=n)
+    # scatter first-row-of-segment into compacted position; invalid/dup -> drop
+    dest = jnp.where(is_new, seg, n)
+    uniq = jnp.full((n + 1, w), sentinel, dtype=jnp.uint32)
+    uniq = uniq.at[dest].set(sorted_words)[:n]
+    n_unique = jnp.sum(is_new.astype(jnp.int32))
+    counts = jnp.where(jnp.arange(n) < n_unique, counts, 0)
+    return uniq, counts, n_unique
+
+
+def segment_reduce_sorted(sorted_words, sorted_valid, values, reduce: str = "sum"):
+    """Reduce `values` over runs of equal sorted keys.
+
+    Generalization of `unique_counts` used by reduction maps
+    (reduction_densehash_map, distributed_densehash_map.hpp:2429+): counting
+    is reduce="sum" over ones; de Bruijn edge accumulation is reduce="sum"
+    over edge-count vectors; saturating counters clip afterwards.
+
+    values: [n] or [n, d] aligned with sorted rows.
+
+    Returns (uniq, reduced, n_unique) with reduced zero (or identity) past
+    n_unique.
+    """
+    n, w = sorted_words.shape
+    is_new = _row_neq_prev(sorted_words) & sorted_valid
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    seg_c = jnp.maximum(seg, 0)
+    vmask = sorted_valid if values.ndim == 1 else sorted_valid[:, None]
+    if reduce == "sum":
+        zeroed = jnp.where(vmask, values, 0)
+        reduced = jax.ops.segment_sum(zeroed, seg_c, num_segments=n)
+    elif reduce == "min":
+        big = jnp.iinfo(values.dtype).max if jnp.issubdtype(values.dtype, jnp.integer) else jnp.inf
+        reduced = jax.ops.segment_min(jnp.where(vmask, values, big), seg_c, num_segments=n)
+    elif reduce == "max":
+        small = jnp.iinfo(values.dtype).min if jnp.issubdtype(values.dtype, jnp.integer) else -jnp.inf
+        reduced = jax.ops.segment_max(jnp.where(vmask, values, small), seg_c, num_segments=n)
+    else:
+        raise ValueError(f"unknown reduce {reduce!r}")
+    dest = jnp.where(is_new, seg, n)
+    uniq = jnp.full((n + 1, w), 0xFFFFFFFF, dtype=jnp.uint32)
+    uniq = uniq.at[dest].set(sorted_words)[:n]
+    n_unique = jnp.sum(is_new.astype(jnp.int32))
+    live = jnp.arange(n) < n_unique
+    reduced = jnp.where(live if reduced.ndim == 1 else live[:, None], reduced, 0)
+    return uniq, reduced, n_unique
+
+
+def _lex_less_rows(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Row-wise a < b for uint32[..., w]."""
+    neq = a != b
+    any_neq = jnp.any(neq, axis=-1)
+    first = jnp.argmax(neq, axis=-1)
+    av = jnp.take_along_axis(a, first[..., None], axis=-1)[..., 0]
+    bv = jnp.take_along_axis(b, first[..., None], axis=-1)[..., 0]
+    return any_neq & (av < bv)
+
+
+def _bsearch(keys: jax.Array, size: jax.Array, queries: jax.Array, side: str):
+    """Batched binary search over sorted rows.
+
+    keys: uint32[cap, w] sorted ascending in the first `size` rows.
+    queries: uint32[m, w].
+    Returns int32[m] insertion indices (lower or upper bound).
+
+    Vectorized manual binary search (TPU has no multiword searchsorted):
+    ceil(log2(cap))+1 rounds, each a gather of m rows + row compare — all
+    VPU work, the batched analog of sorted_map's splitter/binary-search
+    queries (distributed_sorted_map.hpp:1568-1600).
+    """
+    cap = keys.shape[0]
+    m = queries.shape[0]
+    lo = jnp.zeros((m,), jnp.int32)
+    hi = jnp.broadcast_to(jnp.asarray(size, jnp.int32), (m,))
+    steps = max(1, cap.bit_length())
+
+    def body(_, lohi):
+        lo, hi = lohi
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        kmid = keys[jnp.clip(mid, 0, cap - 1)]
+        if side == "left":
+            go_right = _lex_less_rows(kmid, queries)
+        else:
+            go_right = ~_lex_less_rows(queries, kmid)
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps + 1, body, (lo, hi))
+    return lo
+
+
+def lower_bound(keys, size, queries):
+    return _bsearch(keys, size, queries, side="left")
+
+
+def upper_bound(keys, size, queries):
+    return _bsearch(keys, size, queries, side="right")
+
+
+def rows_equal_at(keys: jax.Array, idx: jax.Array, queries: jax.Array,
+                  size: jax.Array) -> jax.Array:
+    """bool[m]: keys[idx] == queries and idx < size (i.e. query present)."""
+    cap = keys.shape[0]
+    rows = keys[jnp.clip(idx, 0, cap - 1)]
+    return (idx < size) & jnp.all(rows == queries, axis=-1)

@@ -1,0 +1,31 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's test strategy of exercising all collective paths
+with mpirun -np 1..4 on one box (/root/reference/CMakeLists.txt:851-910):
+correctness must hold for any device count, and 8 virtual CPU devices
+exercise every sharded path without TPU hardware.
+"""
+
+import os
+
+# Force the CPU backend: the session environment pins JAX_PLATFORMS to the
+# (single-chip, tunneled) TPU, which tests must not depend on.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib  # noqa: E402
+
+import pytest  # noqa: E402
+
+REFERENCE_DATA = pathlib.Path("/root/reference/test/data")
+
+
+@pytest.fixture(scope="session")
+def ref_data_dir():
+    if not REFERENCE_DATA.is_dir():
+        pytest.skip("reference test data not available")
+    return REFERENCE_DATA

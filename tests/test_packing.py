@@ -1,0 +1,98 @@
+"""Sliding-window k-mer extraction vs the pure-Python oracle
+(reference semantics: kmer_iterators.hpp / kmer.hpp fill+next paths)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from kmerind_tpu import DNA, DNA6, DNA16, KmerSpec
+from kmerind_tpu.ops import packing
+
+import oracle
+
+
+@pytest.mark.parametrize("alpha,letters", [
+    (DNA, "ACGT"),
+    (DNA6, "ACGTN."),
+    (DNA16, "ACGTMRWSYKVHDBN"),
+])
+@pytest.mark.parametrize("k", [1, 4, 15, 16, 17, 21, 31, 32, 33, 63])
+def test_extract_kmers_matches_oracle(alpha, letters, k):
+    rng = np.random.default_rng(seed=k * 31 + alpha.size)
+    n = 200
+    seq = oracle.random_dna(rng, n, letters)
+    spec = KmerSpec(k, alpha)
+    codes = alpha.encode(seq)
+
+    words = np.asarray(packing.extract_kmers(jnp.asarray(codes), spec))
+    expected = oracle.seq_kmers(seq, k, alpha)
+    assert len(expected) == n - k + 1
+    for i, exp in enumerate(expected):
+        assert spec.to_int(words[i]) == exp, f"window {i}"
+
+
+@pytest.mark.parametrize("alpha,letters", [
+    (DNA, "ACGT"),
+    (DNA16, "ACGTN"),
+])
+@pytest.mark.parametrize("k", [5, 16, 21, 33])
+def test_extract_canonical_matches_oracle(alpha, letters, k):
+    rng = np.random.default_rng(seed=k)
+    seq = oracle.random_dna(rng, 150, letters)
+    spec = KmerSpec(k, alpha)
+    codes = alpha.encode(seq)
+
+    canon, was_rc = packing.extract_canonical(jnp.asarray(codes), spec)
+    canon = np.asarray(canon)
+    expected = oracle.canonical_kmers(seq, k, alpha)
+    for i, exp in enumerate(expected):
+        got = spec.to_int(canon[i])
+        assert got == exp, f"window {i}: got {spec.to_string(canon[i])}"
+
+
+@pytest.mark.parametrize("k", [4, 21])
+def test_extract_revcomp(k):
+    rng = np.random.default_rng(seed=7)
+    seq = oracle.random_dna(rng, 80, "ACGT")
+    spec = KmerSpec(k, DNA)
+    codes = DNA.encode(seq)
+    rc = np.asarray(packing.extract_revcomp(jnp.asarray(codes), spec))
+    fwd = oracle.seq_kmers(seq, k, DNA)
+    for i, v in enumerate(fwd):
+        assert spec.to_int(rc[i]) == oracle.revcomp_int(v, k, DNA)
+
+
+def test_window_valid_segments():
+    # two records of length 6 and 5 with a pad base between them
+    base_valid = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1], dtype=bool)
+    seg = jnp.asarray([0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1], dtype=jnp.int32)
+    k = 3
+    valid = np.asarray(packing.window_valid(base_valid, seg, k))
+    # record 0 yields windows at 0..3; record 1 at 7..9
+    expected = np.zeros(12, dtype=bool)
+    expected[[0, 1, 2, 3, 7, 8, 9]] = True
+    np.testing.assert_array_equal(valid, expected)
+
+
+def test_window_valid_k1():
+    base_valid = jnp.asarray([1, 0, 1], dtype=bool)
+    seg = jnp.asarray([0, 0, 1], dtype=jnp.int32)
+    valid = np.asarray(packing.window_valid(base_valid, seg, 1))
+    np.testing.assert_array_equal(valid, [True, False, True])
+
+
+def test_kmerspec_string_roundtrip():
+    spec = KmerSpec(21, DNA)
+    s = "ACGTACGTACGTACGTACGTA"
+    words = spec.from_string(s)
+    assert spec.to_string(words) == s
+    assert spec.nwords == 2
+    assert spec.word_char_counts() == (16, 5)
+
+
+def test_lex_less():
+    a = jnp.asarray([[1, 2], [1, 2], [1, 2], [0xFFFFFFFF, 0]], dtype=jnp.uint32)
+    b = jnp.asarray([[1, 3], [1, 2], [0, 9], [1, 0]], dtype=jnp.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(packing.lex_less(a, b)), [True, False, False, False])
