@@ -1,0 +1,239 @@
+"""Local k-mer stores: sorted flat arrays with static capacity.
+
+TPU-native replacement for the reference's local hash maps
+(fsc::densehash_map / unordered_map / sorted vector backing stores,
+/root/reference/src/containers/densehash_map.hpp:415-2015,
+distributed_sorted_map.hpp:114-141).  A store is a pytree of fixed-capacity
+arrays plus a live-size scalar, so every operation is a jit-compiled pure
+function; the host wrapper regrows capacity (re-jit per power-of-two bucket)
+when an insert overflows.
+
+* `CountStore`  — unique keys + int32 counts (counting_densehash_map,
+  reduction with plus, saturating variant via `saturate`).
+* `MultiStore`  — sorted (key, 64-bit payload) pairs with duplicates
+  (densehash_multimap — the position / position+quality index).
+
+Queries are batched binary searches (`sortops.lower_bound`); insert is
+merge-by-sort; erase is mask + stable compaction — all O(n log n) VPU work
+with no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import sortops
+
+__all__ = [
+    "CountStore",
+    "MultiStore",
+    "empty_count_store",
+    "empty_multi_store",
+    "count_insert",
+    "count_lookup",
+    "count_erase",
+    "multi_insert",
+    "multi_lookup_ranges",
+    "multi_count",
+    "multi_erase",
+]
+
+_SENTINEL = 0xFFFFFFFF
+
+
+@dataclasses.dataclass
+class CountStore:
+    keys: jax.Array    # uint32[cap, w] — sorted unique keys in [0, size)
+    counts: jax.Array  # int32[cap]
+    size: jax.Array    # int32 scalar
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    CountStore, data_fields=["keys", "counts", "size"], meta_fields=[])
+
+
+@dataclasses.dataclass
+class MultiStore:
+    keys: jax.Array    # uint32[cap, w] — sorted, duplicates allowed
+    val_hi: jax.Array  # uint32[cap]
+    val_lo: jax.Array  # uint32[cap]
+    size: jax.Array    # int32 scalar
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    MultiStore, data_fields=["keys", "val_hi", "val_lo", "size"], meta_fields=[])
+
+
+def empty_count_store(capacity: int, nwords: int) -> CountStore:
+    return CountStore(
+        keys=jnp.full((capacity, nwords), _SENTINEL, dtype=jnp.uint32),
+        counts=jnp.zeros((capacity,), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+def empty_multi_store(capacity: int, nwords: int) -> MultiStore:
+    return MultiStore(
+        keys=jnp.full((capacity, nwords), _SENTINEL, dtype=jnp.uint32),
+        val_hi=jnp.zeros((capacity,), jnp.uint32),
+        val_lo=jnp.zeros((capacity,), jnp.uint32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+# --------------------------------------------------------------- counting
+@functools.partial(jax.jit, static_argnames=("saturate",))
+def count_insert(store: CountStore, words: jax.Array, valid: jax.Array,
+                 weights: jax.Array | None = None,
+                 saturate: int | None = None):
+    """Merge a batch of keys into the count store.
+
+    Each valid row contributes `weights[i]` (default 1) to its key's count —
+    the (kmer, count) reduction insert (distributed_densehash_map.hpp:2669+,
+    :1911 insert path).  Returns (new_store, overflow:int32) where overflow
+    is the number of distinct keys that did not fit in capacity.
+    """
+    cap = store.capacity
+    n = words.shape[0]
+    if weights is None:
+        weights = jnp.ones((n,), jnp.int32)
+    live_store = jnp.arange(cap) < store.size
+    all_words = jnp.concatenate([store.keys, words.astype(jnp.uint32)], axis=0)
+    all_vals = jnp.concatenate([store.counts, weights.astype(jnp.int32)])
+    all_valid = jnp.concatenate([live_store, valid])
+    s_words, (s_vals,), s_valid = sortops.sort_rows(
+        all_words, (all_vals,), all_valid)
+    uniq, red, n_unique = sortops.segment_reduce_sorted(
+        s_words, s_valid, s_vals, reduce="sum")
+    if saturate is not None:
+        red = jnp.minimum(red, saturate)
+    new = CountStore(
+        keys=uniq[:cap],
+        counts=red[:cap],
+        size=jnp.minimum(n_unique, cap),
+    )
+    return new, jnp.maximum(n_unique - cap, 0)
+
+
+@jax.jit
+def count_lookup(store: CountStore, queries: jax.Array) -> jax.Array:
+    """int32[m] count per query key (0 if absent) — LocalCount
+    (distributed_densehash_map.hpp:1123-1199)."""
+    idx = sortops.lower_bound(store.keys, store.size, queries.astype(jnp.uint32))
+    hit = sortops.rows_equal_at(store.keys, idx, queries.astype(jnp.uint32),
+                                store.size)
+    cap = store.capacity
+    vals = store.counts[jnp.clip(idx, 0, cap - 1)]
+    return jnp.where(hit, vals, 0)
+
+
+@jax.jit
+def count_erase(store: CountStore, queries: jax.Array, qvalid: jax.Array):
+    """Remove query keys; returns (new_store, n_erased int32)
+    (erase path, distributed_densehash_map.hpp:1603+)."""
+    idx = sortops.lower_bound(store.keys, store.size, queries.astype(jnp.uint32))
+    hit = sortops.rows_equal_at(store.keys, idx, queries.astype(jnp.uint32),
+                                store.size) & qvalid
+    cap = store.capacity
+    kill = jnp.zeros((cap + 1,), bool).at[jnp.where(hit, idx, cap)].set(True)[:cap]
+    keep = (jnp.arange(cap) < store.size) & ~kill
+    s_words, (s_vals,), s_valid = sortops.sort_rows(
+        store.keys, (store.counts,), keep)
+    new_size = jnp.sum(keep.astype(jnp.int32))
+    new = CountStore(
+        keys=jnp.where(s_valid[:, None], s_words, jnp.uint32(_SENTINEL)),
+        counts=jnp.where(s_valid, s_vals, 0),
+        size=new_size,
+    )
+    return new, store.size - new_size
+
+
+# --------------------------------------------------------------- multimap
+@jax.jit
+def multi_insert(store: MultiStore, words, val_hi, val_lo, valid):
+    """Append (key, value) pairs, keeping pairs sorted by key (stable on
+    insertion order within a batch) — densehash_multimap insert.
+    Returns (new_store, overflow)."""
+    cap = store.capacity
+    live_store = jnp.arange(cap) < store.size
+    all_words = jnp.concatenate([store.keys, words.astype(jnp.uint32)], axis=0)
+    all_hi = jnp.concatenate([store.val_hi, val_hi.astype(jnp.uint32)])
+    all_lo = jnp.concatenate([store.val_lo, val_lo.astype(jnp.uint32)])
+    all_valid = jnp.concatenate([live_store, valid])
+    s_words, (s_hi, s_lo), s_valid = sortops.sort_rows(
+        all_words, (all_hi, all_lo), all_valid)
+    total = jnp.sum(all_valid.astype(jnp.int32))
+    new = MultiStore(
+        keys=jnp.where(s_valid[:, None], s_words, jnp.uint32(_SENTINEL))[:cap],
+        val_hi=s_hi[:cap],
+        val_lo=s_lo[:cap],
+        size=jnp.minimum(total, cap),
+    )
+    return new, jnp.maximum(total - cap, 0)
+
+
+@jax.jit
+def multi_lookup_ranges(store: MultiStore, queries):
+    """(lo, hi) int32[m]: contiguous range of pairs per query key."""
+    q = queries.astype(jnp.uint32)
+    lo = sortops.lower_bound(store.keys, store.size, q)
+    hi = sortops.upper_bound(store.keys, store.size, q)
+    return lo, hi
+
+
+@jax.jit
+def multi_count(store: MultiStore, queries) -> jax.Array:
+    lo, hi = multi_lookup_ranges(store, queries)
+    return hi - lo
+
+
+@functools.partial(jax.jit, static_argnames=("max_per_query",))
+def multi_gather(store: MultiStore, lo, hi, max_per_query: int):
+    """Gather payloads for ranges: (hi_vals, lo_vals, mask) each
+    [m, max_per_query]; entries beyond the range are masked."""
+    m = lo.shape[0]
+    offs = jnp.arange(max_per_query, dtype=jnp.int32)[None, :]
+    idx = lo[:, None] + offs
+    mask = idx < hi[:, None]
+    idx_c = jnp.clip(idx, 0, store.capacity - 1)
+    return store.val_hi[idx_c], store.val_lo[idx_c], mask
+
+
+@jax.jit
+def multi_erase(store: MultiStore, queries, qvalid):
+    """Remove ALL pairs whose key matches a query key; returns
+    (new_store, n_erased)."""
+    q = queries.astype(jnp.uint32)
+    lo = sortops.lower_bound(store.keys, store.size, q)
+    hi = sortops.upper_bound(store.keys, store.size, q)
+    lo = jnp.where(qvalid, lo, 0)
+    hi = jnp.where(qvalid, hi, 0)
+    cap = store.capacity
+    # mark [lo, hi) ranges via +1/-1 difference scatter + prefix sum
+    diff = jnp.zeros((cap + 1,), jnp.int32)
+    diff = diff.at[lo].add(jnp.where(qvalid, 1, 0))
+    diff = diff.at[hi].add(jnp.where(qvalid, -1, 0))
+    covered = jnp.cumsum(diff[:cap]) > 0
+    keep = (jnp.arange(cap) < store.size) & ~covered
+    s_words, (s_hi, s_lo), s_valid = sortops.sort_rows(
+        store.keys, (store.val_hi, store.val_lo), keep)
+    new_size = jnp.sum(keep.astype(jnp.int32))
+    new = MultiStore(
+        keys=jnp.where(s_valid[:, None], s_words, jnp.uint32(_SENTINEL)),
+        val_hi=s_hi,
+        val_lo=s_lo,
+        size=new_size,
+    )
+    return new, store.size - new_size

@@ -1,0 +1,33 @@
+"""Host-side file IO + parsing into device tensors (replaces src/io)."""
+
+from .batch import ReadBatch, concat_batches
+from .fasta import find_fasta_record_start, parse_fasta
+from .fastq import find_record_start, parse_fastq
+from .files import (
+    block_partition,
+    read_bytes,
+    read_fasta_block,
+    read_fastq_block,
+    read_file,
+    sniff_format,
+)
+from .kmer_parsers import DeviceBases, KmerTuples, batch_to_arrays, extract_tuples
+
+__all__ = [
+    "ReadBatch",
+    "concat_batches",
+    "parse_fastq",
+    "parse_fasta",
+    "find_record_start",
+    "find_fasta_record_start",
+    "read_file",
+    "read_fastq_block",
+    "read_fasta_block",
+    "read_bytes",
+    "block_partition",
+    "sniff_format",
+    "DeviceBases",
+    "KmerTuples",
+    "batch_to_arrays",
+    "extract_tuples",
+]

@@ -1,0 +1,97 @@
+"""FASTA parsing — vectorized, host-side.
+
+Rebuild of the reference FASTA stack (/root/reference/src/io/fasta_loader.hpp)
+as numpy byte scans.  A record starts at a '>' header line; ';' comment lines
+are recognized and excluded from sequence data (fasta_loader.hpp:202-360
+flags both '>' and ';' line starts as non-sequence).  Sequence bytes are all
+non-EOL bytes of non-header lines; a sequence may span many lines, and k-mer
+windows legitimately cross line boundaries (EOLs are simply absent from the
+code stream, while raw byte positions are preserved for LongSequenceKmerId).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..alphabets import Alphabet
+from .batch import ReadBatch
+from .fastq import _line_table, _ragged_gather
+
+__all__ = ["parse_fasta", "find_fasta_record_start"]
+
+_GT = ord(">")
+_SEMI = ord(";")
+
+
+def find_fasta_record_start(data: np.ndarray, at_parent_start: bool) -> int:
+    """Offset of the first '>' header line start within `data`.
+
+    The FASTA analog of fastq.find_record_start: a '>' at a line start
+    unambiguously begins a record (fasta_loader.hpp header scan), so no
+    multi-line disambiguation is needed.  Returns len(data) if none.
+    """
+    data = np.asarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    if n == 0:
+        return 0
+    eol = (data == 10) | (data == 13)
+    prev_eol = np.empty(n, dtype=bool)
+    prev_eol[0] = at_parent_start
+    prev_eol[1:] = eol[:-1]
+    hdr = np.flatnonzero(prev_eol & (data == _GT))
+    return int(hdr[0]) if hdr.size else n
+
+
+def parse_fasta(
+    data: np.ndarray,
+    alphabet: Alphabet,
+    file_offset: int = 0,
+    file_id: int = 0,
+    seq_index_base: int = 0,
+) -> ReadBatch:
+    """Parse a FASTA byte block (starting at a '>' header) to a ReadBatch."""
+    data = np.asarray(data, dtype=np.uint8)
+    starts, ends = _line_table(data)
+    if starts.size == 0:
+        return _empty(alphabet)
+    first_chars = data[starts]
+    is_record_hdr = first_chars == _GT
+    is_comment = first_chars == _SEMI
+    if not is_record_hdr[0] and not is_comment[0]:
+        raise ValueError("FASTA block does not begin with a header line")
+    rec_of_line = np.cumsum(is_record_hdr.astype(np.int64)) - 1  # -1 before first '>'
+    is_seq_line = ~is_record_hdr & ~is_comment & (rec_of_line >= 0)
+
+    seq_starts = starts[is_seq_line]
+    seq_lens = (ends - starts)[is_seq_line]
+    seq_rec = rec_of_line[is_seq_line]
+
+    flat, line_seg, _ = _ragged_gather(seq_starts, seq_lens)
+    seg = seq_rec[line_seg].astype(np.int32)
+
+    record_start = starts[is_record_hdr].astype(np.int64)
+    nrec = record_start.shape[0]
+    codes = alphabet.from_ascii[data[flat]]
+    return ReadBatch(
+        codes=codes,
+        valid=np.ones(codes.shape[0], dtype=bool),
+        owned=np.ones(codes.shape[0], dtype=bool),
+        seg_id=seg,
+        offset_in_record=(flat - record_start[seg]).astype(np.uint32),
+        global_pos=(flat + file_offset).astype(np.uint64),
+        qual=np.zeros(codes.shape[0], dtype=np.uint8),
+        record_start=(record_start + file_offset).astype(np.uint64),
+        seq_index=(np.arange(nrec) + seq_index_base).astype(np.uint32),
+        file_id=np.full(nrec, file_id, dtype=np.uint16),
+        alphabet=alphabet,
+    )
+
+
+def _empty(alphabet: Alphabet) -> ReadBatch:
+    z = lambda dt: np.zeros(0, dtype=dt)
+    return ReadBatch(
+        codes=z(np.uint8), valid=z(bool), owned=z(bool), seg_id=z(np.int32),
+        offset_in_record=z(np.uint32), global_pos=z(np.uint64),
+        qual=z(np.uint8), record_start=z(np.uint64), seq_index=z(np.uint32),
+        file_id=z(np.uint16), alphabet=alphabet,
+    )

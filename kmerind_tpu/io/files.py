@@ -1,0 +1,181 @@
+"""File access + block-parallel partitioned reading.
+
+Rebuild of the reference file stack (/root/reference/src/io/file.hpp):
+
+* `read_file` — whole-file parse to a `ReadBatch` (the serial readers,
+  file.hpp:552-900).
+* `block_partition` — contiguous byte-range decomposition with remainder
+  spread, the BlockPartitioner (src/partition/partitioner.hpp:269-350).
+* `read_fastq_block` / `read_fasta_block` — the parallel
+  ``partitioned_file`` semantics (file.hpp:1066-1432): each partition owns
+  the records *starting* in its byte block (FASTQ) or the sequence bases in
+  its block (FASTA), reading past the block end to complete trailing
+  records.  Instead of shipping partial prefixes to the left neighbor with
+  alltoallv (file.hpp:1384-1422), a partition simply begins at the first
+  record start at-or-after its block start — the two formulations assign
+  every byte to exactly one owner.
+
+Memory-mapped numpy views replace mmap_file/posix_file; on a multi-host
+deployment each host calls the *_block readers with its own (part, nparts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+
+import numpy as np
+
+from ..alphabets import Alphabet
+from .batch import ReadBatch
+from .fasta import find_fasta_record_start, parse_fasta
+from .fastq import find_record_start, parse_fastq
+
+__all__ = [
+    "sniff_format",
+    "read_bytes",
+    "block_partition",
+    "read_file",
+    "read_fastq_block",
+    "read_fasta_block",
+]
+
+_SLACK = 1 << 16  # initial over-read when hunting for a record boundary
+
+
+def read_bytes(path, start: int = 0, end: int | None = None) -> np.ndarray:
+    """uint8 view of file bytes [start, end) via mmap (file.hpp:228-291)."""
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    return mm[start:end if end is not None else mm.shape[0]]
+
+
+def file_size(path) -> int:
+    return pathlib.Path(path).stat().st_size
+
+
+def sniff_format(path) -> str:
+    """'fastq' or 'fasta', from extension else first byte
+    (KmerFileHelper chooses by template arg; we sniff)."""
+    ext = pathlib.Path(path).suffix.lower()
+    if ext in (".fastq", ".fq"):
+        return "fastq"
+    if ext in (".fasta", ".fa", ".fna", ".ffn", ".faa", ".frn"):
+        return "fasta"
+    first = bytes(read_bytes(path, 0, 1))
+    if first == b"@":
+        return "fastq"
+    if first in (b">", b";"):
+        return "fasta"
+    raise ValueError(f"cannot determine format of {path}")
+
+
+def block_partition(total: int, nparts: int, part: int) -> tuple[int, int]:
+    """[start, end) of contiguous block `part`, remainder given to the first
+    total%nparts parts (BlockPartitioner, partitioner.hpp:269-350)."""
+    if not 0 <= part < nparts:
+        raise ValueError(f"part {part} out of range for {nparts}")
+    base, rem = divmod(total, nparts)
+    start = part * base + min(part, rem)
+    end = start + base + (1 if part < rem else 0)
+    return start, end
+
+
+def read_file(
+    path,
+    alphabet: Alphabet,
+    fmt: str | None = None,
+    file_id: int = 0,
+) -> ReadBatch:
+    """Whole-file parse (serial read path, kmer_file_helper.hpp:391-433)."""
+    fmt = fmt or sniff_format(path)
+    data = read_bytes(path)
+    if fmt == "fastq":
+        return parse_fastq(data, alphabet, file_offset=0, file_id=file_id)
+    if fmt == "fasta":
+        return parse_fasta(data, alphabet, file_offset=0, file_id=file_id)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def _find_boundary(path, total: int, pos: int, finder) -> int:
+    """Absolute offset of the first record start at-or-after byte `pos`."""
+    if pos == 0:
+        return 0
+    if pos >= total:
+        return total
+    slack = _SLACK
+    while True:
+        hi = min(pos + slack, total)
+        data = read_bytes(path, pos, hi)
+        off = finder(data, pos == 0)
+        if off < data.shape[0]:
+            return pos + off
+        if hi == total:
+            return total
+        slack *= 4
+
+
+def read_fastq_block(
+    path,
+    alphabet: Alphabet,
+    part: int,
+    nparts: int,
+    file_id: int = 0,
+) -> ReadBatch:
+    """Parse the FASTQ records starting within byte block `part` of `nparts`.
+
+    The union of all parts' records equals the whole-file parse, each record
+    owned by exactly one part — the partitioned_file FASTQ contract
+    (file.hpp:1216-1432).
+    """
+    total = file_size(path)
+    bs, be = block_partition(total, nparts, part)
+    first = _find_boundary(path, total, bs, find_record_start)
+    if first >= be:
+        return parse_fastq(np.zeros(0, np.uint8), alphabet, 0, file_id)
+    nxt = _find_boundary(path, total, be, find_record_start)
+    data = read_bytes(path, first, nxt)
+    return parse_fastq(data, alphabet, file_offset=first, file_id=file_id)
+
+
+def read_fasta_block(
+    path,
+    alphabet: Alphabet,
+    part: int,
+    nparts: int,
+    file_id: int = 0,
+    halo: int = 0,
+) -> ReadBatch:
+    """Parse the FASTA sequence bases within byte block `part` of `nparts`,
+    plus `halo` following bases (k-1 overlap so windows crossing the block
+    boundary are produced exactly once, by the left owner —
+    kmer_file_helper.hpp:361, file.hpp:1264-1295).
+
+    Header/record metadata for sequences overlapping the block is
+    reconstructed by scanning headers from the file start — the sequential
+    stand-in for the reference's distributed header exchange
+    (fasta_loader.hpp:202-360); on a real multi-host deployment the header
+    table is allgathered once instead.
+
+    Ownership: this part owns k-mer windows whose first base lies within its
+    byte block; `ReadBatch.owned` is True for owned bases, False for halo
+    bases, so extraction emits boundary-crossing windows exactly once.
+    """
+    total = file_size(path)
+    bs, be = block_partition(total, nparts, part)
+    # header index for record context: scan [0, be+slack) for '>' line starts
+    data_all = read_bytes(path)
+    batch = parse_fasta(data_all, alphabet, file_offset=0, file_id=file_id)
+    # select bases whose raw position is in [bs, be), plus halo following bases
+    pos = batch.global_pos
+    owned = (pos >= bs) & (pos < be)
+    idx = np.flatnonzero(owned)
+    if idx.size == 0:
+        return batch.slice_bases(0, 0)
+    lo = int(idx[0])
+    hi = min(int(idx[-1]) + 1 + halo, batch.num_bases)
+    sub = batch.slice_bases(lo, hi)
+    return dataclasses.replace(sub, owned=owned[lo:hi].copy())
+
+
+def owned_base_count(batch: ReadBatch) -> int:
+    return int(batch.owned.sum())

@@ -1,0 +1,145 @@
+"""Owner-routed data exchange: the framework's core collective.
+
+TPU-native replacement for the reference's ``imxx`` incremental-MPI layer
+(/root/reference/src/io/incremental_mxx.hpp): where the reference buckets
+tuples per destination rank, permutes them into rank order and calls
+``mxx::all2allv`` (imxx::distribute, :1040-1109), we bucket-sort on device
+and exchange fixed-capacity bucket tensors with ``jax.lax.all_to_all`` over
+the mesh axis — the ragged alltoallv becomes a dense [p, C, ...] exchange
+with a per-bucket validity count (capacity + overflow-check-and-retry
+handles raggedness under static shapes).
+
+The i2o routing contract of the reference (each input element's destination
+slot is returned so query replies can be routed back and un-permuted,
+imxx::distribute i2o / undistribute :1040-1223) is kept: `distribute`
+returns a `Route` whose (owner, slot) pair addresses every input element's
+position in the exchanged tensor; `undistribute` uses it to return
+per-element replies to the original order.
+
+All functions are written to run inside `shard_map` with a named mesh axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Route", "bucket_by_owner", "distribute", "undistribute"]
+
+
+@dataclasses.dataclass
+class Route:
+    """Routing info for one shard's input elements (shape [n] each)."""
+
+    owner: jax.Array      # int32 — destination shard of element i
+    slot: jax.Array       # int32 — position within its destination bucket
+    valid: jax.Array      # bool — element participated
+    overflow: jax.Array   # int32 scalar — max bucket excess over capacity
+
+
+jax.tree_util.register_dataclass(
+    Route, data_fields=["owner", "slot", "valid", "overflow"], meta_fields=[])
+
+
+def bucket_by_owner(owner: jax.Array, valid: jax.Array, nparts: int, capacity: int):
+    """Assign each element a (bucket, slot) position.
+
+    The local-kernel half of imxx::distribute (assign_to_buckets +
+    bucket_to_permutation, incremental_mxx.hpp:273-470) — computed with a
+    stable sort over owners instead of counting buckets serially.
+
+    Returns (slot[n] int32, counts[nparts] int32, overflow scalar).
+    Elements beyond `capacity` in their bucket get slot >= capacity
+    (dropped by the scatter; overflow reports how many).
+    """
+    n = owner.shape[0]
+    key = jnp.where(valid, owner, nparts)  # invalid sorts last
+    order = jnp.argsort(key, stable=True)
+    sorted_key = key[order]
+    # position within run of equal keys
+    idx = jnp.arange(n, dtype=jnp.int32)
+    run_start = jnp.where(
+        jnp.concatenate([jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]),
+        idx, 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
+    slot_sorted = idx - run_start
+    # scatter back to original order
+    slot = jnp.zeros(n, jnp.int32).at[order].set(slot_sorted)
+    counts = jnp.bincount(
+        jnp.where(valid, owner, 0), weights=valid.astype(jnp.int32),
+        length=nparts).astype(jnp.int32)
+    overflow = jnp.maximum(jnp.max(counts) - capacity, 0)
+    return slot, counts, overflow
+
+
+def _scatter_to_buckets(x: jax.Array, owner, slot, valid, nparts, capacity, fill=0):
+    """[n, ...] -> [nparts, capacity, ...] dense bucket tensor."""
+    dest = jnp.where(valid & (slot < capacity), owner * capacity + slot,
+                     nparts * capacity)
+    buf_shape = (nparts * capacity + 1,) + x.shape[1:]
+    buf = jnp.full(buf_shape, fill, dtype=x.dtype)
+    buf = buf.at[dest].set(x)
+    return buf[:-1].reshape((nparts, capacity) + x.shape[1:])
+
+
+def distribute(arrays, owner, valid, nparts: int, capacity: int, axis_name: str):
+    """Ship each element to its owner shard.
+
+    Args:
+      arrays: tuple of [n, ...] arrays (same leading dim) to route together.
+      owner: int32[n] destination shard ids in [0, nparts).
+      valid: bool[n].
+      nparts: number of shards (static, == axis size).
+      capacity: per-destination bucket capacity (static).
+      axis_name: mesh axis to exchange over.
+
+    Returns:
+      (recv_arrays, recv_valid, route) where each recv array is
+      [nparts * capacity, ...] — the concatenation of one capacity-sized
+      bucket from every source shard — and recv_valid marks live entries.
+    """
+    slot, _, overflow = bucket_by_owner(owner, valid, nparts, capacity)
+    live = valid & (slot < capacity)
+
+    send_valid = _scatter_to_buckets(
+        live.astype(jnp.int8), owner, slot, live, nparts, capacity)
+    recv_valid = jax.lax.all_to_all(
+        send_valid, axis_name, split_axis=0, concat_axis=0, tiled=True)
+
+    recv_arrays = []
+    for x in arrays:
+        send = _scatter_to_buckets(x, owner, slot, live, nparts, capacity)
+        recv = jax.lax.all_to_all(
+            send, axis_name, split_axis=0, concat_axis=0, tiled=True)
+        recv_arrays.append(recv.reshape((nparts * capacity,) + x.shape[1:]))
+
+    route = Route(owner=owner, slot=slot, valid=live, overflow=overflow)
+    return tuple(recv_arrays), recv_valid.reshape(-1).astype(bool), route
+
+
+def undistribute(reply_arrays, route: Route, nparts: int, capacity: int,
+                 axis_name: str, fill=0):
+    """Route per-element replies back to the original requesters.
+
+    `reply_arrays` are [nparts * capacity, ...] tensors aligned with the
+    recv layout of `distribute` (reply for received element r in row r).
+    Returns tuple of [n, ...] arrays aligned with the original inputs
+    (imxx::undistribute + unpermute, incremental_mxx.hpp:1176-1223).
+    """
+    out = []
+    for x in reply_arrays:
+        buf = x.reshape((nparts, capacity) + x.shape[1:])
+        back = jax.lax.all_to_all(
+            buf, axis_name, split_axis=0, concat_axis=0, tiled=True)
+        # back[s, c] = reply for my element that went to shard s, slot c
+        flat = back.reshape((nparts * capacity,) + x.shape[2:])
+        idx = jnp.where(route.valid, route.owner * capacity + route.slot, 0)
+        vals = flat[idx]
+        if vals.ndim == 1:
+            vals = jnp.where(route.valid, vals, fill)
+        else:
+            vals = jnp.where(route.valid[:, None], vals, fill)
+        out.append(vals)
+    return tuple(out)

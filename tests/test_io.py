@@ -1,0 +1,238 @@
+"""FASTQ/FASTA parsing vs Python-oracle parsing of the reference fixture
+files, plus block-partition invariance (the np=1..4 sweep analog of
+mpi_test_file_load / mpi_test_fastq_seq_parse)."""
+
+import numpy as np
+import pytest
+
+from kmerind_tpu import DNA, DNA16
+from kmerind_tpu.io import (
+    block_partition,
+    find_record_start,
+    parse_fastq,
+    parse_fasta,
+    read_fasta_block,
+    read_fastq_block,
+    read_file,
+    sniff_format,
+)
+
+
+# ---------------------------------------------------------------- oracles
+def py_parse_fastq(text: str):
+    """(header, seq, qual, record_byte_offset, seq_byte_offset) per record."""
+    out = []
+    pos = 0
+    lines = text.split("\n")
+    offsets = []
+    for ln in lines:
+        offsets.append(pos)
+        pos += len(ln) + 1
+    i = 0
+    while i + 3 < len(lines) or (i + 3 == len(lines) - 1 + 1 and lines[i]):
+        if not lines[i]:
+            break
+        out.append(
+            (lines[i], lines[i + 1], lines[i + 3], offsets[i], offsets[i + 1])
+        )
+        i += 4
+    return out
+
+
+def py_parse_fasta(text: str):
+    """(header_offset, seq_string, [abs pos per base]) per record."""
+    recs = []
+    pos = 0
+    cur = None
+    for ln in text.split("\n"):
+        if ln.startswith(">"):
+            cur = {"hdr": pos, "seq": [], "pos": []}
+            recs.append(cur)
+        elif ln.startswith(";"):
+            pass
+        elif cur is not None:
+            for j, ch in enumerate(ln):
+                cur["seq"].append(ch)
+                cur["pos"].append(pos + j)
+        pos += len(ln) + 1
+    return recs
+
+
+# ---------------------------------------------------------------- fixtures
+FASTQ_TEXT = (
+    "@read1 some description\n"
+    "ACGTACGTACGTTGCA\n"
+    "+\n"
+    "IIIIIIIIIIIHHHHH\n"
+    "@read2\n"
+    "GGGGCCCCAAAATTTT\n"
+    "+read2\n"
+    "!!!!IIIIJJJJKKKK\n"
+    "@read3\n"
+    "ACGT\n"
+    "+\n"
+    "ABCD\n"
+)
+
+
+def _bytes(s):
+    return np.frombuffer(s.encode(), dtype=np.uint8)
+
+
+def test_parse_fastq_synthetic():
+    b = parse_fastq(_bytes(FASTQ_TEXT), DNA)
+    assert b.num_records == 3
+    assert b.num_bases == 16 + 16 + 4
+    exp = py_parse_fastq(FASTQ_TEXT)
+    # record starts
+    np.testing.assert_array_equal(b.record_start, [e[3] for e in exp])
+    # sequence reconstruction
+    seqs = "".join(e[1] for e in exp)
+    assert DNA.decode(b.codes) == seqs
+    # quality bytes align with bases
+    quals = "".join(e[2] for e in exp)
+    assert b.qual.tobytes().decode() == quals
+    # offset_in_record counts raw bytes from record start
+    r0 = exp[0]
+    np.testing.assert_array_equal(
+        b.offset_in_record[:16], np.arange(16) + (r0[4] - r0[3]))
+    # ShortSequenceKmerId encoding (sequence.hpp:152-156)
+    ids = b.short_ids()
+    assert ids[0] == (r0[3] << 16) | (r0[4] - r0[3])
+
+
+def test_parse_fastq_crlf_and_no_trailing_newline():
+    text = FASTQ_TEXT.replace("\n", "\r\n").rstrip("\r\n")
+    b = parse_fastq(_bytes(text), DNA)
+    assert b.num_records == 3
+    assert b.num_bases == 36
+
+
+def test_parse_fastq_malformed():
+    with pytest.raises(ValueError, match="multiple of 4"):
+        parse_fastq(_bytes("@r\nACGT\n+\n"), DNA)
+    with pytest.raises(ValueError, match="'@'"):
+        parse_fastq(_bytes("r\nACGT\n+\nIIII\n"), DNA)
+    with pytest.raises(ValueError, match="quality"):
+        parse_fastq(_bytes("@r\nACGT\n+\nIII\n"), DNA)
+
+
+def test_find_record_start_all_offsets():
+    """From any byte offset, the 4-line heuristic must locate the next true
+    record start (fastq_loader.hpp:199-358)."""
+    data = _bytes(FASTQ_TEXT)
+    true_starts = [r[3] for r in py_parse_fastq(FASTQ_TEXT)]
+    for off in range(1, len(data) - 1):
+        got = find_record_start(data[off:], at_parent_start=False)
+        # a mid-block search cannot see a record start at its own first byte
+        # (the preceding '\n' was cut off) — that record belongs to the left
+        # block, exactly as in the reference (fastq_loader.hpp:302-315).
+        nxt = [s for s in true_starts if s > off]
+        if got < len(data) - off:
+            assert nxt and got + off == nxt[0], f"offset {off}"
+        else:
+            # not found: acceptable only when the next start is too close to
+            # EOF for the 4-line pattern to be visible
+            assert not nxt or nxt[0] >= true_starts[-1], f"offset {off}"
+
+
+def test_fastq_block_partition_invariance(tmp_path):
+    p = tmp_path / "t.fastq"
+    p.write_text(FASTQ_TEXT)
+    whole = read_file(p, DNA)
+    for nparts in range(1, 6):
+        recs = []
+        bases = 0
+        for part in range(nparts):
+            blk = read_fastq_block(p, DNA, part, nparts)
+            recs.extend(blk.record_start.tolist())
+            bases += blk.num_bases
+        assert sorted(recs) == whole.record_start.tolist(), f"np={nparts}"
+        assert bases == whole.num_bases
+
+
+FASTA_TEXT = (
+    ">seq1 first\n"
+    "ACGTACGTAC\n"
+    "GTTGCAGGGG\n"
+    "TT\n"
+    ";comment line\n"
+    ">seq2\n"
+    "CCCCAAAATT\n"
+)
+
+
+def test_parse_fasta_synthetic():
+    b = parse_fasta(_bytes(FASTA_TEXT), DNA)
+    exp = py_parse_fasta(FASTA_TEXT)
+    assert b.num_records == 2
+    assert b.num_bases == 22 + 10
+    seqs = "".join("".join(e["seq"]) for e in exp)
+    assert DNA.decode(b.codes) == seqs
+    allpos = [p for e in exp for p in e["pos"]]
+    np.testing.assert_array_equal(b.global_pos, allpos)
+    # LongSequenceKmerId: file 0, seq idx in bits 40-55, pos low 40
+    ids = b.long_ids()
+    assert ids[0] == exp[0]["pos"][0]
+    first2 = 22  # first base of seq2
+    assert ids[first2] == (1 << 40) | exp[1]["pos"][0]
+
+
+def test_fasta_block_partition_invariance(tmp_path):
+    p = tmp_path / "t.fasta"
+    p.write_text(FASTA_TEXT)
+    whole = read_file(p, DNA)
+    k = 4
+    for nparts in range(1, 6):
+        owned_pos = []
+        for part in range(nparts):
+            blk = read_fasta_block(p, DNA, part, nparts, halo=k - 1)
+            owned_pos.extend(blk.global_pos[blk.owned].tolist())
+        assert sorted(owned_pos) == whole.global_pos.tolist(), f"np={nparts}"
+
+
+# ------------------------------------------------------- reference fixtures
+def test_reference_small_fastq(ref_data_dir):
+    path = ref_data_dir / "test.small.fastq"
+    b = read_file(path, DNA)
+    text = path.read_text()
+    exp = py_parse_fastq(text)
+    assert b.num_records == len(exp)
+    assert DNA.decode(b.codes) == "".join(e[1] for e in exp)
+    assert b.qual.tobytes().decode() == "".join(e[2] for e in exp)
+    np.testing.assert_array_equal(b.record_start, [e[3] for e in exp])
+
+
+def test_reference_medium_fasta(ref_data_dir):
+    path = ref_data_dir / "test.medium.fasta"
+    b = read_file(path, DNA16)
+    exp = py_parse_fasta(path.read_text())
+    assert b.num_records == len(exp)
+    assert b.num_bases == sum(len(e["seq"]) for e in exp)
+    assert DNA16.decode(b.codes[:50]) == "".join(exp[0]["seq"][:50]).upper().replace("U", "T")
+
+
+def test_reference_fastq_blocks(ref_data_dir):
+    path = ref_data_dir / "test.small.fastq"
+    whole = read_file(path, DNA)
+    for nparts in (2, 3, 7):
+        starts = []
+        for part in range(nparts):
+            starts.extend(read_fastq_block(path, DNA, part, nparts).record_start.tolist())
+        assert sorted(starts) == whole.record_start.tolist()
+
+
+def test_sniff(ref_data_dir):
+    assert sniff_format(ref_data_dir / "test.small.fastq") == "fastq"
+    assert sniff_format(ref_data_dir / "test.medium.fasta") == "fasta"
+
+
+def test_block_partition_properties():
+    for total in (0, 1, 10, 97):
+        for nparts in (1, 2, 3, 8):
+            spans = [block_partition(total, nparts, p) for p in range(nparts)]
+            assert spans[0][0] == 0 and spans[-1][1] == total
+            for (a, b), (c, d) in zip(spans, spans[1:]):
+                assert b == c
+            sizes = [b - a for a, b in spans]
+            assert max(sizes) - min(sizes) <= 1

@@ -1,0 +1,108 @@
+"""Local store semantics vs Python dict/Counter oracles
+(analog of src/containers/test/test_densehash_map.cpp)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from kmerind_tpu.index import store as st
+
+
+def _mk_words(vals, w=2):
+    """ints -> uint32[n, w] rows (value split across words, word0 high)."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    out = np.zeros((len(vals), w), dtype=np.uint32)
+    for j in range(w):
+        out[:, w - 1 - j] = (vals >> np.uint64(32 * j)).astype(np.uint32)
+    return out
+
+
+def test_count_insert_lookup():
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 50, size=200)
+    s = st.empty_count_store(256, 2)
+    s, ovf = st.count_insert(s, jnp.asarray(_mk_words(keys)),
+                             jnp.ones(200, bool))
+    assert int(ovf) == 0
+    from collections import Counter
+    oracle = Counter(keys.tolist())
+    assert int(s.size) == len(oracle)
+    qvals = np.arange(60)
+    got = np.asarray(st.count_lookup(s, jnp.asarray(_mk_words(qvals))))
+    for q, g in zip(qvals, got):
+        assert g == oracle.get(q, 0), q
+
+
+def test_count_insert_incremental_merge():
+    s = st.empty_count_store(64, 1)
+    a = _mk_words([1, 2, 2, 3], w=1)
+    b = _mk_words([2, 3, 3, 9], w=1)
+    s, _ = st.count_insert(s, jnp.asarray(a), jnp.ones(4, bool))
+    s, _ = st.count_insert(s, jnp.asarray(b), jnp.ones(4, bool))
+    got = np.asarray(st.count_lookup(s, jnp.asarray(_mk_words([1, 2, 3, 9, 5], w=1))))
+    np.testing.assert_array_equal(got, [1, 3, 3, 1, 0])
+
+
+def test_count_insert_overflow_reported():
+    s = st.empty_count_store(4, 1)
+    s, ovf = st.count_insert(s, jnp.asarray(_mk_words([1, 2, 3, 4, 5, 6], w=1)),
+                             jnp.ones(6, bool))
+    assert int(ovf) == 2
+
+
+def test_count_insert_weights_and_saturation():
+    s = st.empty_count_store(8, 1)
+    w = jnp.asarray(np.array([5, 5, 200], dtype=np.int32))
+    s, _ = st.count_insert(s, jnp.asarray(_mk_words([7, 7, 8], w=1)),
+                           jnp.ones(3, bool), weights=w, saturate=100)
+    got = np.asarray(st.count_lookup(s, jnp.asarray(_mk_words([7, 8], w=1))))
+    np.testing.assert_array_equal(got, [10, 100])
+
+
+def test_count_erase():
+    s = st.empty_count_store(32, 1)
+    s, _ = st.count_insert(s, jnp.asarray(_mk_words([1, 2, 3, 4], w=1)),
+                           jnp.ones(4, bool))
+    s, n = st.count_erase(s, jnp.asarray(_mk_words([2, 4, 99], w=1)),
+                          jnp.ones(3, bool))
+    assert int(n) == 2
+    assert int(s.size) == 2
+    got = np.asarray(st.count_lookup(s, jnp.asarray(_mk_words([1, 2, 3, 4], w=1))))
+    np.testing.assert_array_equal(got, [1, 0, 1, 0])
+
+
+def test_multi_insert_count_gather_erase():
+    s = st.empty_multi_store(64, 1)
+    keys = [5, 5, 9, 5, 7]
+    vals = [100, 101, 900, 102, 700]
+    s, ovf = st.multi_insert(
+        s, jnp.asarray(_mk_words(keys, w=1)),
+        jnp.asarray(np.zeros(5, np.uint32)),
+        jnp.asarray(np.array(vals, np.uint32)),
+        jnp.ones(5, bool))
+    assert int(ovf) == 0
+    q = jnp.asarray(_mk_words([5, 7, 9, 11], w=1))
+    cnt = np.asarray(st.multi_count(s, q))
+    np.testing.assert_array_equal(cnt, [3, 1, 1, 0])
+    lo, hi = st.multi_lookup_ranges(s, q)
+    _, lo_vals, mask = st.multi_gather(s, lo, hi, max_per_query=4)
+    got5 = sorted(np.asarray(lo_vals)[0][np.asarray(mask)[0]].tolist())
+    assert got5 == [100, 101, 102]
+    s, n = st.multi_erase(s, jnp.asarray(_mk_words([5, 11], w=1)),
+                          jnp.ones(2, bool))
+    assert int(n) == 3
+    cnt = np.asarray(st.multi_count(s, q))
+    np.testing.assert_array_equal(cnt, [0, 1, 1, 0])
+
+
+def test_multiword_key_ordering():
+    # keys differing only in low word must compare correctly
+    s = st.empty_count_store(16, 2)
+    vals = [(1 << 32) | 5, (1 << 32) | 3, (2 << 32), 7]
+    s, _ = st.count_insert(s, jnp.asarray(_mk_words(vals)), jnp.ones(4, bool))
+    got = np.asarray(st.count_lookup(s, jnp.asarray(_mk_words(vals))))
+    np.testing.assert_array_equal(got, [1, 1, 1, 1])
+    keys = np.asarray(s.keys)[: int(s.size)]
+    ints = [(int(k[0]) << 32) | int(k[1]) for k in keys]
+    assert ints == sorted(vals)
