@@ -1,0 +1,487 @@
+"""Top-level k-mer index API.
+
+TPU-native counterpart of ``bliss::index::kmer::Index``
+(/root/reference/src/index/kmer_index.hpp:98-394) and its preset aliases
+(:399-411): `CountIndex`, `PositionIndex` (and, later, PositionQualityIndex)
+over a device mesh.  The map-parameter presets (kmer_index.hpp:436-562) map
+to constructor arguments:
+
+* ``canonical=True``  — Canonical maps: ``lex_less`` canonicalization on
+  ingest *and* on queries (InputTransform).
+* ``canonical=False`` — SingleStrand maps: k-mers used as-is.
+* ``hash_name``       — DistHash preset (murmur / fmix32 / identity).
+
+Host-side responsibilities (this file): sharding inputs onto the mesh,
+choosing bucket capacities, checking overflow outputs and retrying with
+doubled capacity (replacing the reference's two-pass size estimation,
+distributed_densehash_map.hpp:328-420), and growing store capacity.
+All device work happens in the jitted steps of `distributed.py`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..kmer import KmerSpec
+from ..io.batch import ReadBatch
+from ..io.files import read_file
+from ..io.kmer_parsers import batch_to_arrays
+from ..ops import packing
+from ..parallel.mesh import SHARD_AXIS, make_mesh
+from ..utils.timers import PhaseTimer
+from . import distributed as dx
+from . import store as st
+
+__all__ = ["CountIndex", "PositionIndex"]
+
+_SENTINEL = 0xFFFFFFFF
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(4, (max(n, 1) - 1).bit_length())
+
+
+class _IndexBase:
+    """Shared mesh/shard bookkeeping for all index flavors."""
+
+    def __init__(self, spec: KmerSpec, mesh=None, canonical: bool = True,
+                 hash_name: str = "murmur", fill_factor: float = 1.6,
+                 timer: PhaseTimer | None = None):
+        self.spec = spec
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.nparts = self.mesh.devices.size
+        self.canonical = canonical
+        self.hash_name = hash_name
+        self.fill_factor = fill_factor
+        self.timer = timer if timer is not None else PhaseTimer()
+        self._sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
+        self._step_cache: dict = {}
+
+    # -- input marshalling -------------------------------------------------
+    def _shard_rows(self, rows: np.ndarray, extra=()):
+        """[m, ...] host rows -> ([p, mq, ...] padded arrays, valid, m)."""
+        m = rows.shape[0]
+        p = self.nparts
+        mq = max(1, -(-m // p))
+        pad = p * mq - m
+        valid = np.concatenate([np.ones(m, bool), np.zeros(pad, bool)])
+
+        def _pad(a, fill=0):
+            if pad == 0:
+                return a
+            fill_block = np.full((pad,) + a.shape[1:], fill, dtype=a.dtype)
+            return np.concatenate([a, fill_block])
+
+        out = [jax.device_put(_pad(rows).reshape((p, mq) + rows.shape[1:]),
+                              self._sharding)]
+        for a in extra:
+            out.append(jax.device_put(_pad(a).reshape((p, mq) + a.shape[1:]),
+                                      self._sharding))
+        vsh = jax.device_put(valid.reshape(p, mq), self._sharding)
+        return out, vsh, m
+
+    def _to_words(self, kmers) -> np.ndarray:
+        """Accept uint32[m, w] rows, iterable of strings, or big ints."""
+        if isinstance(kmers, np.ndarray) and kmers.ndim == 2:
+            return kmers.astype(np.uint32)
+        if hasattr(kmers, "shape") and getattr(kmers, "ndim", 0) == 2:
+            return np.asarray(kmers, dtype=np.uint32)
+        rows = []
+        for km in kmers:
+            if isinstance(km, str):
+                rows.append(self.spec.from_string(km))
+            else:
+                rows.append(np.asarray(km, dtype=np.uint32))
+        return np.stack(rows).astype(np.uint32)
+
+    def _maybe_canonicalize_queries(self, words: np.ndarray) -> np.ndarray:
+        """Canonical presets transform queries too (transform_input on the
+        query path, distributed_map_base.hpp:286-301)."""
+        if not self.canonical:
+            return words
+        from ..ops import bitops
+        rc = np.asarray(bitops.revcomp(jnp.asarray(words), self.spec))
+        less = np.asarray(packing.lex_less(jnp.asarray(rc), jnp.asarray(words)))
+        return np.where(less[:, None], rc, words)
+
+    def _batch_to_stacked(self, batch: ReadBatch, id_kind):
+        """ReadBatch -> per-base stacked arrays [p, L] on the mesh."""
+        p = self.nparts
+        shards, owned = batch.shard_with_halo(p, self.spec.k - 1)
+        cols = {}
+        names = ["codes", "valid", "owned", "seg_id"]
+        for name in names:
+            stacked = np.stack([getattr(s, name) for s in shards])
+            cols[name] = jax.device_put(stacked, self._sharding)
+        if id_kind is None:
+            ids = np.zeros((p, shards[0].num_bases), np.uint64)
+        else:
+            ids = np.stack([s.ids(id_kind) for s in shards])
+        cols["id_hi"] = jax.device_put(
+            (ids >> np.uint64(32)).astype(np.uint32), self._sharding)
+        cols["id_lo"] = jax.device_put(ids.astype(np.uint32), self._sharding)
+        quals = np.stack([s.qual for s in shards])
+        cols["qual"] = jax.device_put(quals, self._sharding)
+        return cols, owned
+
+    def _bucket_capacity(self, n_per_shard: int) -> int:
+        return _next_pow2(
+            int(math.ceil(n_per_shard / self.nparts * self.fill_factor)))
+
+    @property
+    def num_shards(self) -> int:
+        return self.nparts
+
+
+class CountIndex(_IndexBase):
+    """Distributed k-mer → count index (CountIndex preset,
+    kmer_index.hpp:409-411; counting_densehash_map semantics)."""
+
+    def __init__(self, spec: KmerSpec, mesh=None, canonical: bool = True,
+                 hash_name: str = "murmur", saturate: int | None = None,
+                 initial_capacity: int = 1 << 12, **kw):
+        super().__init__(spec, mesh, canonical, hash_name, **kw)
+        self.saturate = saturate
+        self.store = jax.device_put(
+            jax.vmap(lambda _: st.empty_count_store(
+                initial_capacity, spec.nwords))(jnp.arange(self.nparts)),
+            self._sharding)
+
+    # ------------------------------------------------------------------
+    @property
+    def capacity(self) -> int:
+        return self.store.keys.shape[1]
+
+    def size(self) -> int:
+        """Collective distinct-key count (dsc::map_base::size allreduce)."""
+        return int(np.asarray(self.store.size).sum())
+
+    def _grow(self, new_cap: int):
+        pad = new_cap - self.capacity
+        self.store = st.CountStore(
+            keys=jnp.pad(self.store.keys, ((0, 0), (0, pad), (0, 0)),
+                         constant_values=_SENTINEL),
+            counts=jnp.pad(self.store.counts, ((0, 0), (0, pad))),
+            size=self.store.size,
+        )
+        self.store = jax.device_put(self.store, self._sharding)
+
+    # ------------------------------------------------------------------
+    def build(self, path, fmt: str | None = None, file_id: int = 0):
+        """Read a FASTQ/FASTA file and insert all its k-mers
+        (Index::build_posix/build_mmap, kmer_index.hpp:201-394)."""
+        with self.timer.phase("read"):
+            batch = read_file(path, self.spec.alphabet, fmt, file_id)
+        self.insert_batch(batch)
+        return self
+
+    def insert_batch(self, batch: ReadBatch):
+        """Extract + canonicalize + distribute + merge a parsed batch."""
+        with self.timer.phase("extract"):
+            cols, _ = self._batch_to_stacked(batch, id_kind=None)
+        n_local = cols["codes"].shape[1]
+        cap_needed = self.size() + batch.num_bases  # distinct keys upper bound
+        if cap_needed > self.capacity * self.nparts:
+            self._grow(_next_pow2(-(-cap_needed // self.nparts)))
+        bucket_cap = self._bucket_capacity(n_local)
+        while True:
+            step = self._get_build_step(n_local, bucket_cap)
+            with self.timer.phase("insert"):
+                new_store, route_ovf, store_ovf = step(
+                    self.store, cols["codes"], cols["valid"], cols["owned"],
+                    cols["seg_id"])
+            route_bad = int(np.asarray(route_ovf).max())
+            store_bad = int(np.asarray(store_ovf).max())
+            if route_bad == 0 and store_bad == 0:
+                self.store = new_store
+                return self
+            if route_bad > 0:
+                bucket_cap = _next_pow2(bucket_cap + route_bad)
+            if store_bad > 0:
+                self._grow(_next_pow2(self.capacity + store_bad))
+
+    def _get_build_step(self, n_local: int, bucket_cap: int):
+        key = ("build", n_local, bucket_cap, self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = _make_fused_build_step(
+                self.mesh, self.nparts, self.spec, self.canonical,
+                bucket_cap, self.hash_name, self.saturate)
+        return self._step_cache[key]
+
+    def insert(self, kmers):
+        """Insert explicit k-mers (Index::insert, kmer_index.hpp:201)."""
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        (wsh,), vsh, m = self._shard_rows(words)
+        mq = wsh.shape[1]
+        cap_needed = self.size() + m
+        if cap_needed > self.capacity * self.nparts:
+            self._grow(_next_pow2(-(-cap_needed // self.nparts)))
+        bucket_cap = _next_pow2(mq)
+        while True:
+            key = ("insert", mq, bucket_cap, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_insert_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name,
+                    self.saturate)
+            ones = jnp.ones(wsh.shape[:2], jnp.int32)
+            new_store, route_ovf, store_ovf = self._step_cache[key](
+                self.store, wsh, vsh, ones)
+            if int(np.asarray(route_ovf).max()) == 0 and \
+               int(np.asarray(store_ovf).max()) == 0:
+                self.store = new_store
+                return self
+            bucket_cap *= 2
+            if int(np.asarray(store_ovf).max()) > 0:
+                self._grow(self.capacity * 2)
+
+    def count(self, kmers) -> np.ndarray:
+        """Per-query counts, original order (Index::count,
+        kmer_index.hpp:142)."""
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        (wsh,), vsh, m = self._shard_rows(words)
+        mq = wsh.shape[1]
+        bucket_cap = _next_pow2(mq)
+        while True:
+            key = ("count", mq, bucket_cap, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_count_query_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name)
+            with self.timer.phase("count"):
+                counts, ovf = self._step_cache[key](self.store, wsh, vsh)
+            if int(np.asarray(ovf).max()) == 0:
+                return np.asarray(counts).reshape(-1)[:m]
+            bucket_cap *= 2
+
+    def find(self, kmers):
+        """(found_mask, counts) for queries — Index::find returns the
+        matching (kmer, value) pairs; flat arrays here."""
+        counts = self.count(kmers)
+        return counts > 0, counts
+
+    def erase(self, kmers) -> int:
+        """Erase keys; returns number of erased entries (Index::erase)."""
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        (wsh,), vsh, m = self._shard_rows(words)
+        mq = wsh.shape[1]
+        bucket_cap = _next_pow2(mq)
+        while True:
+            key = ("erase", mq, bucket_cap, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_erase_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name)
+            new_store, nerased, ovf = self._step_cache[key](
+                self.store, wsh, vsh)
+            if int(np.asarray(ovf).max()) == 0:
+                self.store = new_store
+                return int(np.asarray(nerased).sum())
+            bucket_cap *= 2
+
+    def to_dict(self) -> dict[int, int]:
+        """Full index contents as {kmer_int: count} (to_vector analog,
+        distributed_map_base.hpp:202-217).  Host-side; for tests/tools."""
+        out = {}
+        keys = np.asarray(self.store.keys)
+        counts = np.asarray(self.store.counts)
+        sizes = np.asarray(self.store.size)
+        for p in range(self.nparts):
+            for i in range(int(sizes[p])):
+                out[self.spec.to_int(keys[p, i])] = int(counts[p, i])
+        return out
+
+
+def _make_fused_build_step(mesh, nparts, spec, canonical, bucket_cap,
+                           hash_name, saturate):
+    """shard_map step: per-base columns -> extraction -> distribute -> merge.
+
+    The full build pipeline of SURVEY §3.1 fused into one jitted program —
+    no host round trip between extraction and insertion.
+    """
+    from ..io.kmer_parsers import DeviceBases, extract_tuples
+    from ..parallel import distribute as dist
+
+    def body(stores_blk, codes_blk, valid_blk, owned_blk, seg_blk):
+        store = jax.tree.map(lambda a: a[0], stores_blk)
+        bases = DeviceBases(
+            codes=codes_blk[0], valid=valid_blk[0], owned=owned_blk[0],
+            seg_id=seg_blk[0],
+            id_hi=jnp.zeros_like(codes_blk[0], jnp.uint32),
+            id_lo=jnp.zeros_like(codes_blk[0], jnp.uint32),
+            qual=jnp.zeros_like(codes_blk[0]),
+        )
+        tup = extract_tuples(bases, spec, canonical=canonical)
+        owner = dx.owners_for(tup.words, nparts, hash_name)
+        (rwords,), rvalid, route = dist.distribute(
+            (tup.words,), owner, tup.valid, nparts, bucket_cap, SHARD_AXIS)
+        new_store, ovf = st.count_insert(store, rwords, rvalid,
+                                         saturate=saturate)
+        return (jax.tree.map(lambda a: a[None], new_store),
+                route.overflow[None], ovf[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 5,
+        out_specs=(P(SHARD_AXIS),) * 3,
+    ))
+
+
+class PositionIndex(_IndexBase):
+    """Distributed k-mer → positions multimap (PositionIndex preset,
+    kmer_index.hpp:399-404; densehash_multimap semantics).
+
+    id_kind: "short" (FASTQ, ShortSequenceKmerId) or "long" (FASTA,
+    LongSequenceKmerId) — chosen per file format like the reference's
+    parser presets (kmer_parser.hpp:304+).
+    """
+
+    def __init__(self, spec: KmerSpec, mesh=None, canonical: bool = False,
+                 hash_name: str = "murmur", id_kind: str = "short",
+                 initial_capacity: int = 1 << 12, **kw):
+        super().__init__(spec, mesh, canonical, hash_name, **kw)
+        self.id_kind = id_kind
+        self.store = jax.device_put(
+            jax.vmap(lambda _: st.empty_multi_store(
+                initial_capacity, spec.nwords))(jnp.arange(self.nparts)),
+            self._sharding)
+
+    @property
+    def capacity(self) -> int:
+        return self.store.keys.shape[1]
+
+    def size(self) -> int:
+        """Total number of (kmer, position) pairs."""
+        return int(np.asarray(self.store.size).sum())
+
+    def _grow(self, new_cap: int):
+        pad = new_cap - self.capacity
+        self.store = jax.device_put(st.MultiStore(
+            keys=jnp.pad(self.store.keys, ((0, 0), (0, pad), (0, 0)),
+                         constant_values=_SENTINEL),
+            val_hi=jnp.pad(self.store.val_hi, ((0, 0), (0, pad))),
+            val_lo=jnp.pad(self.store.val_lo, ((0, 0), (0, pad))),
+            size=self.store.size,
+        ), self._sharding)
+
+    def build(self, path, fmt: str | None = None, file_id: int = 0):
+        with self.timer.phase("read"):
+            batch = read_file(path, self.spec.alphabet, fmt, file_id)
+        self.insert_batch(batch)
+        return self
+
+    def insert_batch(self, batch: ReadBatch):
+        with self.timer.phase("extract"):
+            cols, _ = self._batch_to_stacked(batch, id_kind=self.id_kind)
+        n_local = cols["codes"].shape[1]
+        if self.size() + batch.num_bases > self.capacity * self.nparts:
+            self._grow(_next_pow2(
+                -(-(self.size() + batch.num_bases) // self.nparts)))
+        bucket_cap = self._bucket_capacity(n_local)
+        while True:
+            step = self._get_build_step(n_local, bucket_cap)
+            with self.timer.phase("insert"):
+                new_store, route_ovf, store_ovf = step(
+                    self.store, cols["codes"], cols["valid"], cols["owned"],
+                    cols["seg_id"], cols["id_hi"], cols["id_lo"])
+            route_bad = int(np.asarray(route_ovf).max())
+            store_bad = int(np.asarray(store_ovf).max())
+            if route_bad == 0 and store_bad == 0:
+                self.store = new_store
+                return self
+            if route_bad > 0:
+                bucket_cap = _next_pow2(bucket_cap + route_bad)
+            if store_bad > 0:
+                self._grow(_next_pow2(self.capacity + store_bad))
+
+    def _get_build_step(self, n_local, bucket_cap):
+        key = ("build", n_local, bucket_cap, self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = _make_fused_position_build_step(
+                self.mesh, self.nparts, self.spec, self.canonical,
+                bucket_cap, self.hash_name)
+        return self._step_cache[key]
+
+    def count(self, kmers) -> np.ndarray:
+        """Multiplicity per query (get_multiplicity / count on multimap)."""
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        (wsh,), vsh, m = self._shard_rows(words)
+        mq = wsh.shape[1]
+        bucket_cap = _next_pow2(mq)
+        while True:
+            key = ("count", mq, bucket_cap, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_multi_count_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name)
+            counts, ovf = self._step_cache[key](self.store, wsh, vsh)
+            if int(np.asarray(ovf).max()) == 0:
+                return np.asarray(counts).reshape(-1)[:m]
+            bucket_cap *= 2
+
+    def find(self, kmers, max_per_query: int = 64):
+        """Per-query position-id lists: (ids uint64[m, max], mask[m, max])."""
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        (wsh,), vsh, m = self._shard_rows(words)
+        mq = wsh.shape[1]
+        bucket_cap = _next_pow2(mq)
+        while True:
+            key = ("find", mq, bucket_cap, self.capacity, max_per_query)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_multi_find_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name,
+                    max_per_query)
+            with self.timer.phase("find"):
+                hi, lo, mask, ovf = self._step_cache[key](self.store, wsh, vsh)
+            if int(np.asarray(ovf).max()) == 0:
+                hi = np.asarray(hi).reshape(-1, max_per_query)[:m]
+                lo = np.asarray(lo).reshape(-1, max_per_query)[:m]
+                mask = np.asarray(mask).reshape(-1, max_per_query)[:m]
+                ids = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+                return ids, mask
+            bucket_cap *= 2
+
+    def to_dict(self) -> dict[int, list[int]]:
+        """Full contents: {kmer_int: sorted position ids} (tests/tools)."""
+        out: dict[int, list[int]] = {}
+        keys = np.asarray(self.store.keys)
+        hi = np.asarray(self.store.val_hi)
+        lo = np.asarray(self.store.val_lo)
+        sizes = np.asarray(self.store.size)
+        for p in range(self.nparts):
+            for i in range(int(sizes[p])):
+                v = self.spec.to_int(keys[p, i])
+                pid = (int(hi[p, i]) << 32) | int(lo[p, i])
+                out.setdefault(v, []).append(pid)
+        return {k: sorted(v) for k, v in out.items()}
+
+
+def _make_fused_position_build_step(mesh, nparts, spec, canonical,
+                                    bucket_cap, hash_name):
+    from ..io.kmer_parsers import DeviceBases, extract_tuples
+    from ..parallel import distribute as dist
+
+    def body(stores_blk, codes_blk, valid_blk, owned_blk, seg_blk,
+             hi_blk, lo_blk):
+        store = jax.tree.map(lambda a: a[0], stores_blk)
+        bases = DeviceBases(
+            codes=codes_blk[0], valid=valid_blk[0], owned=owned_blk[0],
+            seg_id=seg_blk[0], id_hi=hi_blk[0], id_lo=lo_blk[0],
+            qual=jnp.zeros_like(codes_blk[0]),
+        )
+        tup = extract_tuples(bases, spec, canonical=canonical)
+        owner = dx.owners_for(tup.words, nparts, hash_name)
+        (rw, rhi, rlo), rvalid, route = dist.distribute(
+            (tup.words, tup.id_hi, tup.id_lo), owner, tup.valid, nparts,
+            bucket_cap, SHARD_AXIS)
+        new_store, ovf = st.multi_insert(store, rw, rhi, rlo, rvalid)
+        return (jax.tree.map(lambda a: a[None], new_store),
+                route.overflow[None], ovf[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 7,
+        out_specs=(P(SHARD_AXIS),) * 3,
+    ))

@@ -1,0 +1,194 @@
+"""Sharded distributed index: per-device stores + all_to_all routing.
+
+TPU-native rebuild of the reference's distributed containers
+(/root/reference/src/containers/distributed_densehash_map.hpp,
+distributed_sorted_map.hpp): every k-mer is owned by shard
+``owner_from_hash(hash(transform(kmer)), p)`` (KeyToRank,
+distributed_densehash_map.hpp:148-171); insert and every query ship tuples
+to owners via the dense-bucket all_to_all (`parallel.distribute`), run the
+local sorted-store op, and (for queries) route replies back to the
+requesting shard in the original element order.
+
+Everything here is a *pure jitted step* built with `jax.shard_map` over a
+1-D mesh; the `DistributedIndex` classes in `api.py` hold the store pytree
+(arrays with a leading [p] axis, sharded over the mesh) and orchestrate
+capacity growth on overflow (check-and-retry replaces the reference's
+per-bucket size estimation, distributed_densehash_map.hpp:328-420).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import hashing
+from ..parallel import distribute as dist
+from ..parallel.mesh import SHARD_AXIS
+from . import store as st
+
+__all__ = [
+    "owners_for",
+    "make_insert_step",
+    "make_count_query_step",
+    "make_erase_step",
+    "make_multi_insert_step",
+    "make_multi_count_step",
+]
+
+
+def owners_for(words: jax.Array, nparts: int, hash_name: str = "murmur",
+               seed: int = 42) -> jax.Array:
+    """Destination shard per key row (KeyToRank)."""
+    h = hashing.HASHES[hash_name](words, seed)
+    return hashing.owner_from_hash(h, nparts)
+
+
+def _unstack(tree):
+    return jax.tree.map(lambda a: a[0], tree)
+
+
+def _stack(tree):
+    return jax.tree.map(lambda a: a[None], tree)
+
+
+def make_insert_step(mesh: Mesh, nparts: int, capacity: int, hash_name: str,
+                     saturate: int | None = None):
+    """Jitted: (stores[p,...], words[p,n,w], valid[p,n], weights[p,n]) ->
+    (new_stores, route_overflow[p], store_overflow[p]).
+
+    The stack-3.1 insert half: transform already applied by extraction;
+    here = hash → distribute → local merge (SURVEY §3.1 hot loops 3-4).
+    """
+
+    def body(stores_blk, words_blk, valid_blk, weights_blk):
+        store = _unstack(stores_blk)
+        words, valid, weights = words_blk[0], valid_blk[0], weights_blk[0]
+        owner = owners_for(words, nparts, hash_name)
+        (rwords, rweights), rvalid, route = dist.distribute(
+            (words, weights), owner, valid, nparts, capacity, SHARD_AXIS)
+        new_store, ovf = st.count_insert(
+            store, rwords, rvalid, weights=rweights, saturate=saturate)
+        return _stack(new_store), route.overflow[None], ovf[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+    ))
+
+
+def make_count_query_step(mesh: Mesh, nparts: int, capacity: int, hash_name: str):
+    """Jitted: (stores, queries[p,m,w], qvalid[p,m]) ->
+    (counts[p,m], overflow[p]) — counts aligned with the original query
+    order per shard (the find/count round trip of
+    distributed_densehash_map.hpp:1123-1199 + unpermute :1563-1577)."""
+
+    def body(stores_blk, queries_blk, qvalid_blk):
+        store = _unstack(stores_blk)
+        queries, qvalid = queries_blk[0], qvalid_blk[0]
+        owner = owners_for(queries, nparts, hash_name)
+        (rq,), rvalid, route = dist.distribute(
+            (queries,), owner, qvalid, nparts, capacity, SHARD_AXIS)
+        local_counts = st.count_lookup(store, rq)
+        local_counts = jnp.where(rvalid, local_counts, 0)
+        (back,) = dist.undistribute(
+            (local_counts,), route, nparts, capacity, SHARD_AXIS)
+        return back[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+    ))
+
+
+def make_erase_step(mesh: Mesh, nparts: int, capacity: int, hash_name: str):
+    """Jitted: (stores, keys[p,m,w], valid[p,m]) ->
+    (new_stores, n_erased[p], overflow[p])."""
+
+    def body(stores_blk, keys_blk, valid_blk):
+        store = _unstack(stores_blk)
+        keys, valid = keys_blk[0], valid_blk[0]
+        owner = owners_for(keys, nparts, hash_name)
+        (rk,), rvalid, route = dist.distribute(
+            (keys,), owner, valid, nparts, capacity, SHARD_AXIS)
+        new_store, nerased = st.count_erase(store, rk, rvalid)
+        return _stack(new_store), nerased[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+    ))
+
+
+def make_multi_insert_step(mesh: Mesh, nparts: int, capacity: int, hash_name: str):
+    """Jitted multimap insert: routes (key, 64-bit payload) tuples."""
+
+    def body(stores_blk, words_blk, hi_blk, lo_blk, valid_blk):
+        store = _unstack(stores_blk)
+        words, vhi, vlo, valid = (
+            words_blk[0], hi_blk[0], lo_blk[0], valid_blk[0])
+        owner = owners_for(words, nparts, hash_name)
+        (rw, rhi, rlo), rvalid, route = dist.distribute(
+            (words, vhi, vlo), owner, valid, nparts, capacity, SHARD_AXIS)
+        new_store, ovf = st.multi_insert(store, rw, rhi, rlo, rvalid)
+        return _stack(new_store), route.overflow[None], ovf[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 5,
+        out_specs=(P(SHARD_AXIS),) * 3,
+    ))
+
+
+def make_multi_count_step(mesh: Mesh, nparts: int, capacity: int, hash_name: str):
+    """Jitted multimap multiplicity query (get_multiplicity / count)."""
+
+    def body(stores_blk, queries_blk, qvalid_blk):
+        store = _unstack(stores_blk)
+        queries, qvalid = queries_blk[0], qvalid_blk[0]
+        owner = owners_for(queries, nparts, hash_name)
+        (rq,), rvalid, route = dist.distribute(
+            (queries,), owner, qvalid, nparts, capacity, SHARD_AXIS)
+        local = jnp.where(rvalid, st.multi_count(store, rq), 0)
+        (back,) = dist.undistribute(
+            (local,), route, nparts, capacity, SHARD_AXIS)
+        return back[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+    ))
+
+
+def make_multi_find_step(mesh: Mesh, nparts: int, capacity: int,
+                         hash_name: str, max_per_query: int):
+    """Jitted multimap find: returns per-query payload lists
+    (hi[p,m,max], lo[p,m,max], mask[p,m,max], overflow[p]) in original
+    query order — the find path of distributed_densehash_map.hpp:1509-1577."""
+
+    def body(stores_blk, queries_blk, qvalid_blk):
+        store = _unstack(stores_blk)
+        queries, qvalid = queries_blk[0], qvalid_blk[0]
+        owner = owners_for(queries, nparts, hash_name)
+        (rq,), rvalid, route = dist.distribute(
+            (queries,), owner, qvalid, nparts, capacity, SHARD_AXIS)
+        lo, hi = st.multi_lookup_ranges(store, rq)
+        hi = jnp.where(rvalid, hi, lo)  # empty range for padding slots
+        vhi, vlo, mask = st.multi_gather(store, lo, hi, max_per_query)
+        back_hi, back_lo, back_mask = dist.undistribute(
+            (vhi, vlo, mask.astype(jnp.int8)), route, nparts, capacity,
+            SHARD_AXIS)
+        return (back_hi[None], back_lo[None],
+                back_mask.astype(bool)[None], route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS),) * 4,
+    ))

@@ -154,8 +154,11 @@ def _bsearch(keys: jax.Array, size: jax.Array, queries: jax.Array, side: str):
     """
     cap = keys.shape[0]
     m = queries.shape[0]
-    lo = jnp.zeros((m,), jnp.int32)
-    hi = jnp.broadcast_to(jnp.asarray(size, jnp.int32), (m,))
+    # derive the zero from `size` so the carry has the same varying-axis
+    # type as the data when running inside shard_map (see shard-map vma docs)
+    zero = jnp.asarray(size, jnp.int32) * 0
+    lo = jnp.zeros((m,), jnp.int32) + zero
+    hi = jnp.broadcast_to(jnp.asarray(size, jnp.int32), (m,)) + zero
     steps = max(1, cap.bit_length())
 
     def body(_, lohi):

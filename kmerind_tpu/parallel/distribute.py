@@ -134,7 +134,7 @@ def undistribute(reply_arrays, route: Route, nparts: int, capacity: int,
         back = jax.lax.all_to_all(
             buf, axis_name, split_axis=0, concat_axis=0, tiled=True)
         # back[s, c] = reply for my element that went to shard s, slot c
-        flat = back.reshape((nparts * capacity,) + x.shape[2:])
+        flat = back.reshape((nparts * capacity,) + x.shape[1:])
         idx = jnp.where(route.valid, route.owner * capacity + route.slot, 0)
         vals = flat[idx]
         if vals.ndim == 1:

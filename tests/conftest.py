@@ -8,8 +8,10 @@ exercise every sharded path without TPU hardware.
 
 import os
 
-# Force the CPU backend: the session environment pins JAX_PLATFORMS to the
-# (single-chip, tunneled) TPU, which tests must not depend on.
+# Force the CPU backend: the session environment pins JAX_PLATFORMS to a
+# (single-chip, tunneled) TPU whose PJRT plugin registers itself at
+# interpreter start and wins over the env var — only a config update after
+# import reliably selects CPU (verified: env alone leaves the TPU default).
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -18,6 +20,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import pathlib  # noqa: E402
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,177 @@
+"""Distributed index over an 8-device CPU mesh vs the oracle — the analog of
+the reference's mpirun -np sweeps (mpi_test_distribute.cpp,
+test strategy SURVEY §4): index contents must be invariant to shard count."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kmerind_tpu import DNA, KmerSpec
+from kmerind_tpu.index.api import CountIndex, PositionIndex
+from kmerind_tpu.io import read_file
+from kmerind_tpu.parallel.mesh import make_mesh
+from kmerind_tpu.parallel import distribute as dist
+from kmerind_tpu.parallel.mesh import SHARD_AXIS
+
+import oracle
+from test_io import py_parse_fastq
+
+
+def _mesh(n):
+    return make_mesh(n)
+
+
+# ---------------------------------------------------------------- distribute
+@pytest.mark.parametrize("p", [1, 2, 4, 8])
+def test_distribute_roundtrip(p):
+    """distribute + undistribute is the identity on routed values
+    (A2ADistributeTest analog, src/io/test/mpi_test_distribute.cpp:31-90)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = _mesh(p)
+    n = 64
+    cap = 64
+    rng = np.random.default_rng(p)
+    vals = rng.integers(0, 1 << 30, size=(p, n)).astype(np.uint32)
+    owners = rng.integers(0, p, size=(p, n)).astype(np.int32)
+    valid = rng.random((p, n)) < 0.9
+
+    def body(v, o, va):
+        (rv,), rvalid, route = dist.distribute(
+            (v[0],), o[0], va[0], p, cap, SHARD_AXIS)
+        # reply = received value + 1; returned to requester
+        reply = jnp.where(rvalid, rv + 1, 0)
+        (back,) = dist.undistribute((reply,), route, p, cap, SHARD_AXIS)
+        return back[None], route.overflow[None]
+
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(SHARD_AXIS),) * 3,
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS))))
+    back, ovf = f(jnp.asarray(vals), jnp.asarray(owners), jnp.asarray(valid))
+    back = np.asarray(back)
+    assert int(np.asarray(ovf).max()) == 0
+    np.testing.assert_array_equal(back[valid], vals[valid] + 1)
+
+
+@pytest.mark.parametrize("p", [2, 4])
+def test_distribute_overflow_reported(p):
+    from jax.sharding import PartitionSpec as P
+
+    mesh = _mesh(p)
+    n, cap = 32, 4  # everything to owner 0 -> guaranteed overflow
+    vals = np.arange(p * n, dtype=np.uint32).reshape(p, n)
+    owners = np.zeros((p, n), np.int32)
+    valid = np.ones((p, n), bool)
+
+    def body(v, o, va):
+        (rv,), rvalid, route = dist.distribute(
+            (v[0],), o[0], va[0], p, cap, SHARD_AXIS)
+        return route.overflow[None]
+
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(SHARD_AXIS),) * 3,
+        out_specs=P(SHARD_AXIS)))
+    ovf = np.asarray(f(jnp.asarray(vals), jnp.asarray(owners), jnp.asarray(valid)))
+    assert ovf.max() == n - cap
+
+
+# ------------------------------------------------------------- count index
+@pytest.mark.parametrize("p", [1, 2, 8])
+@pytest.mark.parametrize("canonical", [True, False])
+def test_count_index_any_p(ref_data_dir, p, canonical):
+    path = ref_data_dir / "test.small.fastq"
+    spec = KmerSpec(21, DNA)
+    idx = CountIndex(spec, mesh=_mesh(p), canonical=canonical)
+    idx.build(path)
+
+    seqs = [r[1] for r in py_parse_fastq(path.read_text())]
+    expect = oracle.count_index(seqs, 21, DNA, canonical=canonical)
+    assert idx.to_dict() == dict(expect), f"p={p}"
+
+
+def test_count_query_and_erase(ref_data_dir):
+    path = ref_data_dir / "test.small.fastq"
+    spec = KmerSpec(21, DNA)
+    idx = CountIndex(spec, mesh=_mesh(8))
+    idx.build(path)
+    seqs = [r[1] for r in py_parse_fastq(path.read_text())]
+    expect = oracle.count_index(seqs, 21, DNA, canonical=True)
+
+    # query by string (canonicalized internally)
+    qstr = [seqs[0][i:i + 21] for i in range(10)]
+    got = idx.count(qstr)
+    want = [expect[min(oracle.kmer_int([int(c) for c in DNA.encode(s)], 2),
+                       oracle.revcomp_int(oracle.kmer_int([int(c) for c in DNA.encode(s)], 2), 21, DNA))]
+            for s in qstr]
+    np.testing.assert_array_equal(got, want)
+
+    # erase half the distinct keys, recount
+    keys = sorted(expect)[::2]
+    kwords = np.stack([
+        spec.pack_codes(oracle.int_to_codes(v, 21, 2)) for v in keys])
+    nerased = idx.erase(kwords)
+    assert nerased == len(keys)
+    assert idx.size() == len(expect) - len(keys)
+    got2 = idx.count(kwords)
+    assert np.all(got2 == 0)
+
+
+def test_count_incremental_two_files(ref_data_dir):
+    """Insert two batches; counts must merge (multi-file build)."""
+    path = ref_data_dir / "test.small.fastq"
+    spec = KmerSpec(15, DNA)
+    idx = CountIndex(spec, mesh=_mesh(4))
+    idx.build(path)
+    idx.build(path)  # same file again -> all counts doubled
+    seqs = [r[1] for r in py_parse_fastq(path.read_text())]
+    expect = {k: 2 * v for k, v in
+              oracle.count_index(seqs, 15, DNA, canonical=True).items()}
+    assert idx.to_dict() == expect
+
+
+def test_count_insert_explicit_kmers():
+    spec = KmerSpec(9, DNA)
+    idx = CountIndex(spec, mesh=_mesh(4), canonical=False)
+    kmers = ["ACGTACGTA", "ACGTACGTA", "CCCCCCCCC"]
+    idx.insert(kmers)
+    got = idx.count(["ACGTACGTA", "CCCCCCCCC", "GGGGGGGGG"])
+    np.testing.assert_array_equal(got, [2, 1, 0])
+
+
+# ---------------------------------------------------------- position index
+@pytest.mark.parametrize("p", [1, 4, 8])
+def test_position_index_any_p(ref_data_dir, p):
+    path = ref_data_dir / "test.small.fastq"
+    k = 21
+    spec = KmerSpec(k, DNA)
+    idx = PositionIndex(spec, mesh=_mesh(p), id_kind="short")
+    idx.build(path)
+
+    recs = py_parse_fastq(path.read_text())
+    seqs_ids = []
+    for hdr, seq, qual, rstart, sstart in recs:
+        ids = [(rstart << 16) | (sstart - rstart + i)
+               for i in range(len(seq) - k + 1)]
+        seqs_ids.append((seq, ids))
+    expect = oracle.position_index(seqs_ids, k, DNA, canonical=False)
+    assert idx.to_dict() == expect, f"p={p}"
+
+
+def test_position_find(ref_data_dir):
+    path = ref_data_dir / "test.small.fastq"
+    k = 21
+    spec = KmerSpec(k, DNA)
+    idx = PositionIndex(spec, mesh=_mesh(8), id_kind="short")
+    idx.build(path)
+    expect = idx.to_dict()
+    items = list(expect.items())[:20]
+    qwords = np.stack([
+        spec.pack_codes(oracle.int_to_codes(v, k, 2)) for v, _ in items])
+    ids, mask = idx.find(qwords, max_per_query=16)
+    for i, (v, want) in enumerate(items):
+        got = sorted(int(x) for x in ids[i][mask[i]])
+        assert got == want
+    cnt = idx.count(qwords)
+    np.testing.assert_array_equal(cnt, [len(w) for _, w in items])
