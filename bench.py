@@ -1,0 +1,150 @@
+"""Headline benchmark: k-mers/s/chip on the canonical count-index build.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "kmers/s", "vs_baseline": N}
+
+The build step (extract + canonicalize + sort + unique/count merge — the
+full SURVEY §3.1 pipeline minus file IO) runs on the default JAX device
+(the real TPU chip under the driver).  ``vs_baseline`` is the ratio to a
+single-thread vectorized-numpy implementation of the same pipeline measured
+in-process (the reference publishes no numbers — BASELINE.md — so the
+baseline is self-measured CPU throughput, conservative for kmerind's own
+per-core rate).
+
+Usage: python bench.py [--bases N] [--k K] [--iters I] [--json-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg, quiet):
+    if not quiet:
+        print(msg, file=sys.stderr, flush=True)
+
+
+def make_batch(n_bases: int, read_len: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=n_bases).astype(np.uint8)
+    valid = np.ones(n_bases, dtype=bool)
+    seg_id = (np.arange(n_bases) // read_len).astype(np.int32)
+    return codes, valid, seg_id
+
+
+def numpy_baseline(codes: np.ndarray, seg_id: np.ndarray, k: int) -> float:
+    """Single-thread numpy canonical count build; returns kmers/s."""
+    t0 = time.perf_counter()
+    n = codes.shape[0]
+    # pack 21-mers into uint64 via sliding accumulation (vectorized numpy)
+    c = codes.astype(np.uint64)
+    mask = np.uint64((1 << (2 * k)) - 1)
+    packed = np.zeros(n - k + 1, dtype=np.uint64)
+    acc = np.zeros(n, dtype=np.uint64)
+    acc[:] = c
+    span = 1
+    while span < k:
+        step = min(span, k - span)
+        shifted = np.zeros_like(acc)
+        shifted[:-step] = acc[step:]
+        acc = (acc << np.uint64(2 * step)) | shifted
+        span += step
+    packed = acc[: n - k + 1] & mask
+    # revcomp: complement = 3 - c; reverse
+    comp = np.uint64(3) - c
+    racc = comp[::-1].copy()
+    span = 1
+    while span < k:
+        step = min(span, k - span)
+        shifted = np.zeros_like(racc)
+        shifted[:-step] = racc[step:]
+        racc = (racc << np.uint64(2 * step)) | shifted
+        span += step
+    rc = racc[::-1][k - 1:] & mask
+    canon = np.minimum(packed, rc)
+    valid_w = seg_id[: n - k + 1] == seg_id[k - 1:]
+    vals = canon[valid_w]
+    uniq, counts = np.unique(vals, return_counts=True)
+    dt = time.perf_counter() - t0
+    return vals.shape[0] / dt, (uniq, counts)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bases", type=int, default=1 << 22)
+    ap.add_argument("--k", type=int, default=21)
+    ap.add_argument("--read-len", type=int, default=250)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--baseline-bases", type=int, default=1 << 21)
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+    quiet = args.json_only
+
+    import jax
+    import jax.numpy as jnp
+
+    from kmerind_tpu import DNA, KmerSpec
+    from kmerind_tpu.io.kmer_parsers import DeviceBases, extract_tuples
+    from kmerind_tpu.ops import sortops
+
+    dev = jax.devices()[0]
+    _log(f"device: {dev}", quiet)
+    spec = KmerSpec(args.k, DNA)
+
+    codes, valid, seg = make_batch(args.bases, args.read_len)
+
+    @jax.jit
+    def build(codes, valid, seg_id):
+        bases = DeviceBases(
+            codes=codes, valid=valid, owned=jnp.ones_like(valid),
+            seg_id=seg_id,
+            id_hi=jnp.zeros_like(codes, jnp.uint32),
+            id_lo=jnp.zeros_like(codes, jnp.uint32),
+            qual=jnp.zeros_like(codes),
+        )
+        tup = extract_tuples(bases, spec, canonical=True)
+        s_words, _, s_valid = sortops.sort_rows(tup.words, (), tup.valid)
+        uniq, counts, n_unique = sortops.unique_counts(s_words, s_valid)
+        return n_unique, jnp.sum(counts)
+
+    dcodes = jax.device_put(codes, dev)
+    dvalid = jax.device_put(valid, dev)
+    dseg = jax.device_put(seg, dev)
+
+    _log("compiling…", quiet)
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(build(dcodes, dvalid, dseg))
+    _log(f"compile+first run: {time.perf_counter() - t0:.1f}s "
+         f"(distinct={int(out[0])}, total={int(out[1])})", quiet)
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(build(dcodes, dvalid, dseg))
+        times.append(time.perf_counter() - t0)
+        _log(f"iter {i}: {times[-1]*1e3:.1f} ms", quiet)
+
+    n_windows = int(out[1])
+    best = min(times)
+    tpu_rate = n_windows / best
+
+    _log("running numpy baseline…", quiet)
+    bcodes, _, bseg = make_batch(args.baseline_bases, args.read_len)
+    base_rate, (buniq, bcounts) = numpy_baseline(bcodes, bseg, args.k)
+    _log(f"numpy baseline: {base_rate/1e6:.2f} Mkmers/s", quiet)
+
+    print(json.dumps({
+        "metric": "kmers/s/chip (canonical count-index build, k=%d)" % args.k,
+        "value": round(tpu_rate, 1),
+        "unit": "kmers/s",
+        "vs_baseline": round(tpu_rate / base_rate, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
