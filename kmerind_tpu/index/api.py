@@ -38,7 +38,7 @@ from ..utils.timers import PhaseTimer
 from . import distributed as dx
 from . import store as st
 
-__all__ = ["CountIndex", "PositionIndex"]
+__all__ = ["CountIndex", "PositionIndex", "PositionQualityIndex"]
 
 _SENTINEL = 0xFFFFFFFF
 
@@ -339,11 +339,15 @@ class PositionIndex(_IndexBase):
     parser presets (kmer_parser.hpp:304+).
     """
 
+    with_quality = False
+
     def __init__(self, spec: KmerSpec, mesh=None, canonical: bool = False,
                  hash_name: str = "murmur", id_kind: str = "short",
-                 initial_capacity: int = 1 << 12, **kw):
+                 initial_capacity: int = 1 << 12, codec=None, **kw):
         super().__init__(spec, mesh, canonical, hash_name, **kw)
+        from ..quality import ILLUMINA18
         self.id_kind = id_kind
+        self.codec = codec if codec is not None else ILLUMINA18
         self.store = jax.device_put(
             jax.vmap(lambda _: st.empty_multi_store(
                 initial_capacity, spec.nwords))(jnp.arange(self.nparts)),
@@ -364,6 +368,7 @@ class PositionIndex(_IndexBase):
                          constant_values=_SENTINEL),
             val_hi=jnp.pad(self.store.val_hi, ((0, 0), (0, pad))),
             val_lo=jnp.pad(self.store.val_lo, ((0, 0), (0, pad))),
+            val_q=jnp.pad(self.store.val_q, ((0, 0), (0, pad))),
             size=self.store.size,
         ), self._sharding)
 
@@ -386,7 +391,8 @@ class PositionIndex(_IndexBase):
             with self.timer.phase("insert"):
                 new_store, route_ovf, store_ovf = step(
                     self.store, cols["codes"], cols["valid"], cols["owned"],
-                    cols["seg_id"], cols["id_hi"], cols["id_lo"])
+                    cols["seg_id"], cols["id_hi"], cols["id_lo"],
+                    cols["qual"])
             route_bad = int(np.asarray(route_ovf).max())
             store_bad = int(np.asarray(store_ovf).max())
             if route_bad == 0 and store_bad == 0:
@@ -402,7 +408,7 @@ class PositionIndex(_IndexBase):
         if key not in self._step_cache:
             self._step_cache[key] = _make_fused_position_build_step(
                 self.mesh, self.nparts, self.spec, self.canonical,
-                bucket_cap, self.hash_name)
+                bucket_cap, self.hash_name, self.with_quality, self.codec)
         return self._step_cache[key]
 
     def count(self, kmers) -> np.ndarray:
@@ -421,8 +427,9 @@ class PositionIndex(_IndexBase):
                 return np.asarray(counts).reshape(-1)[:m]
             bucket_cap *= 2
 
-    def find(self, kmers, max_per_query: int = 64):
-        """Per-query position-id lists: (ids uint64[m, max], mask[m, max])."""
+    def find(self, kmers, max_per_query: int = 64, with_quality: bool = False):
+        """Per-query position-id lists: (ids uint64[m, max], mask[m, max]),
+        plus float32 qualities when with_quality."""
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
@@ -434,12 +441,16 @@ class PositionIndex(_IndexBase):
                     self.mesh, self.nparts, bucket_cap, self.hash_name,
                     max_per_query)
             with self.timer.phase("find"):
-                hi, lo, mask, ovf = self._step_cache[key](self.store, wsh, vsh)
+                hi, lo, q, mask, ovf = self._step_cache[key](
+                    self.store, wsh, vsh)
             if int(np.asarray(ovf).max()) == 0:
                 hi = np.asarray(hi).reshape(-1, max_per_query)[:m]
                 lo = np.asarray(lo).reshape(-1, max_per_query)[:m]
+                q = np.asarray(q).reshape(-1, max_per_query)[:m]
                 mask = np.asarray(mask).reshape(-1, max_per_query)[:m]
                 ids = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+                if with_quality:
+                    return ids, q, mask
                 return ids, mask
             bucket_cap *= 2
 
@@ -459,29 +470,63 @@ class PositionIndex(_IndexBase):
 
 
 def _make_fused_position_build_step(mesh, nparts, spec, canonical,
-                                    bucket_cap, hash_name):
+                                    bucket_cap, hash_name,
+                                    with_quality=False, codec=None):
     from ..io.kmer_parsers import DeviceBases, extract_tuples
     from ..parallel import distribute as dist
+    from ..quality import ILLUMINA18
+
+    codec = codec if codec is not None else ILLUMINA18
 
     def body(stores_blk, codes_blk, valid_blk, owned_blk, seg_blk,
-             hi_blk, lo_blk):
+             hi_blk, lo_blk, qual_blk):
         store = jax.tree.map(lambda a: a[0], stores_blk)
         bases = DeviceBases(
             codes=codes_blk[0], valid=valid_blk[0], owned=owned_blk[0],
             seg_id=seg_blk[0], id_hi=hi_blk[0], id_lo=lo_blk[0],
-            qual=jnp.zeros_like(codes_blk[0]),
+            qual=qual_blk[0],
         )
-        tup = extract_tuples(bases, spec, canonical=canonical)
+        tup = extract_tuples(bases, spec, canonical=canonical,
+                             with_quality=with_quality, codec=codec)
         owner = dx.owners_for(tup.words, nparts, hash_name)
-        (rw, rhi, rlo), rvalid, route = dist.distribute(
-            (tup.words, tup.id_hi, tup.id_lo), owner, tup.valid, nparts,
-            bucket_cap, SHARD_AXIS)
-        new_store, ovf = st.multi_insert(store, rw, rhi, rlo, rvalid)
+        qbits = jax.lax.bitcast_convert_type(tup.qual, jnp.uint32)
+        (rw, rhi, rlo, rqb), rvalid, route = dist.distribute(
+            (tup.words, tup.id_hi, tup.id_lo, qbits), owner, tup.valid,
+            nparts, bucket_cap, SHARD_AXIS)
+        rq = jax.lax.bitcast_convert_type(rqb, jnp.float32)
+        new_store, ovf = st.multi_insert(store, rw, rhi, rlo, rvalid,
+                                         val_q=rq)
         return (jax.tree.map(lambda a: a[None], new_store),
                 route.overflow[None], ovf[None])
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 7,
+        in_specs=(P(SHARD_AXIS),) * 8,
         out_specs=(P(SHARD_AXIS),) * 3,
     ))
+
+
+class PositionQualityIndex(PositionIndex):
+    """Distributed k-mer → (position, windowed quality) multimap —
+    the PositionQualityIndex preset (kmer_index.hpp:406;
+    KmerPositionQualityTupleParser, kmer_parser.hpp:578+).
+
+    find(..., with_quality=True) returns (ids, qualities, mask).
+    """
+
+    with_quality = True
+
+    def to_dict(self):
+        """{kmer_int: sorted [(position id, quality), ...]}."""
+        out: dict[int, list] = {}
+        keys = np.asarray(self.store.keys)
+        hi = np.asarray(self.store.val_hi)
+        lo = np.asarray(self.store.val_lo)
+        q = np.asarray(self.store.val_q)
+        sizes = np.asarray(self.store.size)
+        for p in range(self.nparts):
+            for i in range(int(sizes[p])):
+                v = self.spec.to_int(keys[p, i])
+                pid = (int(hi[p, i]) << 32) | int(lo[p, i])
+                out.setdefault(v, []).append((pid, float(q[p, i])))
+        return {k: sorted(v) for k, v in out.items()}

@@ -126,21 +126,24 @@ def make_erase_step(mesh: Mesh, nparts: int, capacity: int, hash_name: str):
 
 
 def make_multi_insert_step(mesh: Mesh, nparts: int, capacity: int, hash_name: str):
-    """Jitted multimap insert: routes (key, 64-bit payload) tuples."""
+    """Jitted multimap insert: routes (key, 64-bit id [+ quality]) tuples."""
 
-    def body(stores_blk, words_blk, hi_blk, lo_blk, valid_blk):
+    def body(stores_blk, words_blk, hi_blk, lo_blk, q_blk, valid_blk):
         store = _unstack(stores_blk)
-        words, vhi, vlo, valid = (
-            words_blk[0], hi_blk[0], lo_blk[0], valid_blk[0])
+        words, vhi, vlo, vq, valid = (
+            words_blk[0], hi_blk[0], lo_blk[0], q_blk[0], valid_blk[0])
         owner = owners_for(words, nparts, hash_name)
-        (rw, rhi, rlo), rvalid, route = dist.distribute(
-            (words, vhi, vlo), owner, valid, nparts, capacity, SHARD_AXIS)
-        new_store, ovf = st.multi_insert(store, rw, rhi, rlo, rvalid)
+        qbits = jax.lax.bitcast_convert_type(vq, jnp.uint32)
+        (rw, rhi, rlo, rqb), rvalid, route = dist.distribute(
+            (words, vhi, vlo, qbits), owner, valid, nparts, capacity,
+            SHARD_AXIS)
+        rq = jax.lax.bitcast_convert_type(rqb, jnp.float32)
+        new_store, ovf = st.multi_insert(store, rw, rhi, rlo, rvalid, val_q=rq)
         return _stack(new_store), route.overflow[None], ovf[None]
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 5,
+        in_specs=(P(SHARD_AXIS),) * 6,
         out_specs=(P(SHARD_AXIS),) * 3,
     ))
 
@@ -169,8 +172,9 @@ def make_multi_count_step(mesh: Mesh, nparts: int, capacity: int, hash_name: str
 def make_multi_find_step(mesh: Mesh, nparts: int, capacity: int,
                          hash_name: str, max_per_query: int):
     """Jitted multimap find: returns per-query payload lists
-    (hi[p,m,max], lo[p,m,max], mask[p,m,max], overflow[p]) in original
-    query order — the find path of distributed_densehash_map.hpp:1509-1577."""
+    (hi[p,m,max], lo[p,m,max], q[p,m,max], mask[p,m,max], overflow[p]) in
+    original query order — the find path of
+    distributed_densehash_map.hpp:1509-1577."""
 
     def body(stores_blk, queries_blk, qvalid_blk):
         store = _unstack(stores_blk)
@@ -180,15 +184,17 @@ def make_multi_find_step(mesh: Mesh, nparts: int, capacity: int,
             (queries,), owner, qvalid, nparts, capacity, SHARD_AXIS)
         lo, hi = st.multi_lookup_ranges(store, rq)
         hi = jnp.where(rvalid, hi, lo)  # empty range for padding slots
-        vhi, vlo, mask = st.multi_gather(store, lo, hi, max_per_query)
-        back_hi, back_lo, back_mask = dist.undistribute(
-            (vhi, vlo, mask.astype(jnp.int8)), route, nparts, capacity,
+        vhi, vlo, vq, mask = st.multi_gather(store, lo, hi, max_per_query)
+        qbits = jax.lax.bitcast_convert_type(vq, jnp.uint32)
+        back_hi, back_lo, back_q, back_mask = dist.undistribute(
+            (vhi, vlo, qbits, mask.astype(jnp.int8)), route, nparts, capacity,
             SHARD_AXIS)
         return (back_hi[None], back_lo[None],
+                jax.lax.bitcast_convert_type(back_q, jnp.float32)[None],
                 back_mask.astype(bool)[None], route.overflow[None])
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(SHARD_AXIS),) * 4,
+        out_specs=(P(SHARD_AXIS),) * 5,
     ))

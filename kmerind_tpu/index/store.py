@@ -65,6 +65,9 @@ class MultiStore:
     keys: jax.Array    # uint32[cap, w] — sorted, duplicates allowed
     val_hi: jax.Array  # uint32[cap]
     val_lo: jax.Array  # uint32[cap]
+    val_q: jax.Array   # float32[cap] — windowed quality (0 when unused);
+                       # the pair<IdType, float> payload of the
+                       # position+quality index (kmer_index.hpp:406)
     size: jax.Array    # int32 scalar
 
     @property
@@ -73,7 +76,8 @@ class MultiStore:
 
 
 jax.tree_util.register_dataclass(
-    MultiStore, data_fields=["keys", "val_hi", "val_lo", "size"], meta_fields=[])
+    MultiStore, data_fields=["keys", "val_hi", "val_lo", "val_q", "size"],
+    meta_fields=[])
 
 
 def empty_count_store(capacity: int, nwords: int) -> CountStore:
@@ -89,6 +93,7 @@ def empty_multi_store(capacity: int, nwords: int) -> MultiStore:
         keys=jnp.full((capacity, nwords), _SENTINEL, dtype=jnp.uint32),
         val_hi=jnp.zeros((capacity,), jnp.uint32),
         val_lo=jnp.zeros((capacity,), jnp.uint32),
+        val_q=jnp.zeros((capacity,), jnp.float32),
         size=jnp.zeros((), jnp.int32),
     )
 
@@ -162,23 +167,29 @@ def count_erase(store: CountStore, queries: jax.Array, qvalid: jax.Array):
 
 # --------------------------------------------------------------- multimap
 @jax.jit
-def multi_insert(store: MultiStore, words, val_hi, val_lo, valid):
+def multi_insert(store: MultiStore, words, val_hi, val_lo, valid,
+                 val_q: jax.Array | None = None):
     """Append (key, value) pairs, keeping pairs sorted by key (stable on
     insertion order within a batch) — densehash_multimap insert.
     Returns (new_store, overflow)."""
     cap = store.capacity
+    if val_q is None:
+        val_q = jnp.zeros(words.shape[0], jnp.float32)
     live_store = jnp.arange(cap) < store.size
     all_words = jnp.concatenate([store.keys, words.astype(jnp.uint32)], axis=0)
     all_hi = jnp.concatenate([store.val_hi, val_hi.astype(jnp.uint32)])
     all_lo = jnp.concatenate([store.val_lo, val_lo.astype(jnp.uint32)])
+    all_q = jnp.concatenate([store.val_q, val_q.astype(jnp.float32)])
     all_valid = jnp.concatenate([live_store, valid])
-    s_words, (s_hi, s_lo), s_valid = sortops.sort_rows(
-        all_words, (all_hi, all_lo), all_valid)
+    s_words, (s_hi, s_lo, s_q), s_valid = sortops.sort_rows(
+        all_words, (all_hi, all_lo, jax.lax.bitcast_convert_type(all_q, jnp.uint32)),
+        all_valid)
     total = jnp.sum(all_valid.astype(jnp.int32))
     new = MultiStore(
         keys=jnp.where(s_valid[:, None], s_words, jnp.uint32(_SENTINEL))[:cap],
         val_hi=s_hi[:cap],
         val_lo=s_lo[:cap],
+        val_q=jax.lax.bitcast_convert_type(s_q[:cap], jnp.float32),
         size=jnp.minimum(total, cap),
     )
     return new, jnp.maximum(total - cap, 0)
@@ -201,14 +212,14 @@ def multi_count(store: MultiStore, queries) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("max_per_query",))
 def multi_gather(store: MultiStore, lo, hi, max_per_query: int):
-    """Gather payloads for ranges: (hi_vals, lo_vals, mask) each
+    """Gather payloads for ranges: (hi_vals, lo_vals, q_vals, mask) each
     [m, max_per_query]; entries beyond the range are masked."""
     m = lo.shape[0]
     offs = jnp.arange(max_per_query, dtype=jnp.int32)[None, :]
     idx = lo[:, None] + offs
     mask = idx < hi[:, None]
     idx_c = jnp.clip(idx, 0, store.capacity - 1)
-    return store.val_hi[idx_c], store.val_lo[idx_c], mask
+    return store.val_hi[idx_c], store.val_lo[idx_c], store.val_q[idx_c], mask
 
 
 @jax.jit
@@ -227,13 +238,17 @@ def multi_erase(store: MultiStore, queries, qvalid):
     diff = diff.at[hi].add(jnp.where(qvalid, -1, 0))
     covered = jnp.cumsum(diff[:cap]) > 0
     keep = (jnp.arange(cap) < store.size) & ~covered
-    s_words, (s_hi, s_lo), s_valid = sortops.sort_rows(
-        store.keys, (store.val_hi, store.val_lo), keep)
+    s_words, (s_hi, s_lo, s_q), s_valid = sortops.sort_rows(
+        store.keys,
+        (store.val_hi, store.val_lo,
+         jax.lax.bitcast_convert_type(store.val_q, jnp.uint32)),
+        keep)
     new_size = jnp.sum(keep.astype(jnp.int32))
     new = MultiStore(
         keys=jnp.where(s_valid[:, None], s_words, jnp.uint32(_SENTINEL)),
         val_hi=s_hi,
         val_lo=s_lo,
+        val_q=jax.lax.bitcast_convert_type(s_q, jnp.float32),
         size=new_size,
     )
     return new, store.size - new_size

@@ -28,6 +28,7 @@ import numpy as np
 
 from ..kmer import KmerSpec
 from ..ops import packing
+from ..quality import ILLUMINA18, QualityCodec, window_quality
 from .batch import ReadBatch
 
 __all__ = ["DeviceBases", "KmerTuples", "batch_to_arrays", "extract_tuples"]
@@ -88,22 +89,32 @@ def batch_to_arrays(batch: ReadBatch, id_kind: str | None = None) -> DeviceBases
     )
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "canonical"))
-def extract_tuples(bases: DeviceBases, spec: KmerSpec, canonical: bool = True) -> KmerTuples:
-    """All k-mer tuples of one shard (quality scoring applied separately).
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "canonical", "with_quality",
+                                    "codec"))
+def extract_tuples(bases: DeviceBases, spec: KmerSpec, canonical: bool = True,
+                   with_quality: bool = False,
+                   codec: QualityCodec = ILLUMINA18) -> KmerTuples:
+    """All k-mer tuples of one shard.
 
     Hot path: fused window-pack + revcomp + canonicalize + validity mask —
     replaces hot loops 1-2 of the reference build stack (SURVEY §3.1).
+    With `with_quality`, the windowed phred score is computed alongside
+    (KmerPositionQualityTupleParser, kmer_parser.hpp:578+).
     """
     if canonical:
         words, _ = packing.extract_canonical(bases.codes, spec)
     else:
         words = packing.extract_kmers(bases.codes, spec)
     wvalid = packing.window_valid(bases.valid, bases.seg_id, spec.k) & bases.owned
+    if with_quality:
+        qual = window_quality(bases.qual, spec.k, codec)
+    else:
+        qual = jnp.zeros(bases.codes.shape[0], jnp.float32)
     return KmerTuples(
         words=words,
         valid=wvalid,
         id_hi=bases.id_hi,
         id_lo=bases.id_lo,
-        qual=jnp.zeros(bases.codes.shape[0], jnp.float32),
+        qual=qual,
     )

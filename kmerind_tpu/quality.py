@@ -1,0 +1,164 @@
+"""Phred quality-score codec + windowed k-mer quality.
+
+Rebuild of the reference quality subsystem
+(/root/reference/src/index/quality_scores.hpp,
+src/index/quality_score_iterator.hpp):
+
+* Codec: ``decode(c) = DecodeLUT[c - MinInput]`` where the 96-entry LUT holds
+  ``log2(1 - 10^(-q/10))`` (q = 0 → lowest = "zero probability of being
+  correct"; entries 94/95 → 0.0) — quality_scores.hpp:113-216.  Presets
+  Illumina18/Sanger (33..126, min 0), Illumina13 (64..126, min 0),
+  Illumina15 (64..126, min 3) — :529-545.
+* Windowed score (QualityScoreSlidingWindow, quality_score_iterator.hpp:67-
+  180): a k-mer's quality is ``exp2(sum of per-base log2 probs)`` —
+  the probability that *all* k bases are correct — and exactly 0.0 if any
+  base in the window is "incorrect" (decoded value == lowest).
+
+The reference maintains a circular running sum per window; we compute all
+window sums at once with a binary-composed tree reduction (log2(k) shifted
+adds), which matches the sequential accumulation to ~ulp precision of the
+float32 stored result while being one vectorized pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "QualityCodec",
+    "ILLUMINA18",
+    "SANGER",
+    "ILLUMINA13",
+    "ILLUMINA15",
+    "window_quality",
+]
+
+_LOWEST = np.finfo(np.float64).min
+
+
+@dataclasses.dataclass(frozen=True)
+class QualityCodec:
+    """Preset-parameterized Phred codec (QualityScoreCodec template args)."""
+
+    name: str
+    min_input: int
+    max_input: int
+    min_score: int
+
+    @functools.cached_property
+    def decode_lut(self) -> np.ndarray:
+        """float64[96]: q -> log2(P(base correct)) (DecodeLUT,
+        quality_scores.hpp:113)."""
+        lut = np.empty(96, dtype=np.float64)
+        for q in range(96):
+            if q < max(1, self.min_score) or q == 0:
+                lut[q] = _LOWEST
+            elif q >= 94:
+                lut[q] = 0.0
+            else:
+                lut[q] = np.log2(1.0 - np.exp2(q * np.log2(10.0) / -10.0))
+        return lut
+
+    @functools.cached_property
+    def encode_lut(self) -> np.ndarray:
+        """float64[96]: rounding-boundary values for encode's upper_bound
+        search (EncodeLUT, quality_scores.hpp:216)."""
+        lut = np.empty(96, dtype=np.float64)
+        for q in range(96):
+            if q < max(1, self.min_score) or q == 0:
+                lut[q] = _LOWEST
+            elif q >= 94:
+                lut[q] = np.finfo(np.float64).max
+            else:
+                lut[q] = np.log2(1.0 - np.exp2((q - 0.5) * np.log2(10.0) / -10.0))
+        return lut
+
+    # -- scalar/batch host-side ------------------------------------------
+    def decode(self, score_bytes: np.ndarray) -> np.ndarray:
+        """ASCII phred bytes -> float64 log2 probs (quality_scores.hpp:331)."""
+        idx = np.clip(
+            np.asarray(score_bytes, dtype=np.int32) - self.min_input, 0, 95)
+        return self.decode_lut[idx]
+
+    def encode(self, log2_prob: np.ndarray) -> np.ndarray:
+        """log2 probs -> ASCII phred bytes (quality_scores.hpp:360-373)."""
+        v = np.asarray(log2_prob, dtype=np.float64)
+        floor_char = (self.min_input if self.min_score == 0
+                      else self.min_input + self.min_score - 1)
+        idx = np.searchsorted(self.encode_lut, v, side="right")
+        out = np.where(idx == 0, floor_char,
+                       np.minimum(self.max_input, self.min_input + idx - 1))
+        out = np.where(np.isnan(v) | (v == _LOWEST) | np.isneginf(v),
+                       floor_char, out)
+        out = np.where(np.isposinf(v), self.max_input, out)
+        return out.astype(np.uint8)
+
+
+ILLUMINA18 = QualityCodec("Illumina18", 33, 126, 0)
+SANGER = QualityCodec("Sanger", 33, 126, 0)
+ILLUMINA13 = QualityCodec("Illumina13", 64, 126, 0)
+ILLUMINA15 = QualityCodec("Illumina15", 64, 126, 3)
+
+
+def _shift_idx(a, s):
+    if s == 0:
+        return a
+    pad_cfg = [(0, s, 0)] + [(0, 0, 0)] * (a.ndim - 1)
+    return jax.lax.pad(a, jnp.zeros((), a.dtype), pad_cfg)[s:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "codec"))
+def window_quality(qual_bytes: jax.Array, k: int, codec: QualityCodec = ILLUMINA18):
+    """float32[n]: windowed k-mer quality at every window start.
+
+    value[i] = exp2(sum_{j<k} log2 P(base i+j correct)), or exactly 0.0 if
+    any window base decodes to "incorrect" (QualityScoreSlidingWindow
+    getValue(), quality_score_iterator.hpp:162-173).  Rows past n-k carry
+    garbage — callers mask with window validity.
+
+    The per-window sum is a binary-composed tree reduction (log2(k) shifted
+    adds, no overlap), so float32 error stays O(log k * eps) per window
+    instead of growing with stream length as a naive global prefix sum would.
+    """
+    # float32 LUT with the float32 "lowest" sentinel (the reference's OutT
+    # lowest when OutT=float), avoiding inf from a float64→float32 overflow
+    f32_lowest = float(np.finfo(np.float32).min)
+    lut_host = np.where(codec.decode_lut == _LOWEST, f32_lowest,
+                        codec.decode_lut).astype(np.float32)
+    lut = jnp.asarray(lut_host)
+    idx = jnp.clip(qual_bytes.astype(jnp.int32) - codec.min_input, 0, 95)
+    logp = lut[idx]
+    # reference guard: OK iff DecodeLUT[0] < val < DecodeLUT[95] (== 0.0);
+    # lowest or >= 0 counts as an incorrect base
+    not_ok = (logp <= jnp.float32(f32_lowest)) | (logp >= 0.0)
+    contrib = jnp.where(not_ok, 0.0, logp).astype(jnp.float32)
+    bad = not_ok
+
+    # power-of-two window sums: S_t[i] = sum of contrib[i : i+2**t)
+    pow_sum = {0: contrib}
+    pow_bad = {0: bad}
+    t = 1
+    while (1 << t) <= k:
+        half = 1 << (t - 1)
+        pow_sum[t] = pow_sum[t - 1] + _shift_idx(pow_sum[t - 1], half)
+        pow_bad[t] = pow_bad[t - 1] | _shift_idx(pow_bad[t - 1], half)
+        t += 1
+    # compose binary digits of k, MSB-first
+    wsum = None
+    any_bad = None
+    consumed = 0
+    for t in reversed(range(max(pow_sum) + 1)):
+        if k & (1 << t):
+            ps = _shift_idx(pow_sum[t], consumed) if consumed else pow_sum[t]
+            pb = _shift_idx(pow_bad[t], consumed) if consumed else pow_bad[t]
+            wsum = ps if wsum is None else wsum + ps
+            any_bad = pb if any_bad is None else any_bad | pb
+            consumed += 1 << t
+
+    score = jnp.where(any_bad, 0.0, jnp.exp2(wsum))
+    return score.astype(jnp.float32)

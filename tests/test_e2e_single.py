@@ -103,7 +103,7 @@ def test_position_index_small_fastq(ref_data_dir):
         spec.pack_codes([int(c) for c in oracle.int_to_codes(v, k, 2)])
         for v, _ in items])
     lo, hi = st.multi_lookup_ranges(s, jnp.asarray(qwords))
-    hi_v, lo_v, mask = st.multi_gather(s, lo, hi, max_per_query=16)
+    hi_v, lo_v, _q, mask = st.multi_gather(s, lo, hi, max_per_query=16)
     hi_v, lo_v, mask = map(np.asarray, (hi_v, lo_v, mask))
     for i, (v, ids) in enumerate(items):
         got = sorted(

@@ -86,7 +86,7 @@ def test_multi_insert_count_gather_erase():
     cnt = np.asarray(st.multi_count(s, q))
     np.testing.assert_array_equal(cnt, [3, 1, 1, 0])
     lo, hi = st.multi_lookup_ranges(s, q)
-    _, lo_vals, mask = st.multi_gather(s, lo, hi, max_per_query=4)
+    _, lo_vals, _q, mask = st.multi_gather(s, lo, hi, max_per_query=4)
     got5 = sorted(np.asarray(lo_vals)[0][np.asarray(mask)[0]].tolist())
     assert got5 == [100, 101, 102]
     s, n = st.multi_erase(s, jnp.asarray(_mk_words([5, 11], w=1)),
