@@ -1,0 +1,231 @@
+"""Distributed de Bruijn graph.
+
+Rebuild of the reference's de Bruijn application
+(/root/reference/test/test/debruijn/): nodes are (canonical) k-mers, node
+payloads are 9 counters [out A,C,G,T; in A,C,G,T; self] accumulated from
+per-window edge bytes (de_bruijn_node_trait.hpp:186-280 `edge_counts`;
+`edge_exists` is the thresholded view).  Construction is the index build
+pipeline with an extra payload column (de_bruijn_construct_engine.hpp:91-131
+zips kmer and edge iterators); storage is the vector-reduction map
+(de_bruijn_nodes_distributed.hpp:61-101 ≈ reduction map on edge vectors).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..kmer import KmerSpec
+from ..io.batch import ReadBatch
+from ..io.files import read_file
+from ..ops import packing
+from ..parallel import distribute as dist
+from ..parallel.mesh import SHARD_AXIS
+from ..index import distributed as dx
+from ..index import store as st
+from ..index.api import _IndexBase, _next_pow2, _SENTINEL
+from .edges import edge_byte_to_vec, edge_bytes_for_windows, revcomp_edge_byte
+
+__all__ = ["DeBruijnGraph"]
+
+_DIM = 9  # out A C G T, in A C G T, self
+
+
+class DeBruijnGraph(_IndexBase):
+    """Distributed de Bruijn graph over a device mesh.
+
+    canonical=True mirrors the reference driver's Bimolecule/canonical
+    configuration (test_de_bruijn_graph_construction.cpp:118-131): node key
+    = canonical k-mer; edge bytes are reverse-complemented when the window
+    was flipped, so counters are ordered for the canonical strand.
+    """
+
+    def __init__(self, spec: KmerSpec, mesh=None, canonical: bool = True,
+                 hash_name: str = "murmur", saturate: int | None = None,
+                 initial_capacity: int = 1 << 12, **kw):
+        super().__init__(spec, mesh, canonical, hash_name, **kw)
+        self.saturate = saturate
+        self.store = jax.device_put(
+            jax.vmap(lambda _: st.empty_vec_store(
+                initial_capacity, spec.nwords, _DIM))(jnp.arange(self.nparts)),
+            self._sharding)
+
+    @property
+    def capacity(self) -> int:
+        return self.store.keys.shape[1]
+
+    def size(self) -> int:
+        """Number of graph nodes (distinct canonical k-mers)."""
+        return int(np.asarray(self.store.size).sum())
+
+    def _grow(self, new_cap: int):
+        pad = new_cap - self.capacity
+        self.store = jax.device_put(st.VecStore(
+            keys=jnp.pad(self.store.keys, ((0, 0), (0, pad), (0, 0)),
+                         constant_values=_SENTINEL),
+            vals=jnp.pad(self.store.vals, ((0, 0), (0, pad), (0, 0))),
+            size=self.store.size,
+        ), self._sharding)
+
+    # ------------------------------------------------------------------
+    def build(self, path, fmt: str | None = None, file_id: int = 0):
+        with self.timer.phase("read"):
+            batch = read_file(path, self.spec.alphabet, fmt, file_id)
+        self.insert_batch(batch)
+        return self
+
+    def insert_batch(self, batch: ReadBatch):
+        with self.timer.phase("extract"):
+            # edge bytes need 1 base of left context and the k-th base on
+            # the right, beyond the k-1 window halo
+            cols, _ = self._batch_to_stacked(
+                batch, id_kind=None, halo=self.spec.k, halo_left=1)
+        n_local = cols["codes"].shape[1]
+        if self.size() + batch.num_bases > self.capacity * self.nparts:
+            self._grow(_next_pow2(
+                -(-(self.size() + batch.num_bases) // self.nparts)))
+        bucket_cap = self._bucket_capacity(n_local)
+        while True:
+            step = self._get_build_step(n_local, bucket_cap)
+            with self.timer.phase("insert"):
+                new_store, route_ovf, store_ovf = step(
+                    self.store, cols["codes"], cols["valid"], cols["owned"],
+                    cols["seg_id"])
+            route_bad = int(np.asarray(route_ovf).max())
+            store_bad = int(np.asarray(store_ovf).max())
+            if route_bad == 0 and store_bad == 0:
+                self.store = new_store
+                return self
+            if route_bad > 0:
+                bucket_cap = _next_pow2(bucket_cap + route_bad)
+            if store_bad > 0:
+                self._grow(_next_pow2(self.capacity + store_bad))
+
+    def _get_build_step(self, n_local, bucket_cap):
+        key = ("build", n_local, bucket_cap, self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = _make_debruijn_build_step(
+                self.mesh, self.nparts, self.spec, self.canonical,
+                bucket_cap, self.hash_name, self.saturate)
+        return self._step_cache[key]
+
+    # ------------------------------------------------------------------
+    def node_counts(self, kmers):
+        """(counts int32[m, 9], found bool[m]) per query node —
+        edge_counts payload lookup."""
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        (wsh,), vsh, m = self._shard_rows(words)
+        mq = wsh.shape[1]
+        bucket_cap = _next_pow2(mq)
+        while True:
+            key = ("lookup", mq, bucket_cap, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = _make_vec_lookup_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name)
+            vals, found, ovf = self._step_cache[key](self.store, wsh, vsh)
+            if int(np.asarray(ovf).max()) == 0:
+                vals = np.asarray(vals).reshape(-1, _DIM)[:m]
+                found = np.asarray(found).reshape(-1)[:m]
+                return vals, found
+            bucket_cap *= 2
+
+    def edge_exists(self, kmers):
+        """bool[m, 8] out/in edge-existence flags (edge_exists node trait,
+        de_bruijn_node_trait.hpp:270-330)."""
+        vals, found = self.node_counts(kmers)
+        return (vals[:, :8] > 0) & found[:, None]
+
+    def neighbors(self, kmer):
+        """(in_neighbors, out_neighbors) of one node as lists of
+        (kmer_string, edge count) — get_in/out_neighbors
+        (de_bruijn_node_trait.hpp:60-115)."""
+        spec = self.spec
+        words = self._to_words([kmer])
+        vals, found = self.node_counts(words)
+        if not found[0]:
+            return [], []
+        counts = vals[0]
+        codes = spec.unpack_words(words[0])
+        outs, ins = [], []
+        for b in range(4):  # DNA codes A C G T = 0..3
+            c_out = int(counts[b])
+            if c_out > 0:
+                nxt = np.concatenate([codes[1:], [b]]).astype(np.uint8)
+                outs.append((spec.alphabet.decode(nxt), c_out))
+            c_in = int(counts[4 + b])
+            if c_in > 0:
+                prv = np.concatenate([[b], codes[:-1]]).astype(np.uint8)
+                ins.append((spec.alphabet.decode(prv), c_in))
+        return ins, outs
+
+    def to_dict(self):
+        """{kmer_int: (out ACGT, in ACGT, self) counters}."""
+        out = {}
+        keys = np.asarray(self.store.keys)
+        vals = np.asarray(self.store.vals)
+        sizes = np.asarray(self.store.size)
+        for p in range(self.nparts):
+            for i in range(int(sizes[p])):
+                out[self.spec.to_int(keys[p, i])] = tuple(
+                    int(x) for x in vals[p, i])
+        return out
+
+
+def _make_debruijn_build_step(mesh, nparts, spec, canonical, bucket_cap,
+                              hash_name, saturate):
+    """shard_map step: bases -> (canonical kmer, strand-corrected edge
+    vector) -> distribute -> vector-sum merge."""
+
+    def body(stores_blk, codes_blk, valid_blk, owned_blk, seg_blk):
+        store = jax.tree.map(lambda a: a[0], stores_blk)
+        codes, valid, owned, seg = (
+            codes_blk[0], valid_blk[0], owned_blk[0], seg_blk[0])
+        if canonical:
+            words, was_rc = packing.extract_canonical(codes, spec)
+        else:
+            words = packing.extract_kmers(codes, spec)
+            was_rc = jnp.zeros(codes.shape[0], bool)
+        wvalid = packing.window_valid(valid, seg, spec.k) & owned
+        edges = edge_bytes_for_windows(codes, valid, seg, spec.k,
+                                       spec.alphabet)
+        edges = jnp.where(was_rc, revcomp_edge_byte(edges), edges)
+        vecs = edge_byte_to_vec(edges)
+
+        owner = dx.owners_for(words, nparts, hash_name)
+        (rw, rv), rvalid, route = dist.distribute(
+            (words, vecs), owner, wvalid, nparts, bucket_cap, SHARD_AXIS)
+        new_store, ovf = st.vec_insert(store, rw, rv, rvalid,
+                                       saturate=saturate)
+        return (jax.tree.map(lambda a: a[None], new_store),
+                route.overflow[None], ovf[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 5,
+        out_specs=(P(SHARD_AXIS),) * 3,
+    ))
+
+
+def _make_vec_lookup_step(mesh, nparts, capacity, hash_name):
+    def body(stores_blk, queries_blk, qvalid_blk):
+        store = jax.tree.map(lambda a: a[0], stores_blk)
+        queries, qvalid = queries_blk[0], qvalid_blk[0]
+        owner = dx.owners_for(queries, nparts, hash_name)
+        (rq,), rvalid, route = dist.distribute(
+            (queries,), owner, qvalid, nparts, capacity, SHARD_AXIS)
+        vals, found = st.vec_lookup(store, rq)
+        vals = jnp.where(rvalid[:, None], vals, 0)
+        found = found & rvalid
+        back_vals, back_found = dist.undistribute(
+            (vals, found.astype(jnp.int8)), route, nparts, capacity,
+            SHARD_AXIS)
+        return (back_vals[None], back_found.astype(bool)[None],
+                route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 3,
+        out_specs=(P(SHARD_AXIS),) * 3,
+    ))

@@ -110,10 +110,13 @@ class _IndexBase:
         less = np.asarray(packing.lex_less(jnp.asarray(rc), jnp.asarray(words)))
         return np.where(less[:, None], rc, words)
 
-    def _batch_to_stacked(self, batch: ReadBatch, id_kind):
+    def _batch_to_stacked(self, batch: ReadBatch, id_kind,
+                          halo: int | None = None, halo_left: int = 0):
         """ReadBatch -> per-base stacked arrays [p, L] on the mesh."""
         p = self.nparts
-        shards, owned = batch.shard_with_halo(p, self.spec.k - 1)
+        if halo is None:
+            halo = self.spec.k - 1
+        shards, owned = batch.shard_with_halo(p, halo, halo_left)
         cols = {}
         names = ["codes", "valid", "owned", "seg_id"]
         for name in names:

@@ -252,3 +252,69 @@ def multi_erase(store: MultiStore, queries, qvalid):
         size=new_size,
     )
     return new, store.size - new_size
+
+
+# ----------------------------------------------------- vector reduction map
+@dataclasses.dataclass
+class VecStore:
+    """Unique keys + int32 vector payloads reduced by sum — the generic
+    reduction map (reduction_densehash_map, distributed_densehash_map.hpp
+    :2429+) used for de Bruijn node payloads (edge_counts, 9 counters per
+    node: out A/C/G/T, in A/C/G/T, self)."""
+
+    keys: jax.Array  # uint32[cap, w]
+    vals: jax.Array  # int32[cap, d]
+    size: jax.Array  # int32 scalar
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    VecStore, data_fields=["keys", "vals", "size"], meta_fields=[])
+
+
+def empty_vec_store(capacity: int, nwords: int, dim: int) -> VecStore:
+    return VecStore(
+        keys=jnp.full((capacity, nwords), _SENTINEL, dtype=jnp.uint32),
+        vals=jnp.zeros((capacity, dim), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("saturate",))
+def vec_insert(store: VecStore, words: jax.Array, vecs: jax.Array,
+               valid: jax.Array, saturate: int | None = None):
+    """Merge (key, int32[d] vector) tuples, summing vectors per key
+    (the Reduc functor fold of reduction map inserts).
+    Returns (new_store, overflow)."""
+    cap = store.capacity
+    live_store = jnp.arange(cap) < store.size
+    all_words = jnp.concatenate([store.keys, words.astype(jnp.uint32)], axis=0)
+    all_vals = jnp.concatenate([store.vals, vecs.astype(jnp.int32)], axis=0)
+    all_valid = jnp.concatenate([live_store, valid])
+    d = all_vals.shape[1]
+    s_words, s_cols, s_valid = sortops.sort_rows(
+        all_words, tuple(all_vals[:, j] for j in range(d)), all_valid)
+    s_vals = jnp.stack(s_cols, axis=1)
+    uniq, red, n_unique = sortops.segment_reduce_sorted(
+        s_words, s_valid, s_vals, reduce="sum")
+    if saturate is not None:
+        red = jnp.minimum(red, saturate)
+    new = VecStore(
+        keys=uniq[:cap],
+        vals=red[:cap],
+        size=jnp.minimum(n_unique, cap),
+    )
+    return new, jnp.maximum(n_unique - cap, 0)
+
+
+@jax.jit
+def vec_lookup(store: VecStore, queries: jax.Array):
+    """(vals int32[m, d], found bool[m]) per query key."""
+    idx = sortops.lower_bound(store.keys, store.size, queries.astype(jnp.uint32))
+    hit = sortops.rows_equal_at(store.keys, idx, queries.astype(jnp.uint32),
+                                store.size)
+    vals = store.vals[jnp.clip(idx, 0, store.capacity - 1)]
+    return jnp.where(hit[:, None], vals, 0), hit

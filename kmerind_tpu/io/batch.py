@@ -139,24 +139,30 @@ class ReadBatch:
             qual=self.qual[start:stop],
         )
 
-    def shard_with_halo(self, nshards: int, halo: int):
+    def shard_with_halo(self, nshards: int, halo: int, halo_left: int = 0):
         """Split the base stream into `nshards` equal owned blocks, each
-        extended by `halo` following bases (the k-1 overlap of
-        kmer_file_helper.hpp:361), all padded to a common static length.
+        extended by `halo` following bases and `halo_left` preceding bases
+        (the k-1 overlap of kmer_file_helper.hpp:361; de Bruijn edge
+        extraction additionally needs one base of left context and the k-th
+        base of right context), all padded to a common static length.
 
-        Returns (list[ReadBatch], owned_len) where shard s owns windows
-        starting at local positions [0, owned_len) ∩ [0, global n - s*owned).
+        Returns (list[ReadBatch], owned_len).  Shard s owns windows starting
+        at the bases its `owned` mask marks True; halo bases are valid but
+        not owned, so every window is emitted by exactly one shard.
         """
         n = self.num_bases
         owned = -(-n // nshards)
-        shard_len = owned + halo
+        shard_len = halo_left + owned + halo
         shards = []
         for s in range(nshards):
-            lo = min(s * owned, n)
-            hi = min(lo + shard_len, n)
+            own_start = min(s * owned, n)
+            lo = max(0, own_start - halo_left)
+            left = own_start - lo  # actual left-halo length (0 for shard 0)
+            hi = min(own_start + owned + halo, n)
             sub = self.slice_bases(lo, hi).pad_to(shard_len)
             local_owned = sub.owned.copy()
-            local_owned[owned:] = False  # halo: valid but not owned here
+            local_owned[:left] = False
+            local_owned[left + owned:] = False
             sub = dataclasses.replace(sub, owned=local_owned)
             shards.append(sub)
         return shards, owned

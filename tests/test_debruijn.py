@@ -1,0 +1,113 @@
+"""De Bruijn graph construction vs a Python oracle on the reference's own
+de Bruijn fixture (test.debruijn.small.fastq — the input of
+test_de_bruijn_graph_construction.cpp)."""
+
+import numpy as np
+import pytest
+
+from kmerind_tpu import DNA, KmerSpec
+from kmerind_tpu.debruijn import DeBruijnGraph
+from kmerind_tpu.parallel.mesh import make_mesh
+
+import oracle
+from test_io import py_parse_fastq
+
+K = 21  # the reference driver's k (test_de_bruijn_graph_construction.cpp:118)
+
+
+def oracle_debruijn(seqs, k, canonical=True):
+    """kmer_int -> [outA,C,G,T, inA,C,G,T, self] — edge_counts semantics."""
+    nodes = {}
+    for seq in seqs:
+        codes = [int(c) for c in DNA.encode(seq)]
+        for i in range(len(codes) - k + 1):
+            v = oracle.kmer_int(codes[i:i + k], 2)
+            left = codes[i - 1] if i > 0 else None
+            right = codes[i + k] if i + k < len(codes) else None
+            if canonical:
+                rc = oracle.revcomp_int(v, k, DNA)
+                if rc < v:
+                    v = rc
+                    left, right = (
+                        3 - right if right is not None else None,
+                        3 - left if left is not None else None,
+                    )
+            cnt = nodes.setdefault(v, [0] * 9)
+            cnt[8] += 1
+            if right is not None:
+                cnt[right] += 1        # out edge
+            if left is not None:
+                cnt[4 + left] += 1     # in edge
+    return {v: tuple(c) for v, c in nodes.items()}
+
+
+@pytest.mark.parametrize("p", [1, 4, 8])
+@pytest.mark.parametrize("canonical", [True, False])
+def test_debruijn_vs_oracle(ref_data_dir, p, canonical):
+    path = ref_data_dir / "test.debruijn.small.fastq"
+    spec = KmerSpec(K, DNA)
+    g = DeBruijnGraph(spec, mesh=make_mesh(p), canonical=canonical)
+    g.build(path)
+
+    seqs = [r[1] for r in py_parse_fastq(path.read_text())]
+    expect = oracle_debruijn(seqs, K, canonical=canonical)
+    got = g.to_dict()
+    assert set(got) == set(expect), f"p={p}"
+    for v in expect:
+        assert got[v] == expect[v], f"node {v:x} p={p}"
+
+
+def test_debruijn_queries(ref_data_dir):
+    path = ref_data_dir / "test.debruijn.small.fastq"
+    spec = KmerSpec(K, DNA)
+    g = DeBruijnGraph(spec, mesh=make_mesh(4))
+    g.build(path)
+    seqs = [r[1] for r in py_parse_fastq(path.read_text())]
+    expect = oracle_debruijn(seqs, K, canonical=True)
+
+    # node_counts on known nodes
+    items = list(expect.items())[:20]
+    qwords = np.stack([
+        spec.pack_codes(oracle.int_to_codes(v, K, 2)) for v, _ in items])
+    vals, found = g.node_counts(qwords)
+    assert found.all()
+    for i, (v, want) in enumerate(items):
+        assert tuple(vals[i]) == want
+
+    # edge_exists flags match counters
+    flags = g.edge_exists(qwords)
+    for i, (v, want) in enumerate(items):
+        np.testing.assert_array_equal(flags[i], np.array(want[:8]) > 0)
+
+    # absent node
+    vals0, found0 = g.node_counts(["A" * K])
+    if spec.to_int(spec.from_string("A" * K)) not in expect:
+        assert not found0[0]
+
+    # neighbors of an interior node: walk one step and verify key exists
+    interior = next(v for v, c in expect.items()
+                    if sum(c[:4]) > 0 and sum(c[4:8]) > 0)
+    kstr = DNA.decode(np.array(oracle.int_to_codes(interior, K, 2), np.uint8))
+    ins, outs = g.neighbors(kstr)
+    assert ins and outs
+    for nbr, cnt in outs:
+        assert cnt == expect[interior][["A", "C", "G", "T"].index(nbr[-1])]
+
+
+def test_debruijn_record_boundaries():
+    """First/last kmers of a read must have no left/right edge."""
+    import tempfile, pathlib
+    seq = "ACGTACGTTGCAACGTTGCAGGTACCGGTA"
+    text = f"@r\n{seq}\n+\n{'I' * len(seq)}\n"
+    with tempfile.TemporaryDirectory() as d:
+        path = pathlib.Path(d) / "one.fastq"
+        path.write_text(text)
+        spec = KmerSpec(K, DNA)
+        g = DeBruijnGraph(spec, mesh=make_mesh(2), canonical=False)
+        g.build(path)
+    got = g.to_dict()
+    first = oracle.kmer_int([int(c) for c in DNA.encode(seq[:K])], 2)
+    # first kmer: no in edges
+    assert sum(got[first][4:8]) == 0
+    last = oracle.kmer_int([int(c) for c in DNA.encode(seq[-K:])], 2)
+    assert sum(got[last][:4]) == 0
