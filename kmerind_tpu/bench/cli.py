@@ -1,0 +1,150 @@
+"""Benchmark CLI — the BenchmarkKmerIndex equivalent.
+
+Rebuild of the reference's de-facto application driver
+(/root/reference/test/benchmark/BenchmarkKmerIndex.cpp): read a query
+sample, build the configured index from a FASTQ/FASTA file, then run
+count / find / erase over the queries, reporting per-phase timings in the
+``[TIME]`` format.  Where the reference bakes the configuration matrix into
+one binary per combination via -Dp* macros (:45-260), every knob here is a
+runtime flag; where it parses TCLAP flags (:441-476), argparse.
+
+Usage:
+  python -m kmerind_tpu.bench.cli -F file.fastq [-Q query.fastq]
+      [--index count|position|posqual|debruijn] [-k 21] [--alphabet DNA]
+      [--single-strand] [--hash murmur] [-S 0.1] [--devices N] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="kmerind_tpu.bench.cli",
+        description="Build and query a distributed k-mer index "
+                    "(BenchmarkKmerIndex equivalent)")
+    ap.add_argument("-F", "--file", required=True, help="input FASTQ/FASTA")
+    ap.add_argument("-Q", "--query", default=None,
+                    help="query file (defaults to input file)")
+    ap.add_argument("--index", default="count",
+                    choices=["count", "position", "posqual", "debruijn"])
+    ap.add_argument("-k", type=int, default=21)
+    ap.add_argument("--alphabet", default="DNA")
+    ap.add_argument("--single-strand", action="store_true",
+                    help="disable canonicalization (SingleStrand preset)")
+    ap.add_argument("--hash", default="murmur",
+                    choices=["murmur", "fmix32", "identity"])
+    ap.add_argument("-S", "--sample", type=float, default=1.0,
+                    help="fraction of query k-mers to sample (flag -S)")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="mesh size (default: all devices)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (virtual devices)")
+    ap.add_argument("--format", default=None, choices=["fastq", "fasta"])
+    ap.add_argument("--no-erase", action="store_true")
+    ap.add_argument("--json", action="store_true",
+                    help="emit a summary JSON line")
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from .. import alphabets
+    from ..kmer import KmerSpec
+    from ..debruijn import DeBruijnGraph
+    from ..index.api import CountIndex, PositionIndex, PositionQualityIndex
+    from ..io import batch_to_arrays, extract_tuples, read_file
+    from ..parallel.mesh import make_mesh
+    from ..utils.timers import MemUsage, PhaseTimer
+
+    alpha = alphabets.by_name(args.alphabet)
+    spec = KmerSpec(args.k, alpha)
+    mesh = make_mesh(args.devices)
+    timer = PhaseTimer()
+    mem = MemUsage()
+    mem.mark("start")
+
+    id_kind = "short"
+    if args.format == "fasta" or str(args.file).endswith(
+            (".fasta", ".fa", ".fna")):
+        id_kind = "long"
+
+    if args.index == "count":
+        idx = CountIndex(spec, mesh=mesh, canonical=not args.single_strand,
+                         hash_name=args.hash, timer=timer)
+    elif args.index == "position":
+        idx = PositionIndex(spec, mesh=mesh,
+                            canonical=False if args.single_strand else False,
+                            hash_name=args.hash, id_kind=id_kind, timer=timer)
+    elif args.index == "posqual":
+        idx = PositionQualityIndex(spec, mesh=mesh, hash_name=args.hash,
+                                   id_kind=id_kind, timer=timer)
+    else:
+        idx = DeBruijnGraph(spec, mesh=mesh,
+                            canonical=not args.single_strand,
+                            hash_name=args.hash, timer=timer)
+
+    # ---- read query sample (readForQuery + sample, BenchmarkKmerIndex
+    # :486-492): extract all kmers of the query file, sample a fraction
+    qpath = args.query or args.file
+    with timer.phase("read_query"):
+        qbatch = read_file(qpath, alpha, args.format)
+        tup = extract_tuples(batch_to_arrays(qbatch), spec, canonical=False)
+        qwords = np.asarray(tup.words)[np.asarray(tup.valid)]
+    if args.sample < 1.0:
+        rng = np.random.default_rng(0)
+        take = max(1, int(len(qwords) * args.sample))
+        qwords = qwords[rng.choice(len(qwords), size=take, replace=False)]
+    print(f"queries: {len(qwords)} kmers", file=sys.stderr)
+
+    # ---- build
+    t0 = time.perf_counter()
+    idx.build(args.file, fmt=args.format)
+    build_s = time.perf_counter() - t0
+    mem.mark("after_build")
+    size = idx.size()
+    print(f"index built: {size} entries in {build_s:.3f}s", file=sys.stderr)
+
+    # ---- queries
+    results = {"size": size, "build_s": round(build_s, 4)}
+    if args.index in ("count", "position", "posqual"):
+        with timer.phase("query_count"):
+            counts = idx.count(qwords)
+        results["count_hits"] = int((counts > 0).sum())
+        results["count_total"] = int(counts.sum())
+    if args.index in ("position", "posqual"):
+        with timer.phase("query_find"):
+            found = idx.find(qwords[: min(len(qwords), 4096)],
+                             max_per_query=64)
+        results["find_pairs"] = int(found[-1].sum())
+    if args.index == "debruijn":
+        with timer.phase("query_nodes"):
+            vals, found = idx.node_counts(qwords)
+        results["nodes_found"] = int(found.sum())
+    if args.index == "count" and not args.no_erase:
+        with timer.phase("erase"):
+            nerased = idx.erase(qwords)
+        results["erased"] = nerased
+
+    mem.mark("end")
+    print(timer.report(f"{args.index}_k{args.k}"), file=sys.stderr)
+    print(mem.report(f"{args.index}_k{args.k}"), file=sys.stderr)
+    if args.json:
+        print(json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    main()

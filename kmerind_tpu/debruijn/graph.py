@@ -64,7 +64,7 @@ class DeBruijnGraph(_IndexBase):
         pad = new_cap - self.capacity
         self.store = jax.device_put(st.VecStore(
             keys=jnp.pad(self.store.keys, ((0, 0), (0, pad), (0, 0)),
-                         constant_values=_SENTINEL),
+                         constant_values=np.uint32(_SENTINEL)),
             vals=jnp.pad(self.store.vals, ((0, 0), (0, pad), (0, 0))),
             size=self.store.size,
         ), self._sharding)

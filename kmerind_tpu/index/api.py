@@ -169,7 +169,7 @@ class CountIndex(_IndexBase):
         pad = new_cap - self.capacity
         self.store = st.CountStore(
             keys=jnp.pad(self.store.keys, ((0, 0), (0, pad), (0, 0)),
-                         constant_values=_SENTINEL),
+                         constant_values=np.uint32(_SENTINEL)),
             counts=jnp.pad(self.store.counts, ((0, 0), (0, pad))),
             size=self.store.size,
         )
@@ -285,6 +285,67 @@ class CountIndex(_IndexBase):
                 return int(np.asarray(nerased).sum())
             bucket_cap *= 2
 
+    # -- predicate variants (kmer_index.hpp:153-195) -------------------
+    def erase_if(self, pred, kmers=None) -> int:
+        """Erase entries satisfying pred.
+
+        pred: traceable (keys uint32[n, w], counts int32[n]) -> bool[n].
+        With `kmers`, only those query keys whose (key, count) satisfies
+        pred are erased (evaluated via a count round trip, equivalent to
+        the reference's owner-side predicate).
+        """
+        if kmers is None:
+            key = ("erase_if", pred, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_count_filter_step(
+                    self.mesh, lambda k, c: ~pred(k, c))
+            new_store, nerased = self._step_cache[key](self.store)
+            self.store = new_store
+            return int(np.asarray(nerased).sum())
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        counts = self.count(words)
+        import jax.numpy as _jnp
+        keep = np.asarray(pred(_jnp.asarray(words), _jnp.asarray(counts)))
+        hits = keep & (counts > 0)
+        if not hits.any():
+            return 0
+        return self.erase(words[hits])
+
+    def filter(self, pred) -> int:
+        """Keep only entries satisfying pred (dsc container filter);
+        returns number erased."""
+        return self.erase_if(lambda k, c: ~pred(k, c))
+
+    def count_if(self, pred, kmers=None):
+        """Without kmers: all (kmer_int, count) entries satisfying pred.
+        With kmers: per-query counts, zeroed where pred fails."""
+        if kmers is None:
+            key = ("scan_if", pred, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_count_scan_step(
+                    self.mesh, pred)
+            mask = np.asarray(self._step_cache[key](self.store))
+            keys = np.asarray(self.store.keys)
+            counts = np.asarray(self.store.counts)
+            out = []
+            for p in range(self.nparts):
+                for i in np.flatnonzero(mask[p]):
+                    out.append((self.spec.to_int(keys[p, i]),
+                                int(counts[p, i])))
+            return out
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        counts = self.count(words)
+        import jax.numpy as _jnp
+        keep = np.asarray(pred(_jnp.asarray(words), _jnp.asarray(counts)))
+        return np.where(keep, counts, 0)
+
+    def find_if(self, pred, kmers=None):
+        """find restricted to entries satisfying pred."""
+        if kmers is None:
+            return self.count_if(pred)
+        counts = self.count_if(pred, kmers)
+        return counts > 0, counts
+
     def to_dict(self) -> dict[int, int]:
         """Full index contents as {kmer_int: count} (to_vector analog,
         distributed_map_base.hpp:202-217).  Host-side; for tests/tools."""
@@ -368,7 +429,7 @@ class PositionIndex(_IndexBase):
         pad = new_cap - self.capacity
         self.store = jax.device_put(st.MultiStore(
             keys=jnp.pad(self.store.keys, ((0, 0), (0, pad), (0, 0)),
-                         constant_values=_SENTINEL),
+                         constant_values=np.uint32(_SENTINEL)),
             val_hi=jnp.pad(self.store.val_hi, ((0, 0), (0, pad))),
             val_lo=jnp.pad(self.store.val_lo, ((0, 0), (0, pad))),
             val_q=jnp.pad(self.store.val_q, ((0, 0), (0, pad))),

@@ -198,3 +198,49 @@ def make_multi_find_step(mesh: Mesh, nparts: int, capacity: int,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
         out_specs=(P(SHARD_AXIS),) * 5,
     ))
+
+
+def make_count_filter_step(mesh: Mesh, pred):
+    """Jitted predicate filter over every local entry of a CountStore —
+    the erase_if/filter(pred) path (kmer_index.hpp:192, densehash filter).
+
+    pred: traceable (keys uint32[n, w], counts int32[n]) -> keep bool[n];
+    entries where keep is False are removed.  Returns (new_stores,
+    n_erased[p]).
+    """
+    from ..ops import sortops
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        cap = store.capacity
+        live = jnp.arange(cap) < store.size
+        keep = pred(store.keys, store.counts) & live
+        s_words, (s_vals,), s_valid = sortops.sort_rows(
+            store.keys, (store.counts,), keep)
+        new_size = jnp.sum(keep.astype(jnp.int32))
+        new = st.CountStore(
+            keys=jnp.where(s_valid[:, None], s_words, jnp.uint32(0xFFFFFFFF)),
+            counts=jnp.where(s_valid, s_vals, 0),
+            size=new_size,
+        )
+        return _stack(new), (store.size - new_size)[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(SHARD_AXIS),),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+    ))
+
+
+def make_count_scan_step(mesh: Mesh, pred):
+    """Jitted predicate scan: marks local entries satisfying pred without
+    mutating (count_if/find_if(pred), kmer_index.hpp:170-186).
+    Returns mask[p, cap] aligned with store rows."""
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        live = jnp.arange(store.capacity) < store.size
+        return (pred(store.keys, store.counts) & live)[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(SHARD_AXIS),), out_specs=P(SHARD_AXIS),
+    ))

@@ -1,0 +1,118 @@
+"""CLI driver + predicate-variant API tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from kmerind_tpu import DNA, KmerSpec
+from kmerind_tpu.bench.cli import main as cli_main
+from kmerind_tpu.index.api import CountIndex
+from kmerind_tpu.parallel.mesh import make_mesh
+
+import oracle
+from test_io import py_parse_fastq
+
+
+def test_cli_count_index(ref_data_dir, capsys):
+    res = cli_main([
+        "-F", str(ref_data_dir / "test.small.fastq"),
+        "--index", "count", "-k", "15", "--json",
+    ])
+    assert res["size"] > 0
+    assert res["count_hits"] > 0
+    assert res["erased"] == res["size"]  # queries cover all index kmers
+
+
+def test_cli_position_index(ref_data_dir):
+    res = cli_main([
+        "-F", str(ref_data_dir / "test.small.fastq"),
+        "--index", "position", "-k", "21", "-S", "0.5",
+    ])
+    assert res["size"] == 280
+    assert res["find_pairs"] > 0
+
+
+def test_cli_debruijn(ref_data_dir):
+    res = cli_main([
+        "-F", str(ref_data_dir / "test.debruijn.small.fastq"),
+        "--index", "debruijn", "-k", "21",
+    ])
+    assert res["size"] == 124
+    assert res["nodes_found"] > 0
+
+
+def test_cli_fasta(ref_data_dir):
+    res = cli_main([
+        "-F", str(ref_data_dir / "test.fasta"), "--index", "count",
+        "-k", "15",
+    ])
+    assert res["size"] > 0
+
+
+def _build_small(ref_data_dir, k=15):
+    path = ref_data_dir / "test.small.fastq"
+    spec = KmerSpec(k, DNA)
+    idx = CountIndex(spec, mesh=make_mesh(4))
+    idx.build(path)
+    seqs = [r[1] for r in py_parse_fastq(path.read_text())]
+    expect = oracle.count_index(seqs, k, DNA, canonical=True)
+    return idx, expect
+
+
+def test_erase_if_predicate_only(ref_data_dir):
+    idx, expect = _build_small(ref_data_dir)
+    lo_count = {v for v, c in expect.items() if c < 7}
+    n = idx.erase_if(lambda k, c: c < 7)
+    assert n == len(lo_count)
+    assert idx.size() == len(expect) - len(lo_count)
+    left = idx.to_dict()
+    assert set(left) == {v for v, c in expect.items() if c >= 7}
+
+
+def test_count_if_scan(ref_data_dir):
+    idx, expect = _build_small(ref_data_dir)
+    got = dict(idx.count_if(lambda k, c: c >= 7))
+    assert got == {v: c for v, c in expect.items() if c >= 7}
+
+
+def test_count_if_with_queries(ref_data_dir):
+    idx, expect = _build_small(ref_data_dir)
+    items = list(expect.items())[:20]
+    qwords = np.stack([
+        idx.spec.pack_codes(oracle.int_to_codes(v, idx.spec.k, 2))
+        for v, _ in items])
+    got = idx.count_if(lambda k, c: c >= 7, qwords)
+    want = [c if c >= 7 else 0 for _, c in items]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_filter(ref_data_dir):
+    idx, expect = _build_small(ref_data_dir)
+    idx.filter(lambda k, c: c == 7)
+    assert set(idx.to_dict()) == {v for v, c in expect.items() if c == 7}
+
+
+def test_erase_if_with_queries(ref_data_dir):
+    idx, expect = _build_small(ref_data_dir)
+    items = list(expect.items())[:10]
+    qwords = np.stack([
+        idx.spec.pack_codes(oracle.int_to_codes(v, idx.spec.k, 2))
+        for v, _ in items])
+    n = idx.erase_if(lambda k, c: c >= 7, qwords)
+    want_erased = [v for v, c in items if c >= 7]
+    assert n == len(want_erased)
+    for v, c in items:
+        still = idx.count(np.stack([idx.spec.pack_codes(
+            oracle.int_to_codes(v, idx.spec.k, 2))]))[0]
+        assert still == (0 if c >= 7 else c)
+
+
+def test_capacity_grow_paths(ref_data_dir):
+    """Tiny initial capacity forces the grow/retry path (regression: the
+    sentinel pad constant used to overflow int32 parsing)."""
+    idx = CountIndex(KmerSpec(21, DNA), mesh=make_mesh(2),
+                     initial_capacity=16)
+    idx.build(ref_data_dir / "test.medium.fastq")
+    assert idx.size() == 40
+    assert idx.capacity > 16
