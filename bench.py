@@ -76,7 +76,7 @@ def numpy_baseline(codes: np.ndarray, seg_id: np.ndarray, k: int) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--bases", type=int, default=1 << 22)
+    ap.add_argument("--bases", type=int, default=1 << 24)
     ap.add_argument("--k", type=int, default=21)
     ap.add_argument("--read-len", type=int, default=250)
     ap.add_argument("--iters", type=int, default=3)
@@ -108,7 +108,8 @@ def main():
             qual=jnp.zeros_like(codes),
         )
         tup = extract_tuples(bases, spec, canonical=True)
-        s_words, _, s_valid = sortops.sort_rows(tup.words, (), tup.valid)
+        s_words, _, s_valid = sortops.sort_rows(
+            tup.words, (), tup.valid, sentinel_ok=spec.sentinel_safe)
         uniq, counts, n_unique = sortops.unique_counts(s_words, s_valid)
         return n_unique, jnp.sum(counts)
 

@@ -383,7 +383,8 @@ def _make_fused_build_step(mesh, nparts, spec, canonical, bucket_cap,
         (rwords,), rvalid, route = dist.distribute(
             (tup.words,), owner, tup.valid, nparts, bucket_cap, SHARD_AXIS)
         new_store, ovf = st.count_insert(store, rwords, rvalid,
-                                         saturate=saturate)
+                                         saturate=saturate,
+                                         sentinel_ok=spec.sentinel_safe)
         return (jax.tree.map(lambda a: a[None], new_store),
                 route.overflow[None], ovf[None])
 

@@ -42,6 +42,8 @@ __all__ = [
 def owners_for(words: jax.Array, nparts: int, hash_name: str = "murmur",
                seed: int = 42) -> jax.Array:
     """Destination shard per key row (KeyToRank)."""
+    if nparts == 1:
+        return jnp.zeros(words.shape[:-1], jnp.int32)
     h = hashing.HASHES[hash_name](words, seed)
     return hashing.owner_from_hash(h, nparts)
 

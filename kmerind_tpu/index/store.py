@@ -99,10 +99,10 @@ def empty_multi_store(capacity: int, nwords: int) -> MultiStore:
 
 
 # --------------------------------------------------------------- counting
-@functools.partial(jax.jit, static_argnames=("saturate",))
+@functools.partial(jax.jit, static_argnames=("saturate", "sentinel_ok"))
 def count_insert(store: CountStore, words: jax.Array, valid: jax.Array,
                  weights: jax.Array | None = None,
-                 saturate: int | None = None):
+                 saturate: int | None = None, sentinel_ok: bool = False):
     """Merge a batch of keys into the count store.
 
     Each valid row contributes `weights[i]` (default 1) to its key's count —
@@ -119,7 +119,7 @@ def count_insert(store: CountStore, words: jax.Array, valid: jax.Array,
     all_vals = jnp.concatenate([store.counts, weights.astype(jnp.int32)])
     all_valid = jnp.concatenate([live_store, valid])
     s_words, (s_vals,), s_valid = sortops.sort_rows(
-        all_words, (all_vals,), all_valid)
+        all_words, (all_vals,), all_valid, sentinel_ok=sentinel_ok)
     uniq, red, n_unique = sortops.segment_reduce_sorted(
         s_words, s_valid, s_vals, reduce="sum")
     if saturate is not None:

@@ -77,6 +77,12 @@ class KmerSpec:
     def nbits(self) -> int:
         return self.k * self.bits_per_char
 
+    @property
+    def sentinel_safe(self) -> bool:
+        """True iff no valid k-mer can equal the all-ones sentinel row
+        (some word has spare bits), enabling flag-free sorts."""
+        return self.nwords * 32 > self.nbits
+
     def word_char_counts(self) -> tuple[int, ...]:
         """Characters held by each word, word 0 first."""
         cpw = self.chars_per_word

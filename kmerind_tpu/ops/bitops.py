@@ -153,14 +153,14 @@ def kmer_equal(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def kmer_compare(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Row-wise three-way compare: -1 / 0 / +1 in lexicographic char order."""
-    neq = a != b
-    any_neq = jnp.any(neq, axis=-1)
-    first = jnp.argmax(neq, axis=-1)
-    av = jnp.take_along_axis(a, first[..., None], axis=-1)[..., 0]
-    bv = jnp.take_along_axis(b, first[..., None], axis=-1)[..., 0]
-    sign = jnp.where(av < bv, -1, 1)
-    return jnp.where(any_neq, sign, 0)
+    """Row-wise three-way compare: -1 / 0 / +1 in lexicographic char order.
+    Elementwise fold from the least significant word — no gathers."""
+    w = a.shape[-1]
+    cmp = jnp.zeros(a.shape[:-1], dtype=jnp.int32)
+    for j in reversed(range(w)):
+        aj, bj = a[..., j], b[..., j]
+        cmp = jnp.where(aj != bj, jnp.where(aj < bj, -1, 1), cmp)
+    return cmp
 
 
 def kmer_xor(a, b):

@@ -145,14 +145,15 @@ def lex_less(a: jax.Array, b: jax.Array) -> jax.Array:
 
     Equivalent to the reference's word-array `less`
     (/root/reference/src/utils/bitgroup_ops.hpp:3539-3575) given the
-    big-endian word layout.
+    big-endian word layout.  Elementwise fold from the least significant
+    word — no gathers (TPU gathers are ~100x an elementwise op).
     """
-    neq = a != b
-    any_neq = jnp.any(neq, axis=-1)
-    first = jnp.argmax(neq, axis=-1)
-    av = jnp.take_along_axis(a, first[..., None], axis=-1)[..., 0]
-    bv = jnp.take_along_axis(b, first[..., None], axis=-1)[..., 0]
-    return any_neq & (av < bv)
+    w = a.shape[-1]
+    less = jnp.zeros(a.shape[:-1], dtype=bool)
+    for j in reversed(range(w)):
+        aj, bj = a[..., j], b[..., j]
+        less = jnp.where(aj != bj, aj < bj, less)
+    return less
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))

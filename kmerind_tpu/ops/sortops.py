@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "sort_rows",
+    "compact_runs",
     "unique_counts",
     "segment_reduce_sorted",
     "lower_bound",
@@ -32,17 +33,29 @@ __all__ = [
 
 
 def sort_rows(words: jax.Array, payloads=(), valid: jax.Array | None = None,
-              is_stable: bool = True):
+              is_stable: bool = True, sentinel_ok: bool = False):
     """Sort rows of uint32[n, w] lexicographically, carrying payloads.
 
-    Invalid rows sort after all valid rows (regardless of key bits) via a
-    leading invalid-flag key.
+    Invalid rows sort after all valid rows (regardless of key bits) — via a
+    leading invalid-flag key, or, when `sentinel_ok` (no valid key can be
+    all-ones, KmerSpec.sentinel_safe), by overwriting invalid rows with the
+    all-ones sentinel and dropping the flag operand (one fewer sort column).
 
     Returns (sorted_words, sorted_payloads_tuple, sorted_valid).
     """
     n, w = words.shape
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
+    if sentinel_ok:
+        sent = jnp.uint32(0xFFFFFFFF)
+        masked = jnp.where(valid[:, None], words, sent)
+        total_valid = jnp.sum(valid.astype(jnp.int32))
+        operands = tuple(masked[:, j] for j in range(w)) + tuple(payloads)
+        out = jax.lax.sort(operands, num_keys=w, is_stable=is_stable)
+        sorted_words = jnp.stack(out[:w], axis=1)
+        sorted_payloads = tuple(out[w:])
+        sorted_valid = jnp.arange(n) < total_valid
+        return sorted_words, sorted_payloads, sorted_valid
     invalid_key = (~valid).astype(jnp.uint32)
     operands = (invalid_key,) + tuple(words[:, j] for j in range(w)) + tuple(payloads)
     out = jax.lax.sort(operands, num_keys=1 + w, is_stable=is_stable)
@@ -59,6 +72,32 @@ def _row_neq_prev(sorted_words: jax.Array) -> jax.Array:
     return neq.at[0].set(True)
 
 
+def compact_runs(sorted_words: jax.Array, sorted_valid: jax.Array,
+                 payloads=()):
+    """Move the first row of every run of equal keys to the front, in order.
+
+    Scatter-free: TPU scatters serialize, so compaction is ONE more stable
+    single-key sort (new-row flag) carrying the row words, each payload
+    column, and the source index.  Returns
+    (uniq_rows[n, w], payload_firsts, starts[n] int32 — source index of
+    each compacted run head, n_unique, total_valid).
+    """
+    n, w = sorted_words.shape
+    is_new = _row_neq_prev(sorted_words) & sorted_valid
+    n_unique = jnp.sum(is_new.astype(jnp.int32))
+    total_valid = jnp.sum(sorted_valid.astype(jnp.int32))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    front_key = (~is_new).astype(jnp.uint32)
+    ops = jax.lax.sort(
+        (front_key,) + tuple(sorted_words[:, j] for j in range(w))
+        + tuple(payloads) + (idx,),
+        num_keys=1, is_stable=True)
+    uniq = jnp.stack(ops[1:1 + w], axis=1)
+    payload_firsts = tuple(ops[1 + w:-1])
+    starts = ops[-1]
+    return uniq, payload_firsts, starts, n_unique, total_valid
+
+
 def unique_counts(sorted_words: jax.Array, sorted_valid: jax.Array,
                   sentinel: int = 0xFFFFFFFF):
     """Deduplicate sorted rows and count multiplicities.
@@ -66,7 +105,9 @@ def unique_counts(sorted_words: jax.Array, sorted_valid: jax.Array,
     The tensor analog of "insert into counting hash map": after the global
     sort, each run of equal keys becomes one entry whose count is the run
     length (counting_densehash_map insert semantics,
-    distributed_densehash_map.hpp:2669+, computed as sort + segment-sum).
+    distributed_densehash_map.hpp:2669+).  Counts are positional
+    differences between consecutive run heads — no scatter, no segment_sum
+    (both serialize on TPU).
 
     Args:
       sorted_words: uint32[n, w], valid rows sorted to the front.
@@ -79,16 +120,15 @@ def unique_counts(sorted_words: jax.Array, sorted_valid: jax.Array,
        n_unique: int32 scalar).
     """
     n, w = sorted_words.shape
-    is_new = _row_neq_prev(sorted_words) & sorted_valid
-    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # segment id per row
-    counts = jax.ops.segment_sum(
-        sorted_valid.astype(jnp.int32), jnp.maximum(seg, 0), num_segments=n)
-    # scatter first-row-of-segment into compacted position; invalid/dup -> drop
-    dest = jnp.where(is_new, seg, n)
-    uniq = jnp.full((n + 1, w), sentinel, dtype=jnp.uint32)
-    uniq = uniq.at[dest].set(sorted_words)[:n]
-    n_unique = jnp.sum(is_new.astype(jnp.int32))
-    counts = jnp.where(jnp.arange(n) < n_unique, counts, 0)
+    uniq, _, starts, n_unique, total_valid = compact_runs(
+        sorted_words, sorted_valid)
+    j = jnp.arange(n, dtype=jnp.int32)
+    next_start = jnp.concatenate([starts[1:], jnp.zeros(1, jnp.int32)])
+    counts = jnp.where(
+        j + 1 < n_unique, next_start - starts,
+        jnp.where(j + 1 == n_unique, total_valid - starts, 0))
+    live = j < n_unique
+    uniq = jnp.where(live[:, None], uniq, jnp.uint32(sentinel))
     return uniq, counts, n_unique
 
 
@@ -106,38 +146,64 @@ def segment_reduce_sorted(sorted_words, sorted_valid, values, reduce: str = "sum
     n_unique.
     """
     n, w = sorted_words.shape
-    is_new = _row_neq_prev(sorted_words) & sorted_valid
-    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    seg_c = jnp.maximum(seg, 0)
+    if reduce != "sum":
+        # rare path (min/max): segment ops over cumsum-incompatible monoids
+        is_new = _row_neq_prev(sorted_words) & sorted_valid
+        seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        seg_c = jnp.maximum(seg, 0)
+        vmask = sorted_valid if values.ndim == 1 else sorted_valid[:, None]
+        if reduce == "min":
+            big = jnp.iinfo(values.dtype).max if jnp.issubdtype(
+                values.dtype, jnp.integer) else jnp.inf
+            reduced_rows = jax.ops.segment_min(
+                jnp.where(vmask, values, big), seg_c, num_segments=n)
+        elif reduce == "max":
+            small = jnp.iinfo(values.dtype).min if jnp.issubdtype(
+                values.dtype, jnp.integer) else -jnp.inf
+            reduced_rows = jax.ops.segment_max(
+                jnp.where(vmask, values, small), seg_c, num_segments=n)
+        else:
+            raise ValueError(f"unknown reduce {reduce!r}")
+        dest = jnp.where(is_new, seg, n)
+        uniq = jnp.full((n + 1, w), 0xFFFFFFFF, dtype=jnp.uint32)
+        uniq = uniq.at[dest].set(sorted_words)[:n]
+        n_unique = jnp.sum(is_new.astype(jnp.int32))
+        live = jnp.arange(n) < n_unique
+        reduced = jnp.where(
+            live if reduced_rows.ndim == 1 else live[:, None],
+            reduced_rows, 0)
+        return uniq, reduced, n_unique
+
+    # sum: run-total = prefix-sum difference between run boundaries; the
+    # run heads are compacted with the scatter-free stable sort.
     vmask = sorted_valid if values.ndim == 1 else sorted_valid[:, None]
-    if reduce == "sum":
-        zeroed = jnp.where(vmask, values, 0)
-        reduced = jax.ops.segment_sum(zeroed, seg_c, num_segments=n)
-    elif reduce == "min":
-        big = jnp.iinfo(values.dtype).max if jnp.issubdtype(values.dtype, jnp.integer) else jnp.inf
-        reduced = jax.ops.segment_min(jnp.where(vmask, values, big), seg_c, num_segments=n)
-    elif reduce == "max":
-        small = jnp.iinfo(values.dtype).min if jnp.issubdtype(values.dtype, jnp.integer) else -jnp.inf
-        reduced = jax.ops.segment_max(jnp.where(vmask, values, small), seg_c, num_segments=n)
-    else:
-        raise ValueError(f"unknown reduce {reduce!r}")
-    dest = jnp.where(is_new, seg, n)
-    uniq = jnp.full((n + 1, w), 0xFFFFFFFF, dtype=jnp.uint32)
-    uniq = uniq.at[dest].set(sorted_words)[:n]
-    n_unique = jnp.sum(is_new.astype(jnp.int32))
-    live = jnp.arange(n) < n_unique
-    reduced = jnp.where(live if reduced.ndim == 1 else live[:, None], reduced, 0)
+    zeroed = jnp.where(vmask, values, 0)
+    prefix = jnp.cumsum(zeroed.astype(values.dtype), axis=0)
+    zero_row = jnp.zeros((1,) + prefix.shape[1:], prefix.dtype)
+    prefix = jnp.concatenate([zero_row, prefix], axis=0)  # prefix[i] = sum < i
+    uniq, _, starts, n_unique, total_valid = compact_runs(
+        sorted_words, sorted_valid)
+    j = jnp.arange(n, dtype=jnp.int32)
+    next_start = jnp.concatenate([starts[1:], jnp.zeros(1, jnp.int32)])
+    ends = jnp.where(j + 1 < n_unique, next_start,
+                     jnp.where(j + 1 == n_unique, total_valid, 0))
+    starts_c = jnp.where(j < n_unique, starts, 0)
+    reduced = prefix[ends] - prefix[starts_c]
+    live = j < n_unique
+    uniq = jnp.where(live[:, None], uniq, jnp.uint32(0xFFFFFFFF))
+    reduced = jnp.where(live if reduced.ndim == 1 else live[:, None],
+                        reduced, 0)
     return uniq, reduced, n_unique
 
 
 def _lex_less_rows(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Row-wise a < b for uint32[..., w]."""
-    neq = a != b
-    any_neq = jnp.any(neq, axis=-1)
-    first = jnp.argmax(neq, axis=-1)
-    av = jnp.take_along_axis(a, first[..., None], axis=-1)[..., 0]
-    bv = jnp.take_along_axis(b, first[..., None], axis=-1)[..., 0]
-    return any_neq & (av < bv)
+    """Row-wise a < b for uint32[..., w] — elementwise fold, no gathers."""
+    w = a.shape[-1]
+    less = jnp.zeros(a.shape[:-1], dtype=bool)
+    for j in reversed(range(w)):
+        aj, bj = a[..., j], b[..., j]
+        less = jnp.where(aj != bj, aj < bj, less)
+    return less
 
 
 def _bsearch(keys: jax.Array, size: jax.Array, queries: jax.Array, side: str):
