@@ -27,6 +27,7 @@ import pathlib
 import numpy as np
 
 from ..alphabets import Alphabet
+from . import native
 from .batch import ReadBatch
 from .fasta import find_fasta_record_start, parse_fasta
 from .fastq import find_record_start, parse_fastq
@@ -85,13 +86,23 @@ def read_file(
     alphabet: Alphabet,
     fmt: str | None = None,
     file_id: int = 0,
+    engine: str = "auto",
 ) -> ReadBatch:
-    """Whole-file parse (serial read path, kmer_file_helper.hpp:391-433)."""
+    """Whole-file parse (serial read path, kmer_file_helper.hpp:391-433).
+
+    engine: "native" (C++ single-pass scanner), "numpy" (vectorized python),
+    or "auto" (native when the shared library is available).
+    """
     fmt = fmt or sniff_format(path)
     data = read_bytes(path)
+    use_native = engine == "native" or (engine == "auto" and native.available())
     if fmt == "fastq":
+        if use_native:
+            return native.fastq_parse(data, alphabet, 0, file_id)
         return parse_fastq(data, alphabet, file_offset=0, file_id=file_id)
     if fmt == "fasta":
+        if use_native:
+            return native.fasta_parse(data, alphabet, 0, file_id)
         return parse_fasta(data, alphabet, file_offset=0, file_id=file_id)
     raise ValueError(f"unknown format {fmt!r}")
 
@@ -129,11 +140,15 @@ def read_fastq_block(
     """
     total = file_size(path)
     bs, be = block_partition(total, nparts, part)
-    first = _find_boundary(path, total, bs, find_record_start)
+    finder = (native.find_record_start if native.available()
+              else find_record_start)
+    first = _find_boundary(path, total, bs, finder)
     if first >= be:
         return parse_fastq(np.zeros(0, np.uint8), alphabet, 0, file_id)
-    nxt = _find_boundary(path, total, be, find_record_start)
+    nxt = _find_boundary(path, total, be, finder)
     data = read_bytes(path, first, nxt)
+    if native.available():
+        return native.fastq_parse(data, alphabet, first, file_id)
     return parse_fastq(data, alphabet, file_offset=first, file_id=file_id)
 
 

@@ -1,0 +1,151 @@
+"""ctypes bindings for the native fastscan parser (native/fastscan.cpp).
+
+Loads ``native/libfastscan.so`` (building it with make on first use if the
+toolchain is available) and exposes `fastq_parse` / `fasta_parse` returning
+the same `ReadBatch` columns as the numpy parsers.  Falls back cleanly:
+`available()` is False when no compiler/lib exists and callers use the
+numpy path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+
+import numpy as np
+
+from ..alphabets import Alphabet
+from .batch import ReadBatch
+
+__all__ = ["available", "fastq_parse", "fasta_parse", "find_record_start"]
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libfastscan.so"
+
+_ERRORS = {
+    -1: "truncated record",
+    -2: "record does not start with '@'",
+    -3: "separator line does not start with '+'",
+    -4: "sequence/quality length mismatch",
+    -5: "output capacity exceeded",
+}
+
+_lib = None
+_load_failed = False
+
+# Workspace pool: parsing 100MB blocks allocates ~18 bytes of output per
+# input byte; reusing warmed buffers avoids first-touch page-fault storms.
+_pool: dict[str, np.ndarray] = {}
+
+
+def _ws(name: str, n: int, dtype) -> np.ndarray:
+    a = _pool.get(name)
+    if a is None or a.shape[0] < n or a.dtype != dtype:
+        a = np.empty(int(n * 1.25) + 16, dtype)
+        _pool[name] = a
+    return a[:n]
+
+
+def _try_load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    try:
+        if not _LIB_PATH.exists():
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except Exception:
+        _load_failed = True
+        return None
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    sig = [u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+           u64p, ctypes.c_int64,
+           u8p, u8p, i32p, u32p, u64p, ctypes.c_int64, i64p]
+    for name in ("fastq_parse", "fasta_parse"):
+        fn = getattr(lib, name)
+        fn.argtypes = sig
+        fn.restype = ctypes.c_int64
+    lib.fastq_find_record_start.argtypes = [u8p, ctypes.c_int64,
+                                            ctypes.c_int32]
+    lib.fastq_find_record_start.restype = ctypes.c_int64
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _try_load() is not None
+
+
+def _as_ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def _parse(kind: str, data: np.ndarray, alphabet: Alphabet,
+           file_offset: int, file_id: int, seq_index_base: int) -> ReadBatch:
+    lib = _try_load()
+    assert lib is not None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    # capacities: at most n bases; at most n/4+1 records (FASTQ) or n (FASTA)
+    nrec_cap = n // 4 + 2 if kind == "fastq" else n + 2
+    record_start = _ws("rec", nrec_cap, np.uint64)
+    codes = _ws("codes", n, np.uint8)
+    quals = _ws("quals", n, np.uint8)
+    seg = _ws("seg", n, np.int32)
+    offs = _ws("offs", n, np.uint32)
+    gpos = _ws("gpos", n, np.uint64)
+    nb = ctypes.c_int64(0)
+    fn = lib.fastq_parse if kind == "fastq" else lib.fasta_parse
+    nrec = fn(
+        _as_ptr(data, ctypes.c_uint8), n,
+        _as_ptr(np.ascontiguousarray(alphabet.from_ascii), ctypes.c_uint8),
+        file_offset,
+        _as_ptr(record_start, ctypes.c_uint64), nrec_cap,
+        _as_ptr(codes, ctypes.c_uint8), _as_ptr(quals, ctypes.c_uint8),
+        _as_ptr(seg, ctypes.c_int32), _as_ptr(offs, ctypes.c_uint32),
+        _as_ptr(gpos, ctypes.c_uint64), n, ctypes.byref(nb))
+    if nrec < 0:
+        raise ValueError(
+            f"native {kind} parse failed: {_ERRORS.get(nrec, nrec)}")
+    nb = nb.value
+    # copy out of the pooled workspace (the pool is reused by the next call)
+    return ReadBatch(
+        codes=codes[:nb].copy(),
+        valid=np.ones(nb, bool),
+        owned=np.ones(nb, bool),
+        seg_id=seg[:nb].copy(),
+        offset_in_record=offs[:nb].copy(),
+        global_pos=gpos[:nb].copy(),
+        qual=quals[:nb].copy(),
+        record_start=record_start[:nrec].copy(),
+        seq_index=(np.arange(nrec) + seq_index_base).astype(np.uint32),
+        file_id=np.full(nrec, file_id, dtype=np.uint16),
+        alphabet=alphabet,
+    )
+
+
+def fastq_parse(data, alphabet, file_offset=0, file_id=0, seq_index_base=0):
+    return _parse("fastq", data, alphabet, file_offset, file_id,
+                  seq_index_base)
+
+
+def fasta_parse(data, alphabet, file_offset=0, file_id=0, seq_index_base=0):
+    return _parse("fasta", data, alphabet, file_offset, file_id,
+                  seq_index_base)
+
+
+def find_record_start(data: np.ndarray, at_parent_start: bool) -> int:
+    lib = _try_load()
+    assert lib is not None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    return int(lib.fastq_find_record_start(
+        _as_ptr(data, ctypes.c_uint8), data.shape[0],
+        1 if at_parent_start else 0))

@@ -1,0 +1,63 @@
+"""Native C++ scanner vs the numpy reference parsers — byte-identical
+outputs on all fixtures (the native path is an accelerator, not a fork)."""
+
+import numpy as np
+import pytest
+
+from kmerind_tpu import DNA, DNA16
+from kmerind_tpu.io import native, parse_fasta, parse_fastq
+from kmerind_tpu.io.fastq import find_record_start as np_find
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable")
+
+COLUMNS = ["codes", "seg_id", "offset_in_record", "global_pos", "qual",
+           "record_start", "seq_index", "file_id"]
+
+
+@pytest.mark.parametrize("fixture,kind,alpha", [
+    ("test.small.fastq", "fastq", DNA),
+    ("test.medium.fastq", "fastq", DNA),
+    ("natural.fastq", "fastq", DNA),
+    ("natural.withN.fastq", "fastq", DNA),
+    ("test.medium.fasta", "fasta", DNA16),
+    ("natural.withN.fasta", "fasta", DNA16),
+    ("test.unitiqs.fasta", "fasta", DNA),
+])
+def test_native_equals_numpy(ref_data_dir, fixture, kind, alpha):
+    data = np.fromfile(ref_data_dir / fixture, np.uint8)
+    nat = (native.fastq_parse if kind == "fastq" else native.fasta_parse)(
+        data, alpha, file_offset=7, file_id=3, seq_index_base=11)
+    ref = (parse_fastq if kind == "fastq" else parse_fasta)(
+        data, alpha, file_offset=7, file_id=3, seq_index_base=11)
+    for col in COLUMNS:
+        np.testing.assert_array_equal(
+            getattr(nat, col), getattr(ref, col), err_msg=f"{fixture}:{col}")
+
+
+def test_native_crlf():
+    # CRLF line endings plus a pathological double-\r: the reference's
+    # NotEOL drops every \r, so both must be trimmed
+    text = "@r\r\nACGT\r\r\n+\r\nIIII\r\r\n"
+    data = np.frombuffer(text.encode(), np.uint8)
+    nat = native.fastq_parse(data, DNA)
+    ref = parse_fastq(data, DNA)
+    np.testing.assert_array_equal(nat.codes, ref.codes)
+    np.testing.assert_array_equal(nat.qual, ref.qual)
+
+
+def test_native_errors():
+    with pytest.raises(ValueError, match="'@'"):
+        native.fastq_parse(np.frombuffer(b"r\nACGT\n+\nIIII\n", np.uint8), DNA)
+    with pytest.raises(ValueError, match="mismatch"):
+        native.fastq_parse(np.frombuffer(b"@r\nACGT\n+\nIII\n", np.uint8), DNA)
+    with pytest.raises(ValueError, match="'\\+'"):
+        native.fastq_parse(np.frombuffer(b"@r\nACGT\nX\nIIII\n", np.uint8), DNA)
+
+
+def test_native_find_record_start_parity(ref_data_dir):
+    data = np.fromfile(ref_data_dir / "test.small.fastq", np.uint8)
+    for off in range(0, data.shape[0] - 8, 7):
+        got = native.find_record_start(data[off:], off == 0)
+        want = np_find(data[off:], off == 0)
+        assert got == want, off
