@@ -1,0 +1,81 @@
+"""Unified runtime configuration.
+
+The reference configures an index through THREE layers (SURVEY §5): CMake
+options → bliss-config.hpp, a compile-time type matrix (one binary per
+combination of -DpPARSER/-DpMAP/-DpINDEX/-DpDistHash/-DpStoreHash/-DpDNA/
+-DpK macros, test/benchmark/BenchmarkKmerIndex.cpp:45-260), and TCLAP
+runtime flags (:441-476).  Here the whole matrix is ONE runtime dataclass;
+k and alphabet remain static *per jit* (recompiled per value), matching the
+reference's per-binary specialization at far lower cost.
+
+Mapping from the reference's macro values:
+
+| reference macro        | IndexConfig field | values |
+|------------------------|-------------------|--------|
+| pPARSER FASTQ/FASTA    | fmt               | "fastq" / "fasta" (or sniffed) |
+| pINDEX COUNT/POS/POSQUAL | index           | "count"/"position"/"posqual"/"debruijn" |
+| pMAP DENSEHASH/SORTED… | (storage)         | sorted arrays (one TPU-native store) |
+| pKmerParser canonical  | canonical         | True (Canonical) / False (SingleStrand) |
+| pDistHash MURMUR/FARM… | hash_name         | "murmur"/"fmix32"/"identity" |
+| pDNA 4/5/16            | alphabet          | "DNA"/"DNA5"/"DNA6"/"DNA16"/… |
+| pK 21/31/63            | k                 | any |
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from . import alphabets
+from .kmer import KmerSpec
+
+__all__ = ["IndexConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexConfig:
+    """All knobs of one index instance."""
+
+    k: int = 21
+    alphabet: str = "DNA"
+    index: str = "count"           # count | position | posqual | debruijn
+    canonical: bool = True         # Canonical vs SingleStrand presets
+    hash_name: str = "murmur"      # DistHash preset
+    id_kind: str = "short"         # short (FASTQ) | long (FASTA)
+    quality_codec: str = "Illumina18"
+    saturate: int | None = None    # saturating counter ceiling
+    fill_factor: float = 1.6       # bucket capacity headroom
+    fmt: str | None = None         # input format override
+    devices: int | None = None     # mesh size (None = all)
+
+    def spec(self) -> KmerSpec:
+        return KmerSpec(self.k, alphabets.by_name(self.alphabet))
+
+    def make_index(self, mesh=None, **kw):
+        """Instantiate the configured index class."""
+        from .debruijn import DeBruijnGraph
+        from .index.api import CountIndex, PositionIndex, PositionQualityIndex
+        from .parallel.mesh import make_mesh
+        from . import quality
+
+        if mesh is None:
+            mesh = make_mesh(self.devices)
+        spec = self.spec()
+        common = dict(mesh=mesh, canonical=self.canonical,
+                      hash_name=self.hash_name,
+                      fill_factor=self.fill_factor, **kw)
+        if self.index == "count":
+            return CountIndex(spec, saturate=self.saturate, **common)
+        if self.index == "position":
+            return PositionIndex(spec, id_kind=self.id_kind, **common)
+        if self.index == "posqual":
+            codec = {
+                "Illumina18": quality.ILLUMINA18,
+                "Sanger": quality.SANGER,
+                "Illumina13": quality.ILLUMINA13,
+                "Illumina15": quality.ILLUMINA15,
+            }[self.quality_codec]
+            return PositionQualityIndex(spec, id_kind=self.id_kind,
+                                        codec=codec, **common)
+        if self.index == "debruijn":
+            return DeBruijnGraph(spec, saturate=self.saturate, **common)
+        raise ValueError(f"unknown index kind {self.index!r}")

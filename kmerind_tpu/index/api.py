@@ -141,6 +141,42 @@ class _IndexBase:
     def num_shards(self) -> int:
         return self.nparts
 
+    # -- container-base collective surface (dsc::map_base,
+    # distributed_map_base.hpp:149-302) --------------------------------
+    def empty(self) -> bool:
+        """True iff no shard holds any entry (dsc::empty allreduce)."""
+        return self.size() == 0
+
+    def local_sizes(self) -> list[int]:
+        """Per-shard entry counts (load-balance introspection)."""
+        return [int(x) for x in np.asarray(self.store.size)]
+
+    def clear(self):
+        """Drop all entries, keeping capacity (map_base::clear)."""
+        self.store = jax.device_put(
+            jax.tree.map(lambda a: jnp.zeros_like(a), self.store),
+            self._sharding)
+        return self
+
+    def reserve(self, n: int):
+        """Pre-grow store capacity to hold ~n entries total
+        (map_base::reserve)."""
+        per = _next_pow2(-(-n // self.nparts))
+        if per > self.capacity:
+            self._grow(per)
+        return self
+
+    def build_files(self, paths, fmt: str | None = None):
+        """Build from multiple files; file_id is the position in `paths`
+        (multi-file corpora, SequenceId file_id field)."""
+        from ..io.batch import concat_batches
+        batches = []
+        for fid, path in enumerate(paths):
+            with self.timer.phase("read"):
+                batches.append(read_file(path, self.spec.alphabet, fmt, fid))
+        self.insert_batch(concat_batches(batches))
+        return self
+
 
 class CountIndex(_IndexBase):
     """Distributed k-mer → count index (CountIndex preset,
@@ -346,6 +382,84 @@ class CountIndex(_IndexBase):
         counts = self.count_if(pred, kmers)
         return counts > 0, counts
 
+    def unique_size(self) -> int:
+        """Distinct-key count == size() for a unique-key map
+        (map_base::unique_size)."""
+        return self.size()
+
+    def get_multiplicity(self, kmers) -> np.ndarray:
+        """Counts per key (multiplicity of a counting map's entries)."""
+        return self.count(kmers)
+
+    def insert_counts(self, kmers, counts) -> "CountIndex":
+        """Insert (kmer, count) pairs — the reference counting map's
+        second input flavor (counting_densehash_map insert of
+        ::std::pair<Kmer, T>, distributed_densehash_map.hpp:2669+)."""
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        counts = np.asarray(counts, dtype=np.int32)
+        (wsh, csh), vsh, m = self._shard_rows(words, extra=(counts,))
+        mq = wsh.shape[1]
+        if self.size() + m > self.capacity * self.nparts:
+            self._grow(_next_pow2(-(-(self.size() + m) // self.nparts)))
+        bucket_cap = _next_pow2(mq)
+        while True:
+            key = ("insert", mq, bucket_cap, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_insert_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name,
+                    self.saturate)
+            new_store, route_ovf, store_ovf = self._step_cache[key](
+                self.store, wsh, vsh, csh)
+            if int(np.asarray(route_ovf).max()) == 0 and                int(np.asarray(store_ovf).max()) == 0:
+                self.store = new_store
+                return self
+            bucket_cap *= 2
+            if int(np.asarray(store_ovf).max()) > 0:
+                self._grow(self.capacity * 2)
+
+    # -- persistence (beyond the reference, which is memory-only —
+    # SURVEY §5 "checkpoint/resume: absent") ---------------------------
+    def save(self, path):
+        """Serialize the sharded store + config to one .npz file."""
+        np.savez_compressed(
+            path,
+            kind="count",
+            k=self.spec.k,
+            alphabet=self.spec.alphabet.name,
+            canonical=self.canonical,
+            hash_name=self.hash_name,
+            saturate=-1 if self.saturate is None else self.saturate,
+            nparts=self.nparts,
+            keys=np.asarray(self.store.keys),
+            counts=np.asarray(self.store.counts),
+            sizes=np.asarray(self.store.size),
+        )
+        return self
+
+    @classmethod
+    def load(cls, path, mesh=None):
+        """Restore a saved index.  The mesh may differ from the saving
+        mesh: entries are re-inserted through the distributed path."""
+        from .. import alphabets as _al
+        z = np.load(path, allow_pickle=False)
+        spec = KmerSpec(int(z["k"]), _al.by_name(str(z["alphabet"])))
+        sat = int(z["saturate"])
+        idx = cls(spec, mesh=mesh, canonical=bool(z["canonical"]),
+                  hash_name=str(z["hash_name"]),
+                  saturate=None if sat < 0 else sat)
+        keys = z["keys"]; counts = z["counts"]; sizes = z["sizes"]
+        rows = np.concatenate([keys[p, : sizes[p]] for p in range(keys.shape[0])])
+        vals = np.concatenate([counts[p, : sizes[p]] for p in range(keys.shape[0])])
+        if rows.shape[0]:
+            # keys were stored post-transform; bypass re-canonicalization
+            canonical = idx.canonical
+            idx.canonical = False
+            try:
+                idx.insert_counts(rows.astype(np.uint32), vals)
+            finally:
+                idx.canonical = canonical
+        return idx
+
     def to_dict(self) -> dict[int, int]:
         """Full index contents as {kmer_int: count} (to_vector analog,
         distributed_map_base.hpp:202-217).  Host-side; for tests/tools."""
@@ -475,6 +589,23 @@ class PositionIndex(_IndexBase):
                 self.mesh, self.nparts, self.spec, self.canonical,
                 bucket_cap, self.hash_name, self.with_quality, self.codec)
         return self._step_cache[key]
+
+    def unique_size(self) -> int:
+        """Number of distinct keys in the multimap (map_base::unique_size):
+        counted on device per shard as key-change boundaries."""
+        uniq = 0
+        keys = np.asarray(self.store.keys)
+        sizes = np.asarray(self.store.size)
+        for p in range(self.nparts):
+            n = int(sizes[p])
+            if n == 0:
+                continue
+            k = keys[p, :n]
+            uniq += 1 + int(np.any(k[1:] != k[:-1], axis=1).sum())
+        return uniq
+
+    def get_multiplicity(self, kmers) -> np.ndarray:
+        return self.count(kmers)
 
     def count(self, kmers) -> np.ndarray:
         """Multiplicity per query (get_multiplicity / count on multimap)."""

@@ -116,3 +116,57 @@ def test_capacity_grow_paths(ref_data_dir):
     idx.build(ref_data_dir / "test.medium.fastq")
     assert idx.size() == 40
     assert idx.capacity > 16
+
+
+def test_container_base_surface(ref_data_dir):
+    idx, expect = _build_small(ref_data_dir)
+    assert not idx.empty()
+    assert idx.unique_size() == len(expect)
+    assert sum(idx.local_sizes()) == len(expect)
+    idx.reserve(100_000)
+    assert idx.capacity * idx.num_shards >= 100_000
+    # contents unchanged by reserve
+    assert idx.to_dict() == dict(expect)
+    idx.clear()
+    assert idx.empty() and idx.size() == 0
+
+
+def test_insert_counts_pairs():
+    idx = CountIndex(KmerSpec(9, DNA), mesh=make_mesh(4), canonical=False)
+    idx.insert_counts(["ACGTACGTA", "CCCCCCCCC"], [5, 7])
+    idx.insert_counts(["ACGTACGTA"], [2])
+    got = idx.count(["ACGTACGTA", "CCCCCCCCC"])
+    np.testing.assert_array_equal(got, [7, 7])
+
+
+def test_build_files_multi(ref_data_dir):
+    idx = CountIndex(KmerSpec(15, DNA), mesh=make_mesh(2))
+    idx.build_files([ref_data_dir / "test.small.fastq",
+                     ref_data_dir / "test.small.fastq"])
+    seqs = [r[1] for r in py_parse_fastq(
+        (ref_data_dir / "test.small.fastq").read_text())]
+    expect = {k: 2 * v for k, v in
+              oracle.count_index(seqs, 15, DNA, canonical=True).items()}
+    assert idx.to_dict() == expect
+
+
+def test_save_load_roundtrip(ref_data_dir, tmp_path):
+    idx, expect = _build_small(ref_data_dir)
+    f = tmp_path / "idx.npz"
+    idx.save(f)
+    # restore onto a different mesh size
+    idx2 = CountIndex.load(f, mesh=make_mesh(8))
+    assert idx2.to_dict() == dict(expect)
+    assert idx2.spec == idx.spec and idx2.canonical == idx.canonical
+
+
+def test_index_config_factory(ref_data_dir):
+    from kmerind_tpu.config import IndexConfig
+    cfg = IndexConfig(k=15, index="count", devices=4)
+    idx = cfg.make_index(mesh=make_mesh(4))
+    idx.build(ref_data_dir / "test.small.fastq")
+    assert idx.size() > 0
+    cfg2 = IndexConfig(k=21, index="debruijn")
+    g = cfg2.make_index(mesh=make_mesh(2))
+    g.build(ref_data_dir / "test.debruijn.small.fastq")
+    assert g.size() == 124

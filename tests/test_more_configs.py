@@ -1,0 +1,93 @@
+"""Coverage for remaining index configurations: FASTA position index with
+LongSequenceKmerId, non-DNA alphabets, large-k multiword distributed builds."""
+
+import numpy as np
+import pytest
+
+from kmerind_tpu import DNA, DNA6, DNA16, KmerSpec
+from kmerind_tpu.index.api import CountIndex, PositionIndex
+from kmerind_tpu.parallel.mesh import make_mesh
+
+import oracle
+from test_io import py_parse_fasta, py_parse_fastq
+
+
+def test_fasta_position_index_long_ids(ref_data_dir):
+    """PositionIndex on FASTA with LongSequenceKmerId (file pos + seq
+    ordinal, sequence.hpp:231-320); windows cross line boundaries."""
+    path = ref_data_dir / "test2.fasta"
+    k = 15
+    spec = KmerSpec(k, DNA)
+    idx = PositionIndex(spec, mesh=make_mesh(4), id_kind="long")
+    idx.build(path)
+
+    recs = py_parse_fasta(path.read_text())
+    expect = {}
+    for si, rec in enumerate(recs):
+        seq = "".join(rec["seq"])
+        kmers = oracle.seq_kmers(seq, k, DNA)
+        for i, v in enumerate(kmers):
+            pid = (si << 40) | rec["pos"][i]
+            expect.setdefault(v, []).append(pid)
+    expect = {v: sorted(l) for v, l in expect.items()}
+    assert idx.to_dict() == expect
+
+
+@pytest.mark.parametrize("alpha,path_name", [
+    (DNA16, "natural.withN.fasta"),
+    (DNA6, "natural.withN.fastq"),
+])
+def test_count_index_other_alphabets(ref_data_dir, alpha, path_name, ):
+    """DNA16 (4-bit) and DNA6 (3-bit) builds; N handled per alphabet
+    encoding, canonicalization uses each alphabet's complement."""
+    path = ref_data_dir / path_name
+    k = 11
+    spec = KmerSpec(k, alpha)
+    idx = CountIndex(spec, mesh=make_mesh(4))
+    idx.build(path)
+    text = path.read_text()
+    if path_name.endswith("fasta"):
+        seqs = ["".join(r["seq"]) for r in py_parse_fasta(text)]
+    else:
+        seqs = [r[1] for r in py_parse_fastq(text)]
+    expect = oracle.count_index(seqs, k, alpha, canonical=True)
+    assert idx.to_dict() == dict(expect)
+
+
+def test_large_k_multiword_distributed(ref_data_dir):
+    """k=63 (4 words) through the full distributed path."""
+    path = ref_data_dir / "test.medium.fastq"
+    spec = KmerSpec(63, DNA)
+    assert spec.nwords == 4
+    idx = CountIndex(spec, mesh=make_mesh(8))
+    idx.build(path)
+    seqs = [r[1] for r in py_parse_fastq(path.read_text())]
+    # reads are 60bp < k=63: no windows at all... use concatenated? check:
+    if all(len(s) < 63 for s in seqs):
+        assert idx.size() == 0
+        # use a FASTA with longer sequences instead
+        path = ref_data_dir / "test2.fasta"
+        idx = CountIndex(spec, mesh=make_mesh(8))
+        idx.build(path)
+        seqs = ["".join(r["seq"]) for r in py_parse_fasta(path.read_text())]
+    expect = oracle.count_index(seqs, 63, DNA, canonical=True)
+    assert len(expect) > 0  # guard against a trivially-empty comparison
+    assert idx.to_dict() == dict(expect)
+
+
+def test_very_long_sequences_multiline(ref_data_dir):
+    """16.5kb sequences spanning hundreds of FASTA lines (unitiq set)."""
+    path = ref_data_dir / "test.unitiqs.fasta"
+    spec = KmerSpec(31, DNA)
+    idx = CountIndex(spec, mesh=make_mesh(8))
+    idx.build(path)
+    seqs = ["".join(r["seq"]) for r in py_parse_fasta(path.read_text())]
+    expect = oracle.count_index(seqs, 31, DNA, canonical=True)
+    assert idx.size() == len(expect)
+    # spot check counts for 100 sampled keys
+    import random
+    rng = random.Random(0)
+    sample = rng.sample(sorted(expect), 100)
+    got = idx.count(np.stack([
+        spec.pack_codes(oracle.int_to_codes(v, 31, 2)) for v in sample]))
+    np.testing.assert_array_equal(got, [expect[v] for v in sample])
