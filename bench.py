@@ -93,7 +93,9 @@ def main():
     from kmerind_tpu.ops import sortops
 
     dev = jax.devices()[0]
-    _log(f"device: {dev}", quiet)
+    from kmerind_tpu.ops.pallas_kernels import pallas_supported
+    _log(f"device: {dev} (pallas extraction: "
+         f"{jax.default_backend() == 'tpu'})", quiet)
     spec = KmerSpec(args.k, DNA)
 
     codes, valid, seg = make_batch(args.bases, args.read_len)

@@ -91,19 +91,33 @@ def batch_to_arrays(batch: ReadBatch, id_kind: str | None = None) -> DeviceBases
 
 @functools.partial(jax.jit,
                    static_argnames=("spec", "canonical", "with_quality",
-                                    "codec"))
+                                    "codec", "backend"))
 def extract_tuples(bases: DeviceBases, spec: KmerSpec, canonical: bool = True,
                    with_quality: bool = False,
-                   codec: QualityCodec = ILLUMINA18) -> KmerTuples:
+                   codec: QualityCodec = ILLUMINA18,
+                   backend: str = "auto") -> KmerTuples:
     """All k-mer tuples of one shard.
 
     Hot path: fused window-pack + revcomp + canonicalize + validity mask —
     replaces hot loops 1-2 of the reference build stack (SURVEY §3.1).
     With `with_quality`, the windowed phred score is computed alongside
     (KmerPositionQualityTupleParser, kmer_parser.hpp:578+).
+
+    backend: "pallas" (fused VMEM kernel), "xla", or "auto" (Pallas on TPU
+    when the alphabet supports it).
     """
+    from ..ops import pallas_kernels
+    use_pallas = backend == "pallas" or (
+        backend == "auto"
+        and jax.default_backend() == "tpu"
+        and canonical
+        and pallas_kernels.pallas_supported(spec))
     if canonical:
-        words, _ = packing.extract_canonical(bases.codes, spec)
+        if use_pallas:
+            words, _ = pallas_kernels.extract_canonical_pallas(
+                bases.codes, spec)
+        else:
+            words, _ = packing.extract_canonical(bases.codes, spec)
     else:
         words = packing.extract_kmers(bases.codes, spec)
     wvalid = packing.window_valid(bases.valid, bases.seg_id, spec.k) & bases.owned

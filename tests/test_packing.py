@@ -96,3 +96,21 @@ def test_lex_less():
     b = jnp.asarray([[1, 3], [1, 2], [0, 9], [1, 0]], dtype=jnp.uint32)
     np.testing.assert_array_equal(
         np.asarray(packing.lex_less(a, b)), [True, False, False, False])
+
+
+@pytest.mark.parametrize("alpha,k", [
+    (DNA, 21), (DNA, 16), (DNA, 63), (DNA16, 11), (DNA6, 9)])
+def test_pallas_kernel_interpret_matches_xla(alpha, k):
+    """Fused Pallas extraction (interpret mode on CPU) == XLA path."""
+    from kmerind_tpu.ops.pallas_kernels import (
+        extract_canonical_pallas, pallas_supported)
+    spec = KmerSpec(k, alpha)
+    assert pallas_supported(spec)
+    rng = np.random.default_rng(k)
+    codes = rng.integers(0, alpha.size, size=1000).astype(np.uint8)
+    w_ref, rc_ref = packing.extract_canonical(jnp.asarray(codes), spec)
+    w_pl, rc_pl = extract_canonical_pallas(jnp.asarray(codes), spec,
+                                           interpret=True)
+    nv = 1000 - k + 1
+    np.testing.assert_array_equal(np.asarray(w_ref)[:nv], np.asarray(w_pl)[:nv])
+    np.testing.assert_array_equal(np.asarray(rc_ref)[:nv], np.asarray(rc_pl)[:nv])
