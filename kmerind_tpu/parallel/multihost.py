@@ -1,0 +1,79 @@
+"""Multi-host deployment glue.
+
+The reference's process model is ``mpirun`` + ``mxx::env``
+(/root/reference/src/io/file.hpp parallel readers, mxx comm); ours is
+`jax.distributed` + a global mesh.  Each host:
+
+1. calls `initialize()` (reads the standard JAX coordinator env vars or
+   takes explicit arguments);
+2. builds the global 1-D mesh over ALL devices (`global_mesh`);
+3. reads ITS OWN byte block of the input with `host_block_batch` — the
+   BlockPartitioner byte-range decomposition over hosts with FASTQ/FASTA
+   record-boundary repair (file.hpp:1216-1432) — and feeds it to the index
+   whose arrays are sharded over the global mesh.
+
+Owner hashing spreads k-mers over every chip in the pod slice; the dense
+bucket all_to_all rides ICI within a host and DCN across hosts, exactly the
+two-level layout the reference sketches for its hash prefix bits
+(kmer_hash.hpp:24-54).
+
+Single-host processes (tests, the driver's dry run) can use everything here
+unchanged: `initialize()` is a no-op when no coordinator is configured.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from ..alphabets import Alphabet
+from ..io.batch import ReadBatch
+from ..io.files import read_fasta_block, read_fastq_block, sniff_format
+from .mesh import SHARD_AXIS
+
+__all__ = ["initialize", "global_mesh", "host_block_batch"]
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None):
+    """Bring up the multi-process JAX runtime (mxx::env analog).
+
+    No-op when neither arguments nor JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES env vars are present (single-process mode).
+    """
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+    return True
+
+
+def global_mesh():
+    """1-D mesh over every device of every host."""
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()), (SHARD_AXIS,))
+
+
+def host_block_batch(path, alphabet: Alphabet, fmt: str | None = None,
+                     halo: int = 0, file_id: int = 0) -> ReadBatch:
+    """This host's byte block of `path`, parsed with record repair.
+
+    Host h of H owns records starting in byte block h (FASTQ) or the bases
+    in block h plus `halo` following bases (FASTA) — the partitioned_file
+    contract, with `jax.process_index()` standing in for the MPI rank.
+    """
+    h = jax.process_index()
+    nh = jax.process_count()
+    fmt = fmt or sniff_format(path)
+    if fmt == "fastq":
+        return read_fastq_block(path, alphabet, h, nh, file_id=file_id)
+    return read_fasta_block(path, alphabet, h, nh, file_id=file_id,
+                            halo=halo)

@@ -170,3 +170,42 @@ def test_index_config_factory(ref_data_dir):
     g = cfg2.make_index(mesh=make_mesh(2))
     g.build(ref_data_dir / "test.debruijn.small.fastq")
     assert g.size() == 124
+
+
+def test_packed_string_roundtrip():
+    from kmerind_tpu.utils.packed_string import (
+        pack_string, packed_nbytes, unpack_string)
+    rng = np.random.default_rng(0)
+    for bits in (2, 3, 4, 8):
+        for n in (1, 5, 16, 17, 100):
+            codes = rng.integers(0, 1 << bits, size=n).astype(np.uint8)
+            words = pack_string(codes, bits)
+            assert words.nbytes == packed_nbytes(n, bits)
+            back = unpack_string(words, n, bits)
+            np.testing.assert_array_equal(back, codes)
+
+
+def test_logging_levels(capsys):
+    from kmerind_tpu.utils import logging as klog
+    klog.set_level("info")
+    klog.log.info("hello-info")
+    klog.log.debug("hidden-debug")
+    err = capsys.readouterr().err
+    assert "hello-info" in err and "hidden-debug" not in err
+    klog.set_level("warning")
+
+
+def test_multihost_single_process(ref_data_dir):
+    from kmerind_tpu.parallel import multihost
+    assert multihost.initialize() is False  # no coordinator configured
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size >= 1
+    b = multihost.host_block_batch(
+        ref_data_dir / "test.small.fastq", DNA)
+    assert b.num_records == 7  # single process owns the whole file
+
+
+def test_micro_bench_runs():
+    from kmerind_tpu.bench.micro import main as micro_main
+    res = micro_main(["--n", "65536", "--iters", "1"])
+    assert any(r["op"] == "sort_rows" for r in res)

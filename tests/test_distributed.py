@@ -175,3 +175,35 @@ def test_position_find(ref_data_dir):
         assert got == want
     cnt = idx.count(qwords)
     np.testing.assert_array_equal(cnt, [len(w) for _, w in items])
+
+
+@pytest.mark.parametrize("p", [1, 2, 4, 8])
+def test_sample_sort_global_order(p):
+    """Distributed sample sort: concatenated shard outputs are globally
+    sorted and a permutation of the valid inputs (mxx::sort /
+    samplesort_buf semantics)."""
+    from kmerind_tpu.parallel.sample_sort import make_sample_sort_step
+
+    mesh = _mesh(p)
+    n, w = 256, 2
+    rng = np.random.default_rng(p)
+    words = rng.integers(0, 1 << 31, size=(p, n, w)).astype(np.uint32)
+    valid = rng.random((p, n)) < 0.9
+    cap = 2 * n  # generous headroom
+
+    step = make_sample_sort_step(mesh, p, cap)
+    s_words, s_valid, ovf = map(np.asarray, step(
+        jnp.asarray(words), jnp.asarray(valid)))
+    assert ovf.max() == 0
+
+    # collect valid rows in shard-then-position order
+    got = []
+    for sp in range(p):
+        rows = s_words[sp][s_valid[sp]]
+        got.append(rows)
+    flat = np.concatenate(got)
+    ints = [(int(r[0]) << 32) | int(r[1]) for r in flat]
+    assert ints == sorted(ints), "not globally sorted"
+    want = sorted((int(r[0]) << 32) | int(r[1])
+                  for r in words[valid])
+    assert ints == want, "not a permutation of inputs"
