@@ -81,6 +81,21 @@ def block_partition(total: int, nparts: int, part: int) -> tuple[int, int]:
     return start, end
 
 
+def cyclic_partition(total: int, nparts: int, part: int,
+                     chunk: int) -> list[tuple[int, int]]:
+    """Round-robin chunked decomposition (CyclicPartitioner,
+    partitioner.hpp:442): part p owns chunks p, p+nparts, p+2*nparts, …
+    Returns the list of [start, end) spans.  (The reference's
+    DemandDrivenPartitioner has no SPMD analog — static decompositions
+    only.)"""
+    spans = []
+    start = part * chunk
+    while start < total:
+        spans.append((start, min(start + chunk, total)))
+        start += nparts * chunk
+    return spans
+
+
 def read_file(
     path,
     alphabet: Alphabet,

@@ -173,3 +173,52 @@ def kmer_and(a, b):
 
 def kmer_or(a, b):
     return a | b
+
+
+# -- 64-bit views for hashing (Kmer::getPrefix/getInfix/getSuffix,
+#    kmer.hpp:1203-1270) ----------------------------------------------------
+
+def prefix64(words: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(hi, lo) uint32 pair: the most significant 64 bits of each k-mer
+    (zero-extended when nwords == 1)."""
+    hi = words[:, 0]
+    lo = words[:, 1] if words.shape[1] > 1 else jnp.zeros_like(hi)
+    return hi, lo
+
+
+def suffix64(words: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(hi, lo) uint32 pair: the least significant 64 bits."""
+    lo = words[:, -1]
+    hi = words[:, -2] if words.shape[1] > 1 else jnp.zeros_like(lo)
+    return hi, lo
+
+
+def infix_chars(words: jax.Array, spec: KmerSpec, start: int, length: int) -> jax.Array:
+    """Character-range view [start, start+length) of each k-mer, packed into
+    a fresh KmerSpec(length) layout (getInfix/getCharsAtPos semantics,
+    kmer.hpp:1244-1285)."""
+    from ..kmer import KmerSpec as _KS
+
+    codes = unpack_kmers(words, spec)[:, start:start + length]
+    sub = _KS(length, spec.alphabet)
+    return pack_kmers(codes, sub)
+
+
+def get_chars_at(words: jax.Array, spec: KmerSpec, pos: int, n: int) -> jax.Array:
+    """uint8[nrows, n] raw character codes at [pos, pos+n)."""
+    return unpack_kmers(words, spec)[:, pos:pos + n]
+
+
+def set_chars_at(words: jax.Array, spec: KmerSpec, pos: int,
+                 new_codes: jax.Array) -> jax.Array:
+    """Replace characters at [pos, pos+len(new_codes)) (setCharsAtPos)."""
+    codes = unpack_kmers(words, spec)
+    codes = codes.at[:, pos:pos + new_codes.shape[1]].set(
+        new_codes.astype(jnp.uint8))
+    return pack_kmers(codes, spec)
+
+
+def masked_equal(a: jax.Array, b: jax.Array, mask_words: jax.Array) -> jax.Array:
+    """Row-wise equality under a per-word bitmask (Kmer::masked_equal,
+    kmer.hpp:1288-1333) — used for k-mer neighborhood matching."""
+    return jnp.all((a & mask_words) == (b & mask_words), axis=-1)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 __all__ = [
     "fmix32",
     "murmur3_32",
+    "mix32",
     "identity_hash",
     "owner_from_hash",
     "HASHES",
@@ -80,8 +81,33 @@ def identity_hash(words: jax.Array, seed: int = 0) -> jax.Array:
     return words[..., 0].astype(jnp.uint32)
 
 
+def mix32(words: jax.Array, seed: int = 0x9E3779B1) -> jax.Array:
+    """Second independent hash family (xxHash32-style avalanche rounds) —
+    fills the role of the reference's farm hash slot (kmer_hash.hpp:288-330:
+    an INDEPENDENT function so distribution and storage hashes do not
+    correlate).  Values intentionally differ from Google FarmHash (exact
+    farm output is not required: shard placement is an implementation
+    detail, asserted on index contents)."""
+    P2 = jnp.uint32(0x85EBCA77)
+    P3 = jnp.uint32(0xC2B2AE3D)
+    P4 = jnp.uint32(0x27D4EB2F)
+    h = jnp.full(words.shape[:-1], seed, dtype=jnp.uint32)
+    for w in range(words.shape[-1]):
+        k = words[..., w].astype(jnp.uint32) * P3
+        k = _rotl32(k, 17) * P4
+        h = h ^ k
+        h = _rotl32(h, 19) * P2 + jnp.uint32(0x165667B1)
+    h ^= h >> 15
+    h *= P2
+    h ^= h >> 13
+    h *= P3
+    h ^= h >> 16
+    return h
+
+
 HASHES = {
     "murmur": murmur3_32,
+    "farm": mix32,
     "fmix32": lambda words, seed=0: functools.reduce(
         lambda h, w: fmix32(h ^ w),
         [words[..., i].astype(jnp.uint32) for i in range(words.shape[-1])],

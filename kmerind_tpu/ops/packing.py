@@ -206,3 +206,23 @@ def window_valid(
     n = base_valid.shape[0]
     in_range = jnp.arange(n) <= (n - k)
     return all_valid & same_seg & in_range
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def extract_xor_rev_comp(codes: jax.Array, spec: KmerSpec):
+    """kmer XOR revcomp(kmer) at every window — the xor_rev_comp
+    canonicalization transform (kmer_transform.hpp:91-106), a strand-neutral
+    key that is cheaper than lex_less but collides strands."""
+    fwd = _window_words(codes, spec)
+    rc = extract_revcomp(codes, spec)
+    return fwd ^ rc
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def extract_canonical_greater(codes: jax.Array, spec: KmerSpec):
+    """max(kmer, revcomp) — the lex_greater transform
+    (kmer_transform.hpp:128-145)."""
+    fwd = _window_words(codes, spec)
+    rc = extract_revcomp(codes, spec)
+    use_rc = lex_less(fwd, rc)
+    return jnp.where(use_rc[:, None], rc, fwd), use_rc

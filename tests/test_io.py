@@ -236,3 +236,13 @@ def test_block_partition_properties():
                 assert b == c
             sizes = [b - a for a, b in spans]
             assert max(sizes) - min(sizes) <= 1
+
+
+def test_cyclic_partition():
+    from kmerind_tpu.io.files import cyclic_partition
+    spans = {p: cyclic_partition(100, 3, p, 10) for p in range(3)}
+    allspans = sorted(sp for l in spans.values() for sp in l)
+    assert allspans[0][0] == 0 and allspans[-1][1] == 100
+    for (a, b), (c, d) in zip(allspans, allspans[1:]):
+        assert b == c
+    assert spans[1][0] == (10, 20) and spans[1][1] == (40, 50)

@@ -114,3 +114,46 @@ def test_pallas_kernel_interpret_matches_xla(alpha, k):
     nv = 1000 - k + 1
     np.testing.assert_array_equal(np.asarray(w_ref)[:nv], np.asarray(w_pl)[:nv])
     np.testing.assert_array_equal(np.asarray(rc_ref)[:nv], np.asarray(rc_pl)[:nv])
+
+
+def test_xor_rev_comp_and_lex_greater():
+    spec = KmerSpec(7, DNA)
+    seq = "ACGTACGTTGCA"
+    codes = jnp.asarray(DNA.encode(seq))
+    xr = np.asarray(packing.extract_xor_rev_comp(codes, spec))
+    big, flag = packing.extract_canonical_greater(codes, spec)
+    big = np.asarray(big)
+    for i in range(len(seq) - 7 + 1):
+        v = oracle.kmer_int([int(c) for c in DNA.encode(seq[i:i+7])], 2)
+        rc = oracle.revcomp_int(v, 7, DNA)
+        assert spec.to_int(xr[i]) == v ^ rc
+        assert spec.to_int(big[i]) == max(v, rc)
+
+
+def test_kmer_surface_ops():
+    from kmerind_tpu.ops import bitops
+    spec = KmerSpec(21, DNA)
+    words = jnp.asarray(np.stack([spec.from_string("ACGTACGTACGTACGTACGTA"),
+                                  spec.from_string("TTTTACGTACGTACGTACGTA")]))
+    hi, lo = bitops.prefix64(words)
+    assert np.asarray(hi)[0] == np.asarray(words)[0, 0]
+    sub = bitops.infix_chars(words, spec, 2, 5)
+    assert KmerSpec(5, DNA).to_string(np.asarray(sub)[0]) == "GTACG"
+    chars = bitops.get_chars_at(words, spec, 0, 4)
+    np.testing.assert_array_equal(np.asarray(chars)[1], DNA.encode("TTTT"))
+    new = bitops.set_chars_at(words, spec, 0,
+                              jnp.asarray(DNA.encode("GGGG"))[None].repeat(2, 0))
+    assert spec.to_string(np.asarray(new)[0]).startswith("GGGG")
+    m = jnp.asarray(np.array([[0xFFFFFFFF, 0]], np.uint32)).repeat(2, 0)
+    eq = bitops.masked_equal(words[:1].repeat(2, 0), words, m)
+    # first 16 chars equal iff word0 equal
+    assert bool(np.asarray(eq)[0]) is True
+
+
+def test_mix32_differs_from_murmur():
+    from kmerind_tpu.ops import hashing
+    w = jnp.asarray(np.random.default_rng(0).integers(
+        0, 1 << 31, size=(100, 2)).astype(np.uint32))
+    a = np.asarray(hashing.murmur3_32(w))
+    b = np.asarray(hashing.mix32(w))
+    assert (a != b).mean() > 0.99  # independent families
