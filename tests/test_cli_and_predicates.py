@@ -209,3 +209,14 @@ def test_micro_bench_runs():
     from kmerind_tpu.bench.micro import main as micro_main
     res = micro_main(["--n", "65536", "--iters", "1"])
     assert any(r["op"] == "sort_rows" for r in res)
+
+
+def test_profiler_trace(tmp_path):
+    from kmerind_tpu.utils.profiling import annotate, trace
+    import jax.numpy as jnp
+    import jax as _jax
+    with trace(str(tmp_path / "tr")) as d:
+        with annotate("unit"):
+            _jax.jit(lambda a: (a + 1).sum())(jnp.arange(64.0)).block_until_ready()
+    import glob
+    assert glob.glob(str(tmp_path / "tr") + "/**/*", recursive=True)
