@@ -166,6 +166,15 @@ class _IndexBase:
             self._grow(per)
         return self
 
+    def build_posix(self, path, fmt: str | None = None, file_id: int = 0):
+        """Alias of build (the reference exposes per-reader entry points
+        build_posix/build_mmap/build_mpiio, kmer_index.hpp:332-394; one
+        memory-mapped reader serves all three roles here)."""
+        return self.build(path, fmt, file_id)
+
+    build_mmap = build_posix
+    build_mpiio = build_posix
+
     def build_files(self, paths, fmt: str | None = None):
         """Build from multiple files; file_id is the position in `paths`
         (multi-file corpora, SequenceId file_id field)."""

@@ -87,8 +87,14 @@ def _scatter_to_buckets(x: jax.Array, owner, slot, valid, nparts, capacity, fill
 def distribute(arrays, owner, valid, nparts: int, capacity: int, axis_name: str):
     """Ship each element to its owner shard.
 
+    All routed arrays plus the validity flag are packed into ONE
+    [p, C, D] uint32 tensor and exchanged with a single all_to_all (the
+    reference performs one alltoallv per tuple stream; fusing them halves
+    the collective count per step and amortizes ICI latency).
+
     Args:
-      arrays: tuple of [n, ...] arrays (same leading dim) to route together.
+      arrays: tuple of [n] or [n, d] arrays (same leading dim) to route
+        together.  32-bit dtypes (uint32/int32/float32 via bitcast).
       owner: int32[n] destination shard ids in [0, nparts).
       valid: bool[n].
       nparts: number of shards (static, == axis size).
@@ -103,43 +109,94 @@ def distribute(arrays, owner, valid, nparts: int, capacity: int, axis_name: str)
     slot, _, overflow = bucket_by_owner(owner, valid, nparts, capacity)
     live = valid & (slot < capacity)
 
-    send_valid = _scatter_to_buckets(
-        live.astype(jnp.int8), owner, slot, live, nparts, capacity)
-    recv_valid = jax.lax.all_to_all(
-        send_valid, axis_name, split_axis=0, concat_axis=0, tiled=True)
-
-    recv_arrays = []
+    # pack [valid, col0, col1, …] into one [n, D] uint32 matrix
+    cols = [live.astype(jnp.uint32)]
+    layout = []  # (ncols, shape_tail, dtype) per array
     for x in arrays:
-        send = _scatter_to_buckets(x, owner, slot, live, nparts, capacity)
-        recv = jax.lax.all_to_all(
-            send, axis_name, split_axis=0, concat_axis=0, tiled=True)
-        recv_arrays.append(recv.reshape((nparts * capacity,) + x.shape[1:]))
+        if x.ndim == 1:
+            cols.append(_as_u32(x))
+            layout.append((1, (), x.dtype))
+        else:
+            for j in range(x.shape[1]):
+                cols.append(_as_u32(x[:, j]))
+            layout.append((x.shape[1], (x.shape[1],), x.dtype))
+    packed = jnp.stack(cols, axis=1)  # [n, D]
+
+    send = _scatter_to_buckets(packed, owner, slot, live, nparts, capacity)
+    recv = jax.lax.all_to_all(
+        send, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    recv = recv.reshape((nparts * capacity, packed.shape[1]))
+
+    recv_valid = recv[:, 0] != 0
+    recv_arrays = []
+    c = 1
+    for ncols, tail, dtype in layout:
+        if tail == ():
+            recv_arrays.append(_from_u32(recv[:, c], dtype))
+        else:
+            recv_arrays.append(jnp.stack(
+                [_from_u32(recv[:, c + j], dtype) for j in range(ncols)],
+                axis=1))
+        c += ncols
 
     route = Route(owner=owner, slot=slot, valid=live, overflow=overflow)
-    return tuple(recv_arrays), recv_valid.reshape(-1).astype(bool), route
+    return tuple(recv_arrays), recv_valid, route
+
+
+def _as_u32(x: jax.Array) -> jax.Array:
+    if x.dtype == jnp.float32:
+        return jax.lax.bitcast_convert_type(x, jnp.uint32)
+    if x.dtype in (jnp.int8, jnp.uint8, jnp.int16, jnp.uint16, jnp.bool_):
+        return x.astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.uint32) \
+        if x.dtype == jnp.int32 else x.astype(jnp.uint32)
+
+
+def _from_u32(x: jax.Array, dtype) -> jax.Array:
+    if dtype == jnp.float32:
+        return jax.lax.bitcast_convert_type(x, jnp.float32)
+    if dtype == jnp.int32:
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+    return x.astype(dtype)
 
 
 def undistribute(reply_arrays, route: Route, nparts: int, capacity: int,
                  axis_name: str, fill=0):
     """Route per-element replies back to the original requesters.
 
-    `reply_arrays` are [nparts * capacity, ...] tensors aligned with the
-    recv layout of `distribute` (reply for received element r in row r).
-    Returns tuple of [n, ...] arrays aligned with the original inputs
-    (imxx::undistribute + unpermute, incremental_mxx.hpp:1176-1223).
+    `reply_arrays` are [nparts * capacity] or [nparts * capacity, d]
+    tensors aligned with the recv layout of `distribute` (reply for
+    received element r in row r).  All replies are packed into one
+    all_to_all (mirroring `distribute`).  Returns a tuple of [n, ...]
+    arrays aligned with the original inputs (imxx::undistribute +
+    unpermute, incremental_mxx.hpp:1176-1223).
     """
-    out = []
+    cols = []
+    layout = []
     for x in reply_arrays:
-        buf = x.reshape((nparts, capacity) + x.shape[1:])
-        back = jax.lax.all_to_all(
-            buf, axis_name, split_axis=0, concat_axis=0, tiled=True)
-        # back[s, c] = reply for my element that went to shard s, slot c
-        flat = back.reshape((nparts * capacity,) + x.shape[1:])
-        idx = jnp.where(route.valid, route.owner * capacity + route.slot, 0)
-        vals = flat[idx]
-        if vals.ndim == 1:
-            vals = jnp.where(route.valid, vals, fill)
+        if x.ndim == 1:
+            cols.append(_as_u32(x))
+            layout.append((1, (), x.dtype))
         else:
-            vals = jnp.where(route.valid[:, None], vals, fill)
-        out.append(vals)
+            for j in range(x.shape[1]):
+                cols.append(_as_u32(x[:, j]))
+            layout.append((x.shape[1], (x.shape[1],), x.dtype))
+    packed = jnp.stack(cols, axis=1)  # [p*C, D]
+    buf = packed.reshape((nparts, capacity, packed.shape[1]))
+    back = jax.lax.all_to_all(
+        buf, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    flat = back.reshape((nparts * capacity, packed.shape[1]))
+    idx = jnp.where(route.valid, route.owner * capacity + route.slot, 0)
+    vals = flat[idx]  # [n, D]
+    out = []
+    c = 0
+    for ncols, tail, dtype in layout:
+        if tail == ():
+            v = _from_u32(vals[:, c], dtype)
+            out.append(jnp.where(route.valid, v, fill))
+        else:
+            v = jnp.stack([_from_u32(vals[:, c + j], dtype)
+                           for j in range(ncols)], axis=1)
+            out.append(jnp.where(route.valid[:, None], v, fill))
+        c += ncols
     return tuple(out)

@@ -246,3 +246,24 @@ def test_cyclic_partition():
     for (a, b), (c, d) in zip(allspans, allspans[1:]):
         assert b == c
     assert spans[1][0] == (10, 20) and spans[1][1] == (40, 50)
+
+
+def test_drop_records_with_invalid(ref_data_dir):
+    """SequenceNPredicate: reads containing N are dropped under strict DNA
+    (filtered_sequence_iterator.hpp:151)."""
+    from kmerind_tpu.io.filters import (
+        drop_records_with_invalid, records_with_invalid)
+    path = ref_data_dir / "natural.withN.fastq"
+    data = np.fromfile(path, np.uint8)
+    b = read_file(path, DNA)
+    bad = records_with_invalid(b, data, DNA)
+    text = path.read_text()
+    want_bad = ["N" in r[1] for r in py_parse_fastq(text)]
+    np.testing.assert_array_equal(bad, want_bad)
+    assert bad.any() and not bad.all()
+    fb = drop_records_with_invalid(b, data, DNA)
+    assert fb.num_bases == sum(
+        len(r[1]) for r, w in zip(py_parse_fastq(text), want_bad) if not w)
+    # kmers from the filtered batch contain no read with N
+    kept_segs = set(fb.seg_id.tolist())
+    assert all(not want_bad[s] for s in kept_segs)
