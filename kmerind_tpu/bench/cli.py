@@ -39,9 +39,15 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--single-strand", action="store_true",
                     help="disable canonicalization (SingleStrand preset)")
     ap.add_argument("--hash", default="murmur",
-                    choices=["murmur", "fmix32", "identity"])
+                    choices=["murmur", "farm", "fmix32", "std", "identity"])
     ap.add_argument("-S", "--sample", type=float, default=1.0,
-                    help="fraction of query k-mers to sample (flag -S)")
+                    help="fraction of query k-mers to sample (the reference's "
+                         "-S is 'one in N'; here a fraction)")
+    ap.add_argument("-A", "--algo", type=int, default=7,
+                    help="reader algorithm id, accepted for drop-in "
+                         "compatibility (reference: 2=loader, 5=mmap, "
+                         "7=posix, 10=mpiio); one memory-mapped reader "
+                         "serves all here")
     ap.add_argument("--devices", type=int, default=None,
                     help="mesh size (default: all devices)")
     ap.add_argument("--cpu", action="store_true",

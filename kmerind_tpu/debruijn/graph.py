@@ -76,7 +76,15 @@ class DeBruijnGraph(_IndexBase):
         self.insert_batch(batch)
         return self
 
-    def insert_batch(self, batch: ReadBatch):
+    def insert_batch(self, batch: ReadBatch, chunk_bases: int | None = None):
+        if chunk_bases is None:
+            chunk_bases = self.default_chunk_bases
+        if batch.num_bases > chunk_bases:
+            # edge context needs 1 base left + k right
+            for sub in batch.iter_chunks(chunk_bases, self.spec.k,
+                                         halo_left=1):
+                self.insert_batch(sub, chunk_bases=batch.num_bases + 1)
+            return self
         with self.timer.phase("extract"):
             # edge bytes need 1 base of left context and the k-th base on
             # the right, beyond the k-1 window halo

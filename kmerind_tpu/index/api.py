@@ -20,7 +20,6 @@ All device work happens in the jitted steps of `distributed.py`.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 
 import jax
@@ -31,7 +30,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..kmer import KmerSpec
 from ..io.batch import ReadBatch
 from ..io.files import read_file
-from ..io.kmer_parsers import batch_to_arrays
 from ..ops import packing
 from ..parallel.mesh import SHARD_AXIS, make_mesh
 from ..utils.timers import PhaseTimer
@@ -49,6 +47,11 @@ def _next_pow2(n: int) -> int:
 
 class _IndexBase:
     """Shared mesh/shard bookkeeping for all index flavors."""
+
+    #: default streaming granularity: batches above this many bases are
+    #: split into equal padded chunks so compiles and device memory stay
+    #: bounded regardless of file size (one executable per chunk shape)
+    default_chunk_bases = 1 << 23
 
     def __init__(self, spec: KmerSpec, mesh=None, canonical: bool = True,
                  hash_name: str = "murmur", fill_factor: float = 1.6,
@@ -149,10 +152,15 @@ class _IndexBase:
 
     def local_sizes(self) -> list[int]:
         """Per-shard entry counts (load-balance introspection)."""
+        if hasattr(self, "_flush"):
+            self._flush()
         return [int(x) for x in np.asarray(self.store.size)]
 
     def clear(self):
         """Drop all entries, keeping capacity (map_base::clear)."""
+        if hasattr(self, "_pending"):
+            self._pending = []
+            self._pending_rows = 0
         self.store = jax.device_put(
             jax.tree.map(lambda a: jnp.zeros_like(a), self.store),
             self._sharding)
@@ -200,6 +208,13 @@ class CountIndex(_IndexBase):
             jax.vmap(lambda _: st.empty_count_store(
                 initial_capacity, spec.nwords))(jnp.arange(self.nparts)),
             self._sharding)
+        # lazy-insert buffers: owner-resident rows awaiting merge
+        # (sorted_map semantics — inserts append, first query sorts,
+        # distributed_sorted_map.hpp:341,940); avoids re-sorting the whole
+        # store once per ingested chunk
+        self._pending: list = []
+        self._pending_rows = 0
+        self.flush_rows = 1 << 24  # merge when this many rows accumulate
 
     # ------------------------------------------------------------------
     @property
@@ -208,7 +223,31 @@ class CountIndex(_IndexBase):
 
     def size(self) -> int:
         """Collective distinct-key count (dsc::map_base::size allreduce)."""
+        self._flush()
         return int(np.asarray(self.store.size).sum())
+
+    def _flush(self):
+        """Merge pending owner-resident rows into the sorted store."""
+        if not self._pending:
+            return
+        words = jnp.concatenate([w for w, _ in self._pending], axis=1)
+        valid = jnp.concatenate([v for _, v in self._pending], axis=1)
+        self._pending = []
+        self._pending_rows = 0
+        n_rows = words.shape[1]
+        cap_needed = int(np.asarray(self.store.size).sum()) + n_rows
+        if cap_needed > self.capacity * self.nparts:
+            self._grow(_next_pow2(-(-cap_needed // self.nparts)))
+        while True:
+            key = ("merge", n_rows, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_merge_step(
+                    self.mesh, self.saturate, self.spec.sentinel_safe)
+            new_store, ovf = self._step_cache[key](self.store, words, valid)
+            if int(np.asarray(ovf).max()) == 0:
+                self.store = new_store
+                return
+            self._grow(_next_pow2(self.capacity + int(np.asarray(ovf).max())))
 
     def _grow(self, new_cap: int):
         pad = new_cap - self.capacity
@@ -229,30 +268,41 @@ class CountIndex(_IndexBase):
         self.insert_batch(batch)
         return self
 
-    def insert_batch(self, batch: ReadBatch):
-        """Extract + canonicalize + distribute + merge a parsed batch."""
+    def insert_batch(self, batch: ReadBatch, chunk_bases: int | None = None):
+        """Extract + canonicalize + distribute + merge a parsed batch.
+
+        chunk_bases: stream the batch through the device in chunks of this
+        many bases (k-1 lookahead keeps boundary windows) — for inputs
+        larger than device memory.  Defaults to default_chunk_bases."""
+        if chunk_bases is None:
+            chunk_bases = self.default_chunk_bases
+        if batch.num_bases > chunk_bases:
+            for sub in batch.iter_chunks(chunk_bases, self.spec.k - 1):
+                self.insert_batch(sub, chunk_bases=batch.num_bases + 1)
+            return self
         with self.timer.phase("extract"):
             cols, _ = self._batch_to_stacked(batch, id_kind=None)
         n_local = cols["codes"].shape[1]
-        cap_needed = self.size() + batch.num_bases  # distinct keys upper bound
-        if cap_needed > self.capacity * self.nparts:
-            self._grow(_next_pow2(-(-cap_needed // self.nparts)))
         bucket_cap = self._bucket_capacity(n_local)
         while True:
-            step = self._get_build_step(n_local, bucket_cap)
+            key = ("ingest", n_local, bucket_cap)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_ingest_step(
+                    self.mesh, self.nparts, self.spec, self.canonical,
+                    bucket_cap, self.hash_name)
             with self.timer.phase("insert"):
-                new_store, route_ovf, store_ovf = step(
-                    self.store, cols["codes"], cols["valid"], cols["owned"],
+                rw, rv, route_ovf = self._step_cache[key](
+                    cols["codes"], cols["valid"], cols["owned"],
                     cols["seg_id"])
-            route_bad = int(np.asarray(route_ovf).max())
-            store_bad = int(np.asarray(store_ovf).max())
-            if route_bad == 0 and store_bad == 0:
-                self.store = new_store
+            if int(np.asarray(route_ovf).max()) == 0:
+                self._pending.append((rw, rv))
+                self._pending_rows += rw.shape[1]
+                if self._pending_rows >= self.flush_rows:
+                    with self.timer.phase("merge"):
+                        self._flush()
                 return self
-            if route_bad > 0:
-                bucket_cap = _next_pow2(bucket_cap + route_bad)
-            if store_bad > 0:
-                self._grow(_next_pow2(self.capacity + store_bad))
+            bucket_cap = _next_pow2(
+                bucket_cap + int(np.asarray(route_ovf).max()))
 
     def _get_build_step(self, n_local: int, bucket_cap: int):
         key = ("build", n_local, bucket_cap, self.capacity)
@@ -264,6 +314,7 @@ class CountIndex(_IndexBase):
 
     def insert(self, kmers):
         """Insert explicit k-mers (Index::insert, kmer_index.hpp:201)."""
+        self._flush()
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
@@ -291,6 +342,7 @@ class CountIndex(_IndexBase):
     def count(self, kmers) -> np.ndarray:
         """Per-query counts, original order (Index::count,
         kmer_index.hpp:142)."""
+        self._flush()
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
@@ -314,6 +366,7 @@ class CountIndex(_IndexBase):
 
     def erase(self, kmers) -> int:
         """Erase keys; returns number of erased entries (Index::erase)."""
+        self._flush()
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
@@ -340,6 +393,7 @@ class CountIndex(_IndexBase):
         the reference's owner-side predicate).
         """
         if kmers is None:
+            self._flush()
             key = ("erase_if", pred, self.capacity)
             if key not in self._step_cache:
                 self._step_cache[key] = dx.make_count_filter_step(
@@ -365,6 +419,7 @@ class CountIndex(_IndexBase):
         """Without kmers: all (kmer_int, count) entries satisfying pred.
         With kmers: per-query counts, zeroed where pred fails."""
         if kmers is None:
+            self._flush()
             key = ("scan_if", pred, self.capacity)
             if key not in self._step_cache:
                 self._step_cache[key] = dx.make_count_scan_step(
@@ -404,6 +459,7 @@ class CountIndex(_IndexBase):
         """Insert (kmer, count) pairs — the reference counting map's
         second input flavor (counting_densehash_map insert of
         ::std::pair<Kmer, T>, distributed_densehash_map.hpp:2669+)."""
+        self._flush()
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         counts = np.asarray(counts, dtype=np.int32)
         (wsh, csh), vsh, m = self._shard_rows(words, extra=(counts,))
@@ -430,6 +486,7 @@ class CountIndex(_IndexBase):
     # SURVEY §5 "checkpoint/resume: absent") ---------------------------
     def save(self, path):
         """Serialize the sharded store + config to one .npz file."""
+        self._flush()
         np.savez_compressed(
             path,
             kind="count",
@@ -472,6 +529,7 @@ class CountIndex(_IndexBase):
     def to_dict(self) -> dict[int, int]:
         """Full index contents as {kmer_int: count} (to_vector analog,
         distributed_map_base.hpp:202-217).  Host-side; for tests/tools."""
+        self._flush()
         out = {}
         keys = np.asarray(self.store.keys)
         counts = np.asarray(self.store.counts)
@@ -566,7 +624,13 @@ class PositionIndex(_IndexBase):
         self.insert_batch(batch)
         return self
 
-    def insert_batch(self, batch: ReadBatch):
+    def insert_batch(self, batch: ReadBatch, chunk_bases: int | None = None):
+        if chunk_bases is None:
+            chunk_bases = self.default_chunk_bases
+        if batch.num_bases > chunk_bases:
+            for sub in batch.iter_chunks(chunk_bases, self.spec.k - 1):
+                self.insert_batch(sub, chunk_bases=batch.num_bases + 1)
+            return self
         with self.timer.phase("extract"):
             cols, _ = self._batch_to_stacked(batch, id_kind=self.id_kind)
         n_local = cols["codes"].shape[1]

@@ -18,8 +18,6 @@ per-bucket size estimation, distributed_densehash_map.hpp:328-420).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -245,4 +243,55 @@ def make_count_scan_step(mesh: Mesh, pred):
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=(P(SHARD_AXIS),), out_specs=P(SHARD_AXIS),
+    ))
+
+
+def make_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
+                     capacity: int, hash_name: str):
+    """Jitted: per-base columns -> (recv_words[p, p*C, w], recv_valid[p, p*C],
+    route_overflow[p]) — extraction + owner exchange WITHOUT the store
+    merge.  Pairs with `make_merge_step` for deferred merging (the
+    reference's sorted_map semantics: inserts append, the sort happens on
+    first query — distributed_sorted_map.hpp:341,940)."""
+    from ..io.kmer_parsers import DeviceBases, extract_tuples
+
+    def body(codes_blk, valid_blk, owned_blk, seg_blk):
+        codes, valid, owned, seg = (
+            codes_blk[0], valid_blk[0], owned_blk[0], seg_blk[0])
+        bases = DeviceBases(
+            codes=codes, valid=valid, owned=owned, seg_id=seg,
+            id_hi=jnp.zeros_like(codes, jnp.uint32),
+            id_lo=jnp.zeros_like(codes, jnp.uint32),
+            qual=jnp.zeros_like(codes),
+        )
+        tup = extract_tuples(bases, spec, canonical=canonical)
+        owner = owners_for(tup.words, nparts, hash_name)
+        (rw,), rvalid, route = dist.distribute(
+            (tup.words,), owner, tup.valid, nparts, capacity, SHARD_AXIS)
+        return rw[None], rvalid[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 4,
+        out_specs=(P(SHARD_AXIS),) * 3,
+    ))
+
+
+def make_merge_step(mesh: Mesh, saturate: int | None = None,
+                    sentinel_ok: bool = False):
+    """Jitted: (stores, words[p, m, w], valid[p, m]) ->
+    (new_stores, store_overflow[p]) — local merge of already-owner-resident
+    rows (the deferred sort of the lazy-insert path)."""
+
+    def body(stores_blk, words_blk, valid_blk):
+        store = _unstack(stores_blk)
+        new_store, ovf = st.count_insert(
+            store, words_blk[0], valid_blk[0], saturate=saturate,
+            sentinel_ok=sentinel_ok)
+        return _stack(new_store), ovf[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 3,
+        out_specs=(P(SHARD_AXIS),) * 2,
     ))

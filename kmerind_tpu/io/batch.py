@@ -168,6 +168,33 @@ class ReadBatch:
         return shards, owned
 
 
+def _iter_chunks(self, chunk_bases: int, halo: int, halo_left: int = 0):
+    """Yield base-stream chunks of ~chunk_bases with `halo` lookahead and
+    `halo_left` of preceding context (de Bruijn edges need 1); window
+    ownership masks guarantee each window appears exactly once.
+
+    Every chunk is padded to the SAME static length
+    (halo_left + chunk_bases + halo), so one compiled device program
+    serves every chunk of every file — bounded compile cost and bounded
+    device memory for arbitrarily large inputs.
+    """
+    n = self.num_bases
+    target = halo_left + chunk_bases + halo
+    start = 0
+    while start < n:
+        stop = min(n, start + chunk_bases)
+        lo = max(0, start - halo_left)
+        sub = self.slice_bases(lo, min(n, stop + halo)).pad_to(target)
+        owned = sub.owned.copy()
+        owned[: start - lo] = False
+        owned[stop - lo:] = False
+        yield dataclasses.replace(sub, owned=owned)
+        start = stop
+
+
+ReadBatch.iter_chunks = _iter_chunks
+
+
 def concat_batches(batches: list[ReadBatch]) -> ReadBatch:
     """Concatenate batches (e.g. multiple files); seg ids are re-based."""
     if not batches:

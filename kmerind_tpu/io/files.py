@@ -29,7 +29,7 @@ import numpy as np
 from ..alphabets import Alphabet
 from . import native
 from .batch import ReadBatch
-from .fasta import find_fasta_record_start, parse_fasta
+from .fasta import parse_fasta
 from .fastq import find_record_start, parse_fastq
 
 __all__ = [

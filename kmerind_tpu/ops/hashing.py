@@ -115,6 +115,9 @@ HASHES = {
     ),
     "identity": identity_hash,
 }
+# "std" fills the reference's cpp_std slot (std::hash per chunk,
+# xor-combined — kmer_hash.hpp:157-209): the fmix32 fold plays that role.
+HASHES["std"] = HASHES["fmix32"]
 
 
 def owner_from_hash(h: jax.Array, nparts: int) -> jax.Array:

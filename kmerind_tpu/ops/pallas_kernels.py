@@ -198,6 +198,12 @@ def extract_canonical_pallas(codes: jax.Array, spec: KmerSpec,
 
     kernel = _make_kernel(spec, tile, halo)
     rows_out = tile // _LANES
+    # inside shard_map, outputs must declare the same varying mesh axes as
+    # the input (vma checking) — propagate them from the traced input aval
+    try:
+        vma = jax.typeof(codes).vma
+    except AttributeError:
+        vma = frozenset()
     words, rc = pl.pallas_call(
         kernel,
         grid=(ntiles,),
@@ -209,8 +215,10 @@ def extract_canonical_pallas(codes: jax.Array, spec: KmerSpec,
         ),
         out_shape=(
             jax.ShapeDtypeStruct(
-                (spec.nwords, ntiles * rows_out, _LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((1, ntiles * rows_out, _LANES), jnp.uint8),
+                (spec.nwords, ntiles * rows_out, _LANES), jnp.uint32,
+                vma=vma),
+            jax.ShapeDtypeStruct((1, ntiles * rows_out, _LANES), jnp.uint8,
+                                 vma=vma),
         ),
         scratch_shapes=[
             pltpu.VMEM(((tile + halo) // _LANES, _LANES), jnp.uint8),

@@ -16,8 +16,6 @@ explicit flag key, keeping every shape static under jit.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

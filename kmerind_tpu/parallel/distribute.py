@@ -106,6 +106,17 @@ def distribute(arrays, owner, valid, nparts: int, capacity: int, axis_name: str)
       [nparts * capacity, ...] — the concatenation of one capacity-sized
       bucket from every source shard — and recv_valid marks live entries.
     """
+    n = owner.shape[0]
+    if nparts == 1:
+        # single-shard fast path: no bucketing, no collective — the whole
+        # batch is already owner-resident (and the driver's single-chip
+        # bench goes through here)
+        route = Route(owner=jnp.zeros(n, jnp.int32),
+                      slot=jnp.arange(n, dtype=jnp.int32),
+                      valid=valid,
+                      overflow=jnp.zeros((), jnp.int32))
+        return tuple(arrays), valid, route
+
     slot, _, overflow = bucket_by_owner(owner, valid, nparts, capacity)
     live = valid & (slot < capacity)
 
@@ -171,6 +182,15 @@ def undistribute(reply_arrays, route: Route, nparts: int, capacity: int,
     arrays aligned with the original inputs (imxx::undistribute +
     unpermute, incremental_mxx.hpp:1176-1223).
     """
+    if nparts == 1:
+        out = []
+        for x in reply_arrays:
+            if x.ndim == 1:
+                out.append(jnp.where(route.valid, x, fill))
+            else:
+                out.append(jnp.where(route.valid[:, None], x, fill))
+        return tuple(out)
+
     cols = []
     layout = []
     for x in reply_arrays:

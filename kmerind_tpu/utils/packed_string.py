@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..alphabets import Alphabet
-
 __all__ = ["pack_string", "unpack_string", "packed_nbytes"]
 
 

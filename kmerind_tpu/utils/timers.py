@@ -17,8 +17,6 @@ import contextlib
 import statistics
 import time
 
-import numpy as np
-
 __all__ = ["PhaseTimer", "MemUsage"]
 
 

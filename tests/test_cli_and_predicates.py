@@ -220,3 +220,15 @@ def test_profiler_trace(tmp_path):
             _jax.jit(lambda a: (a + 1).sum())(jnp.arange(64.0)).block_until_ready()
     import glob
     assert glob.glob(str(tmp_path / "tr") + "/**/*", recursive=True)
+
+
+def test_chunked_insert_matches_whole(ref_data_dir):
+    """Streaming chunked ingestion produces the identical index."""
+    from kmerind_tpu.io import read_file
+    path = ref_data_dir / "test.medium.fastq"
+    spec = KmerSpec(21, DNA)
+    whole = CountIndex(spec, mesh=make_mesh(4)).build(path)
+    batch = read_file(path, DNA)
+    chunked = CountIndex(spec, mesh=make_mesh(4))
+    chunked.insert_batch(batch, chunk_bases=1000)  # ~9 chunks
+    assert chunked.to_dict() == whole.to_dict()

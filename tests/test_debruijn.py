@@ -111,3 +111,15 @@ def test_debruijn_record_boundaries():
     assert sum(got[first][4:8]) == 0
     last = oracle.kmer_int([int(c) for c in DNA.encode(seq[-K:])], 2)
     assert sum(got[last][:4]) == 0
+
+
+def test_debruijn_chunked_insert(ref_data_dir):
+    """Chunked streaming build must produce identical edge counters
+    (regression: chunks need 1 base of left context)."""
+    from kmerind_tpu.io import read_file
+    path = ref_data_dir / "test.debruijn.small.fastq"
+    spec = KmerSpec(K, DNA)
+    whole = DeBruijnGraph(spec, mesh=make_mesh(2)).build(path)
+    chunked = DeBruijnGraph(spec, mesh=make_mesh(2))
+    chunked.insert_batch(read_file(path, DNA), chunk_bases=97)
+    assert chunked.to_dict() == whole.to_dict()
