@@ -230,8 +230,9 @@ class CountIndex(_IndexBase):
         """Merge pending owner-resident rows into the sorted store."""
         if not self._pending:
             return
-        words = jnp.concatenate([w for w, _ in self._pending], axis=1)
-        valid = jnp.concatenate([v for _, v in self._pending], axis=1)
+        words = jnp.concatenate([w for w, _, _ in self._pending], axis=1)
+        counts = jnp.concatenate([c for _, c, _ in self._pending], axis=1)
+        valid = jnp.concatenate([v for _, _, v in self._pending], axis=1)
         self._pending = []
         self._pending_rows = 0
         n_rows = words.shape[1]
@@ -243,7 +244,8 @@ class CountIndex(_IndexBase):
             if key not in self._step_cache:
                 self._step_cache[key] = dx.make_merge_step(
                     self.mesh, self.saturate, self.spec.sentinel_safe)
-            new_store, ovf = self._step_cache[key](self.store, words, valid)
+            new_store, ovf = self._step_cache[key](
+                self.store, words, counts, valid)
             if int(np.asarray(ovf).max()) == 0:
                 self.store = new_store
                 return
@@ -291,11 +293,11 @@ class CountIndex(_IndexBase):
                     self.mesh, self.nparts, self.spec, self.canonical,
                     bucket_cap, self.hash_name)
             with self.timer.phase("insert"):
-                rw, rv, route_ovf = self._step_cache[key](
+                rw, rc, rv, route_ovf = self._step_cache[key](
                     cols["codes"], cols["valid"], cols["owned"],
                     cols["seg_id"])
             if int(np.asarray(route_ovf).max()) == 0:
-                self._pending.append((rw, rv))
+                self._pending.append((rw, rc, rv))
                 self._pending_rows += rw.shape[1]
                 if self._pending_rows >= self.flush_rows:
                     with self.timer.phase("merge"):

@@ -248,12 +248,19 @@ def make_count_scan_step(mesh: Mesh, pred):
 
 def make_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
                      capacity: int, hash_name: str):
-    """Jitted: per-base columns -> (recv_words[p, p*C, w], recv_valid[p, p*C],
-    route_overflow[p]) — extraction + owner exchange WITHOUT the store
-    merge.  Pairs with `make_merge_step` for deferred merging (the
-    reference's sorted_map semantics: inserts append, the sort happens on
-    first query — distributed_sorted_map.hpp:341,940)."""
+    """Jitted: per-base columns -> (uniq_words[p, m, w], counts[p, m],
+    valid[p, m], route_overflow[p]) — extraction + owner exchange +
+    chunk-local pre-reduction, WITHOUT the store merge.
+
+    The pre-reduction (sort + run-length per chunk) is the reference's
+    local bucket_reduce (fsc_container_utils.hpp:306-507): duplicates
+    inside a chunk collapse to weighted rows before they ever hit the
+    pending buffer, which shrinks deferred merges dramatically on real
+    (repetitive) genomic data.  Pairs with `make_merge_step` for the
+    deferred merge (sorted_map lazy semantics,
+    distributed_sorted_map.hpp:341,940)."""
     from ..io.kmer_parsers import DeviceBases, extract_tuples
+    from ..ops import sortops
 
     def body(codes_blk, valid_blk, owned_blk, seg_blk):
         codes, valid, owned, seg = (
@@ -268,30 +275,35 @@ def make_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
         owner = owners_for(tup.words, nparts, hash_name)
         (rw,), rvalid, route = dist.distribute(
             (tup.words,), owner, tup.valid, nparts, capacity, SHARD_AXIS)
-        return rw[None], rvalid[None], route.overflow[None]
+        s_words, _, s_valid = sortops.sort_rows(
+            rw, (), rvalid, sentinel_ok=spec.sentinel_safe)
+        uniq, counts, _ = sortops.unique_counts(s_words, s_valid)
+        return (uniq[None], counts[None], (counts > 0)[None],
+                route.overflow[None])
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(SHARD_AXIS),) * 4,
-        out_specs=(P(SHARD_AXIS),) * 3,
+        out_specs=(P(SHARD_AXIS),) * 4,
     ))
 
 
 def make_merge_step(mesh: Mesh, saturate: int | None = None,
                     sentinel_ok: bool = False):
-    """Jitted: (stores, words[p, m, w], valid[p, m]) ->
-    (new_stores, store_overflow[p]) — local merge of already-owner-resident
-    rows (the deferred sort of the lazy-insert path)."""
+    """Jitted: (stores, words[p, m, w], weights[p, m], valid[p, m]) ->
+    (new_stores, store_overflow[p]) — local weighted merge of
+    already-owner-resident rows (the deferred sort of the lazy-insert
+    path)."""
 
-    def body(stores_blk, words_blk, valid_blk):
+    def body(stores_blk, words_blk, weights_blk, valid_blk):
         store = _unstack(stores_blk)
         new_store, ovf = st.count_insert(
-            store, words_blk[0], valid_blk[0], saturate=saturate,
-            sentinel_ok=sentinel_ok)
+            store, words_blk[0], valid_blk[0], weights=weights_blk[0],
+            saturate=saturate, sentinel_ok=sentinel_ok)
         return _stack(new_store), ovf[None]
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 3,
+        in_specs=(P(SHARD_AXIS),) * 4,
         out_specs=(P(SHARD_AXIS),) * 2,
     ))
