@@ -51,6 +51,9 @@ class DeBruijnGraph(_IndexBase):
             jax.vmap(lambda _: st.empty_vec_store(
                 initial_capacity, spec.nwords, _DIM))(jnp.arange(self.nparts)),
             self._sharding)
+        self._pending: list = []
+        self._pending_rows = 0
+        self.flush_rows = 1 << 24
 
     @property
     def capacity(self) -> int:
@@ -58,7 +61,32 @@ class DeBruijnGraph(_IndexBase):
 
     def size(self) -> int:
         """Number of graph nodes (distinct canonical k-mers)."""
+        self._flush()
         return int(np.asarray(self.store.size).sum())
+
+    def _flush(self):
+        if not self._pending:
+            return
+        words = jnp.concatenate([t[0] for t in self._pending], axis=1)
+        vecs = jnp.concatenate([t[1] for t in self._pending], axis=1)
+        valid = jnp.concatenate([t[2] for t in self._pending], axis=1)
+        self._pending = []
+        self._pending_rows = 0
+        n_rows = words.shape[1]
+        cap_needed = int(np.asarray(self.store.size).sum()) + n_rows
+        if cap_needed > self.capacity * self.nparts:
+            self._grow(_next_pow2(-(-cap_needed // self.nparts)))
+        while True:
+            key = ("merge", n_rows, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_vec_merge_step(
+                    self.mesh, self.saturate)
+            new_store, ovf = self._step_cache[key](
+                self.store, words, vecs, valid)
+            if int(np.asarray(ovf).max()) == 0:
+                self.store = new_store
+                return
+            self._grow(_next_pow2(self.capacity + int(np.asarray(ovf).max())))
 
     def _grow(self, new_cap: int):
         pad = new_cap - self.capacity
@@ -91,38 +119,32 @@ class DeBruijnGraph(_IndexBase):
             cols, _ = self._batch_to_stacked(
                 batch, id_kind=None, halo=self.spec.k, halo_left=1)
         n_local = cols["codes"].shape[1]
-        if self.size() + batch.num_bases > self.capacity * self.nparts:
-            self._grow(_next_pow2(
-                -(-(self.size() + batch.num_bases) // self.nparts)))
         bucket_cap = self._bucket_capacity(n_local)
         while True:
-            step = self._get_build_step(n_local, bucket_cap)
+            key = ("ingest", n_local, bucket_cap)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_debruijn_ingest_step(
+                    self.mesh, self.nparts, self.spec, self.canonical,
+                    bucket_cap, self.hash_name)
             with self.timer.phase("insert"):
-                new_store, route_ovf, store_ovf = step(
-                    self.store, cols["codes"], cols["valid"], cols["owned"],
+                rw, rv, rlive, route_ovf = self._step_cache[key](
+                    cols["codes"], cols["valid"], cols["owned"],
                     cols["seg_id"])
-            route_bad = int(np.asarray(route_ovf).max())
-            store_bad = int(np.asarray(store_ovf).max())
-            if route_bad == 0 and store_bad == 0:
-                self.store = new_store
+            if int(np.asarray(route_ovf).max()) == 0:
+                self._pending.append((rw, rv, rlive))
+                self._pending_rows += rw.shape[1]
+                if self._pending_rows >= self.flush_rows:
+                    with self.timer.phase("merge"):
+                        self._flush()
                 return self
-            if route_bad > 0:
-                bucket_cap = _next_pow2(bucket_cap + route_bad)
-            if store_bad > 0:
-                self._grow(_next_pow2(self.capacity + store_bad))
-
-    def _get_build_step(self, n_local, bucket_cap):
-        key = ("build", n_local, bucket_cap, self.capacity)
-        if key not in self._step_cache:
-            self._step_cache[key] = _make_debruijn_build_step(
-                self.mesh, self.nparts, self.spec, self.canonical,
-                bucket_cap, self.hash_name, self.saturate)
-        return self._step_cache[key]
+            bucket_cap = _next_pow2(
+                bucket_cap + int(np.asarray(route_ovf).max()))
 
     # ------------------------------------------------------------------
     def node_counts(self, kmers):
         """(counts int32[m, 9], found bool[m]) per query node —
         edge_counts payload lookup."""
+        self._flush()
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
@@ -170,6 +192,7 @@ class DeBruijnGraph(_IndexBase):
 
     def to_dict(self):
         """{kmer_int: (out ACGT, in ACGT, self) counters}."""
+        self._flush()
         out = {}
         keys = np.asarray(self.store.keys)
         vals = np.asarray(self.store.vals)
@@ -179,41 +202,6 @@ class DeBruijnGraph(_IndexBase):
                 out[self.spec.to_int(keys[p, i])] = tuple(
                     int(x) for x in vals[p, i])
         return out
-
-
-def _make_debruijn_build_step(mesh, nparts, spec, canonical, bucket_cap,
-                              hash_name, saturate):
-    """shard_map step: bases -> (canonical kmer, strand-corrected edge
-    vector) -> distribute -> vector-sum merge."""
-
-    def body(stores_blk, codes_blk, valid_blk, owned_blk, seg_blk):
-        store = jax.tree.map(lambda a: a[0], stores_blk)
-        codes, valid, owned, seg = (
-            codes_blk[0], valid_blk[0], owned_blk[0], seg_blk[0])
-        if canonical:
-            words, was_rc = packing.extract_canonical(codes, spec)
-        else:
-            words = packing.extract_kmers(codes, spec)
-            was_rc = jnp.zeros(codes.shape[0], bool)
-        wvalid = packing.window_valid(valid, seg, spec.k) & owned
-        edges = edge_bytes_for_windows(codes, valid, seg, spec.k,
-                                       spec.alphabet)
-        edges = jnp.where(was_rc, revcomp_edge_byte(edges), edges)
-        vecs = edge_byte_to_vec(edges)
-
-        owner = dx.owners_for(words, nparts, hash_name)
-        (rw, rv), rvalid, route = dist.distribute(
-            (words, vecs), owner, wvalid, nparts, bucket_cap, SHARD_AXIS)
-        new_store, ovf = st.vec_insert(store, rw, rv, rvalid,
-                                       saturate=saturate)
-        return (jax.tree.map(lambda a: a[None], new_store),
-                route.overflow[None], ovf[None])
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 5,
-        out_specs=(P(SHARD_AXIS),) * 3,
-    ))
 
 
 def _make_vec_lookup_step(mesh, nparts, capacity, hash_name):

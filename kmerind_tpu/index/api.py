@@ -306,14 +306,6 @@ class CountIndex(_IndexBase):
             bucket_cap = _next_pow2(
                 bucket_cap + int(np.asarray(route_ovf).max()))
 
-    def _get_build_step(self, n_local: int, bucket_cap: int):
-        key = ("build", n_local, bucket_cap, self.capacity)
-        if key not in self._step_cache:
-            self._step_cache[key] = _make_fused_build_step(
-                self.mesh, self.nparts, self.spec, self.canonical,
-                bucket_cap, self.hash_name, self.saturate)
-        return self._step_cache[key]
-
     def insert(self, kmers):
         """Insert explicit k-mers (Index::insert, kmer_index.hpp:201)."""
         self._flush()
@@ -542,42 +534,6 @@ class CountIndex(_IndexBase):
         return out
 
 
-def _make_fused_build_step(mesh, nparts, spec, canonical, bucket_cap,
-                           hash_name, saturate):
-    """shard_map step: per-base columns -> extraction -> distribute -> merge.
-
-    The full build pipeline of SURVEY §3.1 fused into one jitted program —
-    no host round trip between extraction and insertion.
-    """
-    from ..io.kmer_parsers import DeviceBases, extract_tuples
-    from ..parallel import distribute as dist
-
-    def body(stores_blk, codes_blk, valid_blk, owned_blk, seg_blk):
-        store = jax.tree.map(lambda a: a[0], stores_blk)
-        bases = DeviceBases(
-            codes=codes_blk[0], valid=valid_blk[0], owned=owned_blk[0],
-            seg_id=seg_blk[0],
-            id_hi=jnp.zeros_like(codes_blk[0], jnp.uint32),
-            id_lo=jnp.zeros_like(codes_blk[0], jnp.uint32),
-            qual=jnp.zeros_like(codes_blk[0]),
-        )
-        tup = extract_tuples(bases, spec, canonical=canonical)
-        owner = dx.owners_for(tup.words, nparts, hash_name)
-        (rwords,), rvalid, route = dist.distribute(
-            (tup.words,), owner, tup.valid, nparts, bucket_cap, SHARD_AXIS)
-        new_store, ovf = st.count_insert(store, rwords, rvalid,
-                                         saturate=saturate,
-                                         sentinel_ok=spec.sentinel_safe)
-        return (jax.tree.map(lambda a: a[None], new_store),
-                route.overflow[None], ovf[None])
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 5,
-        out_specs=(P(SHARD_AXIS),) * 3,
-    ))
-
-
 class PositionIndex(_IndexBase):
     """Distributed k-mer → positions multimap (PositionIndex preset,
     kmer_index.hpp:399-404; densehash_multimap semantics).
@@ -600,6 +556,9 @@ class PositionIndex(_IndexBase):
             jax.vmap(lambda _: st.empty_multi_store(
                 initial_capacity, spec.nwords))(jnp.arange(self.nparts)),
             self._sharding)
+        self._pending: list = []
+        self._pending_rows = 0
+        self.flush_rows = 1 << 24
 
     @property
     def capacity(self) -> int:
@@ -607,7 +566,35 @@ class PositionIndex(_IndexBase):
 
     def size(self) -> int:
         """Total number of (kmer, position) pairs."""
+        self._flush()
         return int(np.asarray(self.store.size).sum())
+
+    def _flush(self):
+        if not self._pending:
+            return
+        words = jnp.concatenate([t[0] for t in self._pending], axis=1)
+        hi = jnp.concatenate([t[1] for t in self._pending], axis=1)
+        lo = jnp.concatenate([t[2] for t in self._pending], axis=1)
+        q = jnp.concatenate([t[3] for t in self._pending], axis=1)
+        valid = jnp.concatenate([t[4] for t in self._pending], axis=1)
+        self._pending = []
+        self._pending_rows = 0
+        n_rows = words.shape[1]
+        live = int(np.asarray(
+            jnp.sum(valid.astype(jnp.int32), axis=1)).max())
+        if int(np.asarray(self.store.size).max()) + live > self.capacity:
+            self._grow(_next_pow2(
+                int(np.asarray(self.store.size).max()) + live))
+        while True:
+            key = ("merge", n_rows, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_multi_merge_step(self.mesh)
+            new_store, ovf = self._step_cache[key](
+                self.store, words, hi, lo, q, valid)
+            if int(np.asarray(ovf).max()) == 0:
+                self.store = new_store
+                return
+            self._grow(_next_pow2(self.capacity + int(np.asarray(ovf).max())))
 
     def _grow(self, new_cap: int):
         pad = new_cap - self.capacity
@@ -636,38 +623,33 @@ class PositionIndex(_IndexBase):
         with self.timer.phase("extract"):
             cols, _ = self._batch_to_stacked(batch, id_kind=self.id_kind)
         n_local = cols["codes"].shape[1]
-        if self.size() + batch.num_bases > self.capacity * self.nparts:
-            self._grow(_next_pow2(
-                -(-(self.size() + batch.num_bases) // self.nparts)))
         bucket_cap = self._bucket_capacity(n_local)
         while True:
-            step = self._get_build_step(n_local, bucket_cap)
+            key = ("ingest", n_local, bucket_cap)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_multi_ingest_step(
+                    self.mesh, self.nparts, self.spec, self.canonical,
+                    bucket_cap, self.hash_name, self.with_quality,
+                    self.codec)
             with self.timer.phase("insert"):
-                new_store, route_ovf, store_ovf = step(
-                    self.store, cols["codes"], cols["valid"], cols["owned"],
+                rw, rhi, rlo, rq, rv, route_ovf = self._step_cache[key](
+                    cols["codes"], cols["valid"], cols["owned"],
                     cols["seg_id"], cols["id_hi"], cols["id_lo"],
                     cols["qual"])
-            route_bad = int(np.asarray(route_ovf).max())
-            store_bad = int(np.asarray(store_ovf).max())
-            if route_bad == 0 and store_bad == 0:
-                self.store = new_store
+            if int(np.asarray(route_ovf).max()) == 0:
+                self._pending.append((rw, rhi, rlo, rq, rv))
+                self._pending_rows += rw.shape[1]
+                if self._pending_rows >= self.flush_rows:
+                    with self.timer.phase("merge"):
+                        self._flush()
                 return self
-            if route_bad > 0:
-                bucket_cap = _next_pow2(bucket_cap + route_bad)
-            if store_bad > 0:
-                self._grow(_next_pow2(self.capacity + store_bad))
-
-    def _get_build_step(self, n_local, bucket_cap):
-        key = ("build", n_local, bucket_cap, self.capacity)
-        if key not in self._step_cache:
-            self._step_cache[key] = _make_fused_position_build_step(
-                self.mesh, self.nparts, self.spec, self.canonical,
-                bucket_cap, self.hash_name, self.with_quality, self.codec)
-        return self._step_cache[key]
+            bucket_cap = _next_pow2(
+                bucket_cap + int(np.asarray(route_ovf).max()))
 
     def unique_size(self) -> int:
         """Number of distinct keys in the multimap (map_base::unique_size):
         counted on device per shard as key-change boundaries."""
+        self._flush()
         uniq = 0
         keys = np.asarray(self.store.keys)
         sizes = np.asarray(self.store.size)
@@ -684,6 +666,7 @@ class PositionIndex(_IndexBase):
 
     def count(self, kmers) -> np.ndarray:
         """Multiplicity per query (get_multiplicity / count on multimap)."""
+        self._flush()
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
@@ -701,6 +684,7 @@ class PositionIndex(_IndexBase):
     def find(self, kmers, max_per_query: int = 64, with_quality: bool = False):
         """Per-query position-id lists: (ids uint64[m, max], mask[m, max]),
         plus float32 qualities when with_quality."""
+        self._flush()
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
@@ -727,6 +711,7 @@ class PositionIndex(_IndexBase):
 
     def to_dict(self) -> dict[int, list[int]]:
         """Full contents: {kmer_int: sorted position ids} (tests/tools)."""
+        self._flush()
         out: dict[int, list[int]] = {}
         keys = np.asarray(self.store.keys)
         hi = np.asarray(self.store.val_hi)
@@ -738,43 +723,6 @@ class PositionIndex(_IndexBase):
                 pid = (int(hi[p, i]) << 32) | int(lo[p, i])
                 out.setdefault(v, []).append(pid)
         return {k: sorted(v) for k, v in out.items()}
-
-
-def _make_fused_position_build_step(mesh, nparts, spec, canonical,
-                                    bucket_cap, hash_name,
-                                    with_quality=False, codec=None):
-    from ..io.kmer_parsers import DeviceBases, extract_tuples
-    from ..parallel import distribute as dist
-    from ..quality import ILLUMINA18
-
-    codec = codec if codec is not None else ILLUMINA18
-
-    def body(stores_blk, codes_blk, valid_blk, owned_blk, seg_blk,
-             hi_blk, lo_blk, qual_blk):
-        store = jax.tree.map(lambda a: a[0], stores_blk)
-        bases = DeviceBases(
-            codes=codes_blk[0], valid=valid_blk[0], owned=owned_blk[0],
-            seg_id=seg_blk[0], id_hi=hi_blk[0], id_lo=lo_blk[0],
-            qual=qual_blk[0],
-        )
-        tup = extract_tuples(bases, spec, canonical=canonical,
-                             with_quality=with_quality, codec=codec)
-        owner = dx.owners_for(tup.words, nparts, hash_name)
-        qbits = jax.lax.bitcast_convert_type(tup.qual, jnp.uint32)
-        (rw, rhi, rlo, rqb), rvalid, route = dist.distribute(
-            (tup.words, tup.id_hi, tup.id_lo, qbits), owner, tup.valid,
-            nparts, bucket_cap, SHARD_AXIS)
-        rq = jax.lax.bitcast_convert_type(rqb, jnp.float32)
-        new_store, ovf = st.multi_insert(store, rw, rhi, rlo, rvalid,
-                                         val_q=rq)
-        return (jax.tree.map(lambda a: a[None], new_store),
-                route.overflow[None], ovf[None])
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 8,
-        out_specs=(P(SHARD_AXIS),) * 3,
-    ))
 
 
 class PositionQualityIndex(PositionIndex):
@@ -789,6 +737,7 @@ class PositionQualityIndex(PositionIndex):
 
     def to_dict(self):
         """{kmer_int: sorted [(position id, quality), ...]}."""
+        self._flush()
         out: dict[int, list] = {}
         keys = np.asarray(self.store.keys)
         hi = np.asarray(self.store.val_hi)

@@ -307,3 +307,116 @@ def make_merge_step(mesh: Mesh, saturate: int | None = None,
         in_specs=(P(SHARD_AXIS),) * 4,
         out_specs=(P(SHARD_AXIS),) * 2,
     ))
+
+
+def make_multi_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
+                           capacity: int, hash_name: str,
+                           with_quality: bool = False, codec=None):
+    """Jitted multimap ingest: extraction + owner exchange of
+    (kmer, id, quality) tuples WITHOUT the store merge — the lazy half of
+    the position-index insert."""
+    from ..io.kmer_parsers import DeviceBases, extract_tuples
+    from ..quality import ILLUMINA18
+
+    codec = codec if codec is not None else ILLUMINA18
+
+    def body(codes_blk, valid_blk, owned_blk, seg_blk, hi_blk, lo_blk,
+             qual_blk):
+        bases = DeviceBases(
+            codes=codes_blk[0], valid=valid_blk[0], owned=owned_blk[0],
+            seg_id=seg_blk[0], id_hi=hi_blk[0], id_lo=lo_blk[0],
+            qual=qual_blk[0],
+        )
+        tup = extract_tuples(bases, spec, canonical=canonical,
+                             with_quality=with_quality, codec=codec)
+        owner = owners_for(tup.words, nparts, hash_name)
+        qbits = jax.lax.bitcast_convert_type(tup.qual, jnp.uint32)
+        (rw, rhi, rlo, rqb), rvalid, route = dist.distribute(
+            (tup.words, tup.id_hi, tup.id_lo, qbits), owner, tup.valid,
+            nparts, capacity, SHARD_AXIS)
+        rq = jax.lax.bitcast_convert_type(rqb, jnp.float32)
+        return (rw[None], rhi[None], rlo[None], rq[None], rvalid[None],
+                route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 7,
+        out_specs=(P(SHARD_AXIS),) * 6,
+    ))
+
+
+def make_multi_merge_step(mesh: Mesh):
+    """Jitted: deferred multimap merge of owner-resident tuples."""
+
+    def body(stores_blk, words_blk, hi_blk, lo_blk, q_blk, valid_blk):
+        store = _unstack(stores_blk)
+        new_store, ovf = st.multi_insert(
+            store, words_blk[0], hi_blk[0], lo_blk[0], valid_blk[0],
+            val_q=q_blk[0])
+        return _stack(new_store), ovf[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 6,
+        out_specs=(P(SHARD_AXIS),) * 2,
+    ))
+
+
+def make_debruijn_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
+                              capacity: int, hash_name: str):
+    """Jitted de Bruijn ingest: (node kmer, strand-corrected edge vector)
+    exchange + chunk-local vector pre-reduction, no store merge."""
+    from ..debruijn.edges import (edge_byte_to_vec, edge_bytes_for_windows,
+                                  revcomp_edge_byte)
+    from ..ops import packing, sortops
+
+    def body(codes_blk, valid_blk, owned_blk, seg_blk):
+        codes, valid, owned, seg = (
+            codes_blk[0], valid_blk[0], owned_blk[0], seg_blk[0])
+        if canonical:
+            words, was_rc = packing.extract_canonical(codes, spec)
+        else:
+            words = packing.extract_kmers(codes, spec)
+            was_rc = jnp.zeros(codes.shape[0], bool)
+        wvalid = packing.window_valid(valid, seg, spec.k) & owned
+        edges = edge_bytes_for_windows(codes, valid, seg, spec.k,
+                                       spec.alphabet)
+        edges = jnp.where(was_rc, revcomp_edge_byte(edges), edges)
+        vecs = edge_byte_to_vec(edges)
+        owner = owners_for(words, nparts, hash_name)
+        (rw, rv), rvalid, route = dist.distribute(
+            (words, vecs), owner, wvalid, nparts, capacity, SHARD_AXIS)
+        # chunk-local vector reduction (bucket_reduce on edge counters)
+        s_words, (s_v0, s_v1, s_v2, s_v3, s_v4, s_v5, s_v6, s_v7, s_v8), \
+            s_valid = sortops.sort_rows(
+                rw, tuple(rv[:, j] for j in range(9)), rvalid,
+                sentinel_ok=spec.sentinel_safe)
+        s_vecs = jnp.stack(
+            [s_v0, s_v1, s_v2, s_v3, s_v4, s_v5, s_v6, s_v7, s_v8], axis=1)
+        uniq, red, _ = sortops.segment_reduce_sorted(
+            s_words, s_valid, s_vecs, reduce="sum")
+        live = red[:, 8] > 0  # self-count > 0 marks live rows
+        return uniq[None], red[None], live[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 4,
+        out_specs=(P(SHARD_AXIS),) * 4,
+    ))
+
+
+def make_vec_merge_step(mesh: Mesh, saturate: int | None = None):
+    """Jitted deferred vector-store merge."""
+
+    def body(stores_blk, words_blk, vecs_blk, valid_blk):
+        store = _unstack(stores_blk)
+        new_store, ovf = st.vec_insert(
+            store, words_blk[0], vecs_blk[0], valid_blk[0],
+            saturate=saturate)
+        return _stack(new_store), ovf[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 4,
+        out_specs=(P(SHARD_AXIS),) * 2,
+    ))
