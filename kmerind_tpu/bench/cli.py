@@ -92,7 +92,7 @@ def main(argv=None):
                          hash_name=args.hash, timer=timer)
     elif args.index == "position":
         idx = PositionIndex(spec, mesh=mesh,
-                            canonical=False if args.single_strand else False,
+                            canonical=not args.single_strand,
                             hash_name=args.hash, id_kind=id_kind, timer=timer)
     elif args.index == "posqual":
         idx = PositionQualityIndex(spec, mesh=mesh, hash_name=args.hash,

@@ -37,12 +37,10 @@ def dna16_code_lut(alphabet: Alphabet) -> np.ndarray:
 
 
 def _shift_idx(a, s):
-    """a'[i] = a[i+s] (s may be negative: a'[i] = a[i+s], zero fill)."""
-    if s == 0:
-        return a
-    if s > 0:
-        pad = [(0, s, 0)] + [(0, 0, 0)] * (a.ndim - 1)
-        return jax.lax.pad(a, jnp.zeros((), a.dtype), pad)[s:]
+    """a'[i] = a[i+s] (s may be negative: look-behind, zero fill)."""
+    from ..ops.packing import _shift_idx as _fwd
+    if s >= 0:
+        return _fwd(a, s)
     s = -s
     pad = [(s, 0, 0)] + [(0, 0, 0)] * (a.ndim - 1)
     return jax.lax.pad(a, jnp.zeros((), a.dtype), pad)[:a.shape[0]]

@@ -111,8 +111,11 @@ class DeBruijnGraph(_IndexBase):
             # edge context needs 1 base left + k right
             for sub in batch.iter_chunks(chunk_bases, self.spec.k,
                                          halo_left=1):
-                self.insert_batch(sub, chunk_bases=batch.num_bases + 1)
+                self._insert_one_chunk(sub)
             return self
+        return self._insert_one_chunk(batch)
+
+    def _insert_one_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
             # edge bytes need 1 base of left context and the k-th base on
             # the right, beyond the k-1 window halo
@@ -172,11 +175,13 @@ class DeBruijnGraph(_IndexBase):
         (kmer_string, edge count) — get_in/out_neighbors
         (de_bruijn_node_trait.hpp:60-115)."""
         spec = self.spec
-        words = self._to_words([kmer])
+        words = self._maybe_canonicalize_queries(self._to_words([kmer]))
         vals, found = self.node_counts(words)
         if not found[0]:
             return [], []
         counts = vals[0]
+        # counters are ordered for the canonical strand; walk from the
+        # canonicalized node, not the raw query orientation
         codes = spec.unpack_words(words[0])
         outs, ins = [], []
         for b in range(4):  # DNA codes A C G T = 0..3

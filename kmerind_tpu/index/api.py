@@ -279,9 +279,15 @@ class CountIndex(_IndexBase):
         if chunk_bases is None:
             chunk_bases = self.default_chunk_bases
         if batch.num_bases > chunk_bases:
+            # chunks are padded to chunk_bases + halo, so they must go
+            # straight to the single-chunk path (re-chunking a padded chunk
+            # would recurse forever)
             for sub in batch.iter_chunks(chunk_bases, self.spec.k - 1):
-                self.insert_batch(sub, chunk_bases=batch.num_bases + 1)
+                self._insert_one_chunk(sub)
             return self
+        return self._insert_one_chunk(batch)
+
+    def _insert_one_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
             cols, _ = self._batch_to_stacked(batch, id_kind=None)
         n_local = cols["codes"].shape[1]
@@ -618,8 +624,11 @@ class PositionIndex(_IndexBase):
             chunk_bases = self.default_chunk_bases
         if batch.num_bases > chunk_bases:
             for sub in batch.iter_chunks(chunk_bases, self.spec.k - 1):
-                self.insert_batch(sub, chunk_bases=batch.num_bases + 1)
+                self._insert_one_chunk(sub)
             return self
+        return self._insert_one_chunk(batch)
+
+    def _insert_one_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
             cols, _ = self._batch_to_stacked(batch, id_kind=self.id_kind)
         n_local = cols["codes"].shape[1]

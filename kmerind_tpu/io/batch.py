@@ -82,12 +82,16 @@ class ReadBatch:
 
     def short_ids(self) -> np.ndarray:
         """uint64[n] ShortSequenceKmerId per base (sequence.hpp:152-156)."""
+        if self.num_records == 0:
+            return np.zeros(self.num_bases, dtype=np.uint64)
         rs = self.record_start[self.seg_id] & _POS40
         fid = self.file_id[self.seg_id].astype(np.uint64) << np.uint64(56)
         return fid | (rs << np.uint64(16)) | self.offset_in_record.astype(np.uint64)
 
     def long_ids(self) -> np.ndarray:
         """uint64[n] LongSequenceKmerId per base (sequence.hpp:253-257)."""
+        if self.num_records == 0:
+            return np.zeros(self.num_bases, dtype=np.uint64)
         fid = self.file_id[self.seg_id].astype(np.uint64) << np.uint64(56)
         sid = self.seq_index[self.seg_id].astype(np.uint64) << np.uint64(40)
         return fid | sid | (self.global_pos & _POS40)

@@ -48,8 +48,17 @@ def parse_fasta(
     file_offset: int = 0,
     file_id: int = 0,
     seq_index_base: int = 0,
+    leading_record_start: int | None = None,
 ) -> ReadBatch:
-    """Parse a FASTA byte block (starting at a '>' header) to a ReadBatch."""
+    """Parse a FASTA byte block to a ReadBatch.
+
+    Normally the block starts at a '>' header.  For block-parallel reads a
+    slice may begin mid-record: pass `leading_record_start` (the ABSOLUTE
+    file position of the containing record's '>') and the leading sequence
+    lines are attributed to that record, whose ordinal is
+    `seq_index_base` (the reference's distributed header exchange supplies
+    the same context, fasta_loader.hpp:202-360).
+    """
     data = np.asarray(data, dtype=np.uint8)
     starts, ends = _line_table(data)
     if starts.size == 0:
@@ -57,9 +66,12 @@ def parse_fasta(
     first_chars = data[starts]
     is_record_hdr = first_chars == _GT
     is_comment = first_chars == _SEMI
-    if not is_record_hdr[0] and not is_comment[0]:
+    if (not is_record_hdr[0] and not is_comment[0]
+            and leading_record_start is None):
         raise ValueError("FASTA block does not begin with a header line")
     rec_of_line = np.cumsum(is_record_hdr.astype(np.int64)) - 1  # -1 before first '>'
+    if leading_record_start is not None:
+        rec_of_line = rec_of_line + 1
     is_seq_line = ~is_record_hdr & ~is_comment & (rec_of_line >= 0)
 
     seq_starts = starts[is_seq_line]
@@ -70,6 +82,9 @@ def parse_fasta(
     seg = seq_rec[line_seg].astype(np.int32)
 
     record_start = starts[is_record_hdr].astype(np.int64)
+    if leading_record_start is not None:
+        record_start = np.concatenate(
+            [[leading_record_start - file_offset], record_start])
     nrec = record_start.shape[0]
     codes = alphabet.from_ascii[data[flat]]
     return ReadBatch(

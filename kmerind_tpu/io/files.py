@@ -167,6 +167,32 @@ def read_fastq_block(
     return parse_fastq(data, alphabet, file_offset=first, file_id=file_id)
 
 
+_HEADER_CACHE: dict = {}
+
+
+def fasta_header_table(path) -> np.ndarray:
+    """Absolute positions of every '>' record header (line starts).
+
+    One vectorized scan, cached per (path, size, mtime) — the analog of the
+    reference's one-time distributed header scan (fasta_loader.hpp:202-360);
+    every block read reuses it.
+    """
+    st = pathlib.Path(path).stat()
+    key = (str(path), st.st_size, st.st_mtime_ns)
+    hit = _HEADER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    data = read_bytes(path)
+    at_start = data[:1] == ord(">") if data.size else np.zeros(0, bool)
+    after_nl = (data[1:] == ord(">")) & (data[:-1] == ord("\n"))
+    hdr = np.concatenate([np.flatnonzero(at_start),
+                          np.flatnonzero(after_nl) + 1]).astype(np.int64)
+    hdr.sort()
+    _HEADER_CACHE.clear()
+    _HEADER_CACHE[key] = hdr
+    return hdr
+
+
 def read_fasta_block(
     path,
     alphabet: Alphabet,
@@ -180,11 +206,10 @@ def read_fasta_block(
     boundary are produced exactly once, by the left owner —
     kmer_file_helper.hpp:361, file.hpp:1264-1295).
 
-    Header/record metadata for sequences overlapping the block is
-    reconstructed by scanning headers from the file start — the sequential
-    stand-in for the reference's distributed header exchange
-    (fasta_loader.hpp:202-360); on a real multi-host deployment the header
-    table is allgathered once instead.
+    Cost is O(block): record context for a block that begins mid-sequence
+    comes from the cached global header table (`fasta_header_table` — the
+    reference's distributed header exchange), and only
+    [block_start, block_end + halo slack) bytes are read and parsed.
 
     Ownership: this part owns k-mer windows whose first base lies within its
     byte block; `ReadBatch.owned` is True for owned bases, False for halo
@@ -192,19 +217,59 @@ def read_fasta_block(
     """
     total = file_size(path)
     bs, be = block_partition(total, nparts, part)
-    # header index for record context: scan [0, be+slack) for '>' line starts
-    data_all = read_bytes(path)
-    batch = parse_fasta(data_all, alphabet, file_offset=0, file_id=file_id)
-    # select bases whose raw position is in [bs, be), plus halo following bases
-    pos = batch.global_pos
+    if bs >= be:
+        return parse_fasta(np.zeros(0, np.uint8), alphabet)
+    headers = fasta_header_table(path)
+    # containing/most-recent record at or before bs
+    hidx = int(np.searchsorted(headers, bs, side="right")) - 1
+    if hidx < 0:
+        # block lies before the first record: skip to the first header
+        if headers.size == 0 or headers[0] >= be:
+            return parse_fasta(np.zeros(0, np.uint8), alphabet)
+        bs = int(headers[0])
+        hidx = 0
+    # align the parse start to a line boundary at or before bs
+    ps = bs
+    back = 1 << 12
+    while ps > 0:
+        lo = max(0, ps - back)
+        window = read_bytes(path, lo, ps)
+        nl = np.flatnonzero(window == 10)
+        if nl.size:
+            ps = lo + int(nl[-1]) + 1
+            break
+        if lo == 0:
+            ps = 0
+            break
+        back *= 4
+        ps = ps  # keep searching further back
+    lead_abs = int(headers[hidx])
+    leading = None if lead_abs >= ps else lead_abs
+    # read the block plus slack until >= halo bases beyond be (or EOF)
+    slack = max(halo * 2, 1 << 14)
+    while True:
+        hi = min(total, be + slack)
+        data = read_bytes(path, ps, hi)
+        # ps is the start of the line containing bs, so either the slice
+        # begins at record hidx's own header (ps == lead_abs, no leading
+        # context) or inside record hidx (leading context = lead_abs);
+        # the first record in the slice is hidx in both cases
+        batch = parse_fasta(
+            data, alphabet, file_offset=ps, file_id=file_id,
+            seq_index_base=hidx, leading_record_start=leading)
+        pos = batch.global_pos
+        past = int((pos >= be).sum())
+        if past >= halo or hi == total:
+            break
+        slack *= 4
     owned = (pos >= bs) & (pos < be)
     idx = np.flatnonzero(owned)
     if idx.size == 0:
         return batch.slice_bases(0, 0)
-    lo = int(idx[0])
-    hi = min(int(idx[-1]) + 1 + halo, batch.num_bases)
-    sub = batch.slice_bases(lo, hi)
-    return dataclasses.replace(sub, owned=owned[lo:hi].copy())
+    lo_i = int(idx[0])
+    hi_i = min(int(idx[-1]) + 1 + halo, batch.num_bases)
+    sub = batch.slice_bases(lo_i, hi_i)
+    return dataclasses.replace(sub, owned=owned[lo_i:hi_i].copy())
 
 
 def owned_base_count(batch: ReadBatch) -> int:

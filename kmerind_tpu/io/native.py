@@ -52,9 +52,13 @@ def _try_load():
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not _LIB_PATH.exists():
+        src = _NATIVE_DIR / "fastscan.cpp"
+        stale = (_LIB_PATH.exists() and src.exists()
+                 and src.stat().st_mtime > _LIB_PATH.stat().st_mtime)
+        if not _LIB_PATH.exists() or stale:
             subprocess.run(
-                ["make", "-C", str(_NATIVE_DIR)],
+                ["make", "-C", str(_NATIVE_DIR), "-B"] if stale
+                else ["make", "-C", str(_NATIVE_DIR)],
                 check=True, capture_output=True, timeout=120)
         lib = ctypes.CDLL(str(_LIB_PATH))
     except Exception:

@@ -195,13 +195,9 @@ def segment_reduce_sorted(sorted_words, sorted_valid, values, reduce: str = "sum
 
 
 def _lex_less_rows(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Row-wise a < b for uint32[..., w] — elementwise fold, no gathers."""
-    w = a.shape[-1]
-    less = jnp.zeros(a.shape[:-1], dtype=bool)
-    for j in reversed(range(w)):
-        aj, bj = a[..., j], b[..., j]
-        less = jnp.where(aj != bj, aj < bj, less)
-    return less
+    """Row-wise a < b for uint32[..., w] (shared elementwise fold)."""
+    from .packing import lex_less
+    return lex_less(a, b)
 
 
 def _bsearch(keys: jax.Array, size: jax.Array, queries: jax.Array, side: str):

@@ -68,16 +68,12 @@ def make_sample_sort_step(mesh: Mesh, nparts: int, capacity: int,
             if nparts > 1 else jnp.zeros((0,), jnp.int32)
         splitters = g_sorted[pos]  # [p-1, w]
 
-        # 3. owner = number of splitters <= element  (elementwise fold)
+        # 3. owner = number of splitters <= element
+        from ..ops.packing import lex_less
         owner = jnp.zeros((n,), jnp.int32)
         for si in range(nparts - 1):
-            sp = splitters[si]
-            ge = jnp.ones((n,), bool)
-            less = jnp.zeros((n,), bool)
-            for j in reversed(range(w)):
-                aj = words[:, j]
-                less = jnp.where(aj != sp[j], aj < sp[j], less)
-            owner = owner + jnp.where(less, 0, 1)
+            sp = jnp.broadcast_to(splitters[si], words.shape)
+            owner = owner + jnp.where(lex_less(words, sp), 0, 1)
 
         # 4. route + local sort of received runs
         (rwords,), rvalid, route = dist.distribute(

@@ -106,10 +106,8 @@ ILLUMINA15 = QualityCodec("Illumina15", 64, 126, 3)
 
 
 def _shift_idx(a, s):
-    if s == 0:
-        return a
-    pad_cfg = [(0, s, 0)] + [(0, 0, 0)] * (a.ndim - 1)
-    return jax.lax.pad(a, jnp.zeros((), a.dtype), pad_cfg)[s:]
+    from .ops.packing import _shift_idx as _impl
+    return _impl(a, s)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "codec"))

@@ -232,3 +232,26 @@ def test_chunked_insert_matches_whole(ref_data_dir):
     chunked = CountIndex(spec, mesh=make_mesh(4))
     chunked.insert_batch(batch, chunk_bases=1000)  # ~9 chunks
     assert chunked.to_dict() == whole.to_dict()
+
+
+def test_chunk_boundary_no_recursion(ref_data_dir):
+    """Regression: num_bases in (chunk, chunk + k - 2) used to recurse
+    forever (padded chunks exceeded the re-chunk guard)."""
+    from kmerind_tpu.io import read_file
+    batch = read_file(ref_data_dir / "test.medium.fastq", DNA)  # 8400 bases
+    spec = KmerSpec(21, DNA)
+    idx = CountIndex(spec, mesh=make_mesh(2))
+    idx.insert_batch(batch, chunk_bases=batch.num_bases - 5)  # boundary window
+    whole = CountIndex(spec, mesh=make_mesh(2))
+    whole.insert_batch(batch)
+    assert idx.to_dict() == whole.to_dict()
+
+
+def test_empty_batch_position_insert():
+    """Regression: a partition with zero records must be a clean no-op."""
+    from kmerind_tpu.index.api import PositionIndex
+    from kmerind_tpu.io import parse_fastq
+    empty = parse_fastq(np.zeros(0, np.uint8), DNA)
+    idx = PositionIndex(KmerSpec(21, DNA), mesh=make_mesh(2), id_kind="short")
+    idx.insert_batch(empty)
+    assert idx.size() == 0

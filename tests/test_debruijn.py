@@ -123,3 +123,21 @@ def test_debruijn_chunked_insert(ref_data_dir):
     chunked = DeBruijnGraph(spec, mesh=make_mesh(2))
     chunked.insert_batch(read_file(path, DNA), chunk_bases=97)
     assert chunked.to_dict() == whole.to_dict()
+
+
+def test_neighbors_of_noncanonical_query(ref_data_dir):
+    """Regression: querying neighbors via the non-canonical strand used to
+    walk from the wrong orientation."""
+    path = ref_data_dir / "test.debruijn.small.fastq"
+    spec = KmerSpec(K, DNA)
+    g = DeBruijnGraph(spec, mesh=make_mesh(2))
+    g.build(path)
+    d = g.to_dict()
+    interior = next(v for v, c in d.items() if sum(c[:4]) and sum(c[4:8]))
+    canon_str = DNA.decode(np.array(oracle.int_to_codes(interior, K, 2), np.uint8))
+    rc_int = oracle.revcomp_int(interior, K, DNA)
+    rc_str = DNA.decode(np.array(oracle.int_to_codes(rc_int, K, 2), np.uint8))
+    assert oracle.revcomp_int(rc_int, K, DNA) == interior
+    a = g.neighbors(canon_str)
+    b = g.neighbors(rc_str)   # same node queried via the other strand
+    assert a == b

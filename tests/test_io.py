@@ -267,3 +267,22 @@ def test_drop_records_with_invalid(ref_data_dir):
     # kmers from the filtered batch contain no read with N
     kept_segs = set(fb.seg_id.tolist())
     assert all(not want_bad[s] for s in kept_segs)
+
+
+def test_fasta_block_long_ids_invariance(ref_data_dir):
+    """Block reads must produce the same LongSequenceKmerIds (absolute
+    positions AND sequence ordinals) as the whole-file parse, for every
+    partition count — including blocks starting exactly at a header."""
+    path = ref_data_dir / "test.medium.fasta"
+    whole = read_file(path, DNA16)
+    want = {int(p): int(i) for p, i in
+            zip(whole.global_pos, whole.long_ids())}
+    for nparts in (2, 3, 7, 16):
+        got = {}
+        for part in range(nparts):
+            blk = read_fasta_block(path, DNA16, part, nparts, halo=20)
+            ids = blk.long_ids()
+            for p, i, o in zip(blk.global_pos, ids, blk.owned):
+                if o:
+                    got[int(p)] = int(i)
+        assert got == want, f"np={nparts}"
