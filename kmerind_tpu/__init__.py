@@ -21,6 +21,7 @@ Layering (mirrors SURVEY.md §7):
 
 from . import alphabets
 from .alphabets import ASCII, DNA, DNA5, DNA6, DNA16, DNA_IUPAC, RNA, RNA5, RNA6
+from .config import IndexConfig
 from .kmer import KmerSpec
 
 __version__ = "0.1.0"
@@ -28,6 +29,7 @@ __version__ = "0.1.0"
 __all__ = [
     "alphabets",
     "KmerSpec",
+    "IndexConfig",
     "DNA",
     "DNA5",
     "DNA6",

@@ -255,3 +255,17 @@ def test_empty_batch_position_insert():
     idx = PositionIndex(KmerSpec(21, DNA), mesh=make_mesh(2), id_kind="short")
     idx.insert_batch(empty)
     assert idx.size() == 0
+
+
+def test_file_id_in_position_ids(ref_data_dir):
+    """Multi-file position builds carry the file id in bits 56-63 of every
+    stored id (ShortSequenceKmerId file field)."""
+    from kmerind_tpu.index.api import PositionIndex
+    idx = PositionIndex(KmerSpec(21, DNA), mesh=make_mesh(2), id_kind="short")
+    idx.build_files([ref_data_dir / "test.small.fastq",
+                     ref_data_dir / "test.small.fastq"])
+    fids = set()
+    for v, ids in idx.to_dict().items():
+        for pid in ids:
+            fids.add(pid >> 56)
+    assert fids == {0, 1}
