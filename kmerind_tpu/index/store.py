@@ -135,7 +135,16 @@ def count_insert(store: CountStore, words: jax.Array, valid: jax.Array,
 @jax.jit
 def count_lookup(store: CountStore, queries: jax.Array) -> jax.Array:
     """int32[m] count per query key (0 if absent) — LocalCount
-    (distributed_densehash_map.hpp:1123-1199)."""
+    (distributed_densehash_map.hpp:1123-1199).
+
+    Small batches use batched binary search (log2(cap) gather rounds);
+    large batches (m >= cap/8) switch to the gather-free sort-merge join
+    (`sortops.lookup_join`), which is faster once gather cost dominates.
+    """
+    m = queries.shape[0]
+    if m * 8 >= store.capacity:
+        return sortops.lookup_join(store.keys, store.size, store.counts,
+                                   queries)
     idx = sortops.lower_bound(store.keys, store.size, queries.astype(jnp.uint32))
     hit = sortops.rows_equal_at(store.keys, idx, queries.astype(jnp.uint32),
                                 store.size)

@@ -252,3 +252,60 @@ def rows_equal_at(keys: jax.Array, idx: jax.Array, queries: jax.Array,
     cap = keys.shape[0]
     rows = keys[jnp.clip(idx, 0, cap - 1)]
     return (idx < size) & jnp.all(rows == queries, axis=-1)
+
+
+def lookup_join(keys: jax.Array, size: jax.Array, vals: jax.Array,
+                queries: jax.Array) -> jax.Array:
+    """Gather-free batched lookup: value per query key (0 if absent).
+
+    For large query batches the log2(cap) gather rounds of `lower_bound`
+    dominate (TPU gathers serialize); this sort-merge join answers ALL
+    queries with two sorts, two cumulative-max scans and a single gather —
+    the TPU-idiomatic form of the reference's fused scatter_compute_gather
+    query pattern (incremental_mxx.hpp:1376-1806):
+
+      1. concatenate store rows (flag 0) and query rows (flag 1), sort by
+         (key words, flag) — equal keys group, store row first;
+      2. cummax of "last key-run start" and "last store-row position": a
+         query matches iff a store row exists inside its own key run;
+      3. one gather fetches the matched store values; a second sort by
+         (flag, original index) restores query order.
+
+    keys/vals: store arrays ([cap, w], [cap]); rows >= size must hold
+    sentinel keys with zero values.  queries: [m, w].  Returns int32[m].
+    """
+    del size  # sentinel rows carry zero values; no explicit bound needed
+    cap, w = keys.shape
+    m = queries.shape[0]
+    total = cap + m
+    q = queries.astype(jnp.uint32)
+
+    all_words = jnp.concatenate([keys, q], axis=0)
+    flag = jnp.concatenate([
+        jnp.zeros(cap, jnp.uint32), jnp.ones(m, jnp.uint32)])
+    vcol = jnp.concatenate([vals.astype(jnp.int32), jnp.zeros(m, jnp.int32)])
+    qidx = jnp.concatenate([
+        jnp.zeros(cap, jnp.int32), jnp.arange(m, dtype=jnp.int32)])
+
+    ops = jax.lax.sort(
+        tuple(all_words[:, j] for j in range(w)) + (flag, vcol, qidx),
+        num_keys=w + 1, is_stable=True)
+    s_cols = ops[:w]
+    s_flag, s_val, s_qidx = ops[w], ops[w + 1], ops[w + 2]
+    is_store = s_flag == 0
+
+    idx = jnp.arange(total, dtype=jnp.int32)
+    neq_prev = jnp.zeros(total, bool).at[0].set(True)
+    for j in range(w):
+        neq_prev = neq_prev | (s_cols[j] != jnp.roll(s_cols[j], 1))
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(neq_prev, idx, -1))
+    last_store = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_store, idx, -1))
+    match = (~is_store) & (last_store >= run_start)
+    matched_val = s_val[jnp.clip(last_store, 0, total - 1)]
+    result = jnp.where(match, matched_val, 0)
+
+    back = jax.lax.sort((jnp.uint32(1) - s_flag, s_qidx.astype(jnp.uint32),
+                         result), num_keys=2, is_stable=True)
+    return back[2][:m]

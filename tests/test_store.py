@@ -106,3 +106,27 @@ def test_multiword_key_ordering():
     keys = np.asarray(s.keys)[: int(s.size)]
     ints = [(int(k[0]) << 32) | int(k[1]) for k in keys]
     assert ints == sorted(vals)
+
+
+def test_lookup_join_matches_binary_search():
+    from kmerind_tpu.ops import sortops
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 500, size=300)
+    s = st.empty_count_store(512, 2)
+    s, _ = st.count_insert(s, jnp.asarray(_mk_words(keys)), jnp.ones(300, bool))
+    queries = _mk_words(rng.integers(0, 600, size=400))
+    # join path (m*8 >= cap)
+    got_join = np.asarray(sortops.lookup_join(
+        s.keys, s.size, s.counts, jnp.asarray(queries)))
+    # binary search path
+    idx = sortops.lower_bound(s.keys, s.size, jnp.asarray(queries))
+    hit = sortops.rows_equal_at(s.keys, idx, jnp.asarray(queries), s.size)
+    vals = np.asarray(s.counts)[np.clip(np.asarray(idx), 0, 511)]
+    got_bin = np.where(np.asarray(hit), vals, 0)
+    np.testing.assert_array_equal(got_join, got_bin)
+    from collections import Counter
+    oracle_counts = Counter(keys.tolist())
+    want = [oracle_counts.get(int(q[0]) << 32 | int(q[1]), 0) for q in queries]
+    # queries were built as (hi, lo) split of small ints -> value = lo only
+    want = [oracle_counts.get(int(q[1]), 0) if q[0] == 0 else 0 for q in queries]
+    np.testing.assert_array_equal(got_join, want)
