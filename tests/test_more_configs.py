@@ -91,3 +91,32 @@ def test_very_long_sequences_multiline(ref_data_dir):
     got = idx.count(np.stack([
         spec.pack_codes(oracle.int_to_codes(v, 31, 2)) for v in sample]))
     np.testing.assert_array_equal(got, [expect[v] for v in sample])
+
+
+def test_rna_count_index():
+    """RNA alphabet (U instead of T) through the full index."""
+    from kmerind_tpu import RNA
+    import tempfile, pathlib
+    seqs = ["ACGUACGUACGUCCGGAAUU", "UUAACCGGUACGUACGUACG"]
+    text = "".join(f"@r{i}\n{s}\n+\n{'I'*len(s)}\n" for i, s in enumerate(seqs))
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d) / "r.fastq"
+        p.write_text(text)
+        idx = CountIndex(KmerSpec(9, RNA), mesh=make_mesh(2))
+        idx.build(p)
+    expect = oracle.count_index(seqs, 9, RNA, canonical=True)
+    assert idx.to_dict() == dict(expect)
+
+
+def test_ascii_spec_extraction():
+    """ASCII (8-bit identity) alphabet: 4 chars/word extraction."""
+    import jax.numpy as jnp
+    from kmerind_tpu import ASCII
+    from kmerind_tpu.ops import packing
+    spec = KmerSpec(6, ASCII)
+    assert spec.chars_per_word == 4 and spec.nwords == 2
+    s = "HELLOWORLD"
+    words = np.asarray(packing.extract_kmers(
+        jnp.asarray(ASCII.encode(s)), spec))
+    assert spec.to_string(words[0]) == "HELLOW"
+    assert spec.to_string(words[4]) == "OWORLD"
