@@ -118,7 +118,8 @@ def main():
         )
         tup = extract_tuples(bases, spec, canonical=True)
         s_words, _, s_valid = sortops.sort_rows(
-            tup.words, (), tup.valid, sentinel_ok=spec.sentinel_safe)
+            tup.words, (), tup.valid, is_stable=False,
+            sentinel_ok=spec.sentinel_safe)
         uniq, counts, n_unique = sortops.unique_counts(s_words, s_valid)
         return n_unique, jnp.sum(counts)
 

@@ -276,7 +276,7 @@ def make_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
         (rw,), rvalid, route = dist.distribute(
             (tup.words,), owner, tup.valid, nparts, capacity, SHARD_AXIS)
         s_words, _, s_valid = sortops.sort_rows(
-            rw, (), rvalid, sentinel_ok=spec.sentinel_safe)
+            rw, (), rvalid, is_stable=False, sentinel_ok=spec.sentinel_safe)
         uniq, counts, _ = sortops.unique_counts(s_words, s_valid)
         return (uniq[None], counts[None], (counts > 0)[None],
                 route.overflow[None])
@@ -390,7 +390,7 @@ def make_debruijn_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
         s_words, (s_v0, s_v1, s_v2, s_v3, s_v4, s_v5, s_v6, s_v7, s_v8), \
             s_valid = sortops.sort_rows(
                 rw, tuple(rv[:, j] for j in range(9)), rvalid,
-                sentinel_ok=spec.sentinel_safe)
+                is_stable=False, sentinel_ok=spec.sentinel_safe)
         s_vecs = jnp.stack(
             [s_v0, s_v1, s_v2, s_v3, s_v4, s_v5, s_v6, s_v7, s_v8], axis=1)
         uniq, red, _ = sortops.segment_reduce_sorted(

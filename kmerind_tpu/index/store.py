@@ -118,8 +118,10 @@ def count_insert(store: CountStore, words: jax.Array, valid: jax.Array,
     all_words = jnp.concatenate([store.keys, words.astype(jnp.uint32)], axis=0)
     all_vals = jnp.concatenate([store.counts, weights.astype(jnp.int32)])
     all_valid = jnp.concatenate([live_store, valid])
+    # run-reduction is order-insensitive: unstable sort is ~10% faster
     s_words, (s_vals,), s_valid = sortops.sort_rows(
-        all_words, (all_vals,), all_valid, sentinel_ok=sentinel_ok)
+        all_words, (all_vals,), all_valid, is_stable=False,
+        sentinel_ok=sentinel_ok)
     uniq, red, n_unique = sortops.segment_reduce_sorted(
         s_words, s_valid, s_vals, reduce="sum")
     if saturate is not None:
@@ -305,7 +307,8 @@ def vec_insert(store: VecStore, words: jax.Array, vecs: jax.Array,
     all_valid = jnp.concatenate([live_store, valid])
     d = all_vals.shape[1]
     s_words, s_cols, s_valid = sortops.sort_rows(
-        all_words, tuple(all_vals[:, j] for j in range(d)), all_valid)
+        all_words, tuple(all_vals[:, j] for j in range(d)), all_valid,
+        is_stable=False)
     s_vals = jnp.stack(s_cols, axis=1)
     uniq, red, n_unique = sortops.segment_reduce_sorted(
         s_words, s_valid, s_vals, reduce="sum")
