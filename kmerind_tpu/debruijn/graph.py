@@ -195,6 +195,54 @@ class DeBruijnGraph(_IndexBase):
                 ins.append((spec.alphabet.decode(prv), c_in))
         return ins, outs
 
+    def save(self, path):
+        """Serialize the sharded graph + config to one .npz file."""
+        self._flush()
+        np.savez_compressed(
+            path, kind="debruijn", k=self.spec.k,
+            alphabet=self.spec.alphabet.name, canonical=self.canonical,
+            hash_name=self.hash_name, nparts=self.nparts,
+            keys=np.asarray(self.store.keys),
+            vals=np.asarray(self.store.vals),
+            sizes=np.asarray(self.store.size))
+        return self
+
+    @classmethod
+    def load(cls, path, mesh=None):
+        """Restore a saved graph onto any mesh (nodes re-routed)."""
+        from .. import alphabets as _al
+        from ..kmer import KmerSpec as _KS
+        z = np.load(path, allow_pickle=False)
+        spec = _KS(int(z["k"]), _al.by_name(str(z["alphabet"])))
+        g = cls(spec, mesh=mesh, canonical=bool(z["canonical"]),
+                hash_name=str(z["hash_name"]))
+        keys, vals, sizes = z["keys"], z["vals"], z["sizes"]
+        rows = np.concatenate([keys[p, : sizes[p]] for p in range(keys.shape[0])])
+        if rows.shape[0] == 0:
+            return g
+        vv = np.concatenate([vals[p, : sizes[p]] for p in range(keys.shape[0])])
+        import jax.numpy as _jnp
+        # route stored rows to their owners on the new mesh, then merge
+        (wsh,), vsh, m = g._shard_rows(rows.astype(np.uint32))
+        mq = wsh.shape[1]
+        vecs = np.zeros((g.nparts * mq, 9), np.int32)
+        vecs[:m] = vv
+        vsh9 = _jnp.asarray(vecs.reshape(g.nparts, mq, 9))
+        bucket_cap = _next_pow2(mq)
+        while True:
+            key = ("load", mq, bucket_cap, g.capacity)
+            if key not in g._step_cache:
+                g._step_cache[key] = _make_vec_route_merge_step(
+                    g.mesh, g.nparts, bucket_cap, g.hash_name, g.saturate)
+            new_store, route_ovf, store_ovf = g._step_cache[key](
+                g.store, wsh, vsh9, vsh)
+            if int(np.asarray(route_ovf).max()) == 0 and                int(np.asarray(store_ovf).max()) == 0:
+                g.store = new_store
+                return g
+            bucket_cap *= 2
+            if int(np.asarray(store_ovf).max()) > 0:
+                g._grow(g.capacity * 2)
+
     def to_dict(self):
         """{kmer_int: (out ACGT, in ACGT, self) counters}."""
         self._flush()
@@ -207,6 +255,28 @@ class DeBruijnGraph(_IndexBase):
                 out[self.spec.to_int(keys[p, i])] = tuple(
                     int(x) for x in vals[p, i])
         return out
+
+
+def _make_vec_route_merge_step(mesh, nparts, capacity, hash_name, saturate):
+    """Route explicit (node, counter-vector) rows to owners and merge."""
+    from jax.sharding import PartitionSpec as P
+
+    def body(stores_blk, words_blk, vecs_blk, valid_blk):
+        store = jax.tree.map(lambda a: a[0], stores_blk)
+        words, vecs, valid = words_blk[0], vecs_blk[0], valid_blk[0]
+        owner = dx.owners_for(words, nparts, hash_name)
+        (rw, rv), rvalid, route = dist.distribute(
+            (words, vecs), owner, valid, nparts, capacity, SHARD_AXIS)
+        new_store, ovf = st.vec_insert(store, rw, rv, rvalid,
+                                       saturate=saturate)
+        return (jax.tree.map(lambda a: a[None], new_store),
+                route.overflow[None], ovf[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 4,
+        out_specs=(P(SHARD_AXIS),) * 3,
+    ))
 
 
 def _make_vec_lookup_step(mesh, nparts, capacity, hash_name):

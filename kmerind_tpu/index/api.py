@@ -718,6 +718,79 @@ class PositionIndex(_IndexBase):
                 return ids, mask
             bucket_cap *= 2
 
+    def save(self, path):
+        """Serialize the sharded multimap + config to one .npz file."""
+        self._flush()
+        np.savez_compressed(
+            path,
+            kind="position",
+            k=self.spec.k,
+            alphabet=self.spec.alphabet.name,
+            canonical=self.canonical,
+            hash_name=self.hash_name,
+            id_kind=self.id_kind,
+            with_quality=self.with_quality,
+            nparts=self.nparts,
+            keys=np.asarray(self.store.keys),
+            val_hi=np.asarray(self.store.val_hi),
+            val_lo=np.asarray(self.store.val_lo),
+            val_q=np.asarray(self.store.val_q),
+            sizes=np.asarray(self.store.size),
+        )
+        return self
+
+    @classmethod
+    def load(cls, path, mesh=None):
+        """Restore a saved multimap; the mesh may differ from the saving
+        mesh (pairs are re-routed through the distributed path)."""
+        from .. import alphabets as _al
+        z = np.load(path, allow_pickle=False)
+        spec = KmerSpec(int(z["k"]), _al.by_name(str(z["alphabet"])))
+        idx = cls(spec, mesh=mesh, canonical=bool(z["canonical"]),
+                  hash_name=str(z["hash_name"]), id_kind=str(z["id_kind"]))
+        keys, hi, lo, q, sizes = (z["keys"], z["val_hi"], z["val_lo"],
+                                  z["val_q"], z["sizes"])
+        rows = np.concatenate([keys[p, : sizes[p]] for p in range(keys.shape[0])])
+        if rows.shape[0] == 0:
+            return idx
+        vhi = np.concatenate([hi[p, : sizes[p]] for p in range(keys.shape[0])])
+        vlo = np.concatenate([lo[p, : sizes[p]] for p in range(keys.shape[0])])
+        vq = np.concatenate([q[p, : sizes[p]] for p in range(keys.shape[0])])
+        canonical = idx.canonical
+        idx.canonical = False  # stored keys are post-transform
+        try:
+            idx._insert_pairs(rows.astype(np.uint32), vhi, vlo, vq)
+        finally:
+            idx.canonical = canonical
+        return idx
+
+    def _insert_pairs(self, words, val_hi, val_lo, val_q):
+        """Insert explicit (key, id, quality) tuples through the
+        distributed path (used by load)."""
+        import jax.numpy as _jnp
+        m = words.shape[0]
+        if self.size() + m > self.capacity * self.nparts:
+            self._grow(_next_pow2(-(-(self.size() + m) // self.nparts)))
+        (wsh, hsh, lsh, qsh), vsh, _ = self._shard_rows(
+            self._maybe_canonicalize_queries(words),
+            extra=(val_hi.astype(np.uint32), val_lo.astype(np.uint32),
+                   val_q.astype(np.float32)))
+        mq = wsh.shape[1]
+        bucket_cap = _next_pow2(mq)
+        while True:
+            key = ("insert_pairs", mq, bucket_cap, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_multi_insert_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name)
+            new_store, route_ovf, store_ovf = self._step_cache[key](
+                self.store, wsh, hsh, lsh, qsh, vsh)
+            if int(np.asarray(route_ovf).max()) == 0 and                int(np.asarray(store_ovf).max()) == 0:
+                self.store = new_store
+                return self
+            bucket_cap *= 2
+            if int(np.asarray(store_ovf).max()) > 0:
+                self._grow(self.capacity * 2)
+
     def to_dict(self) -> dict[int, list[int]]:
         """Full contents: {kmer_int: sorted position ids} (tests/tools)."""
         self._flush()

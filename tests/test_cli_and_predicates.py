@@ -269,3 +269,26 @@ def test_file_id_in_position_ids(ref_data_dir):
         for pid in ids:
             fids.add(pid >> 56)
     assert fids == {0, 1}
+
+
+def test_position_quality_save_load(ref_data_dir, tmp_path):
+    from kmerind_tpu.index.api import PositionQualityIndex
+    idx = PositionQualityIndex(KmerSpec(21, DNA), mesh=make_mesh(4),
+                               id_kind="short")
+    idx.build(ref_data_dir / "test.small.fastq")
+    want = idx.to_dict()
+    f = tmp_path / "pq.npz"
+    idx.save(f)
+    idx2 = PositionQualityIndex.load(f, mesh=make_mesh(8))
+    assert idx2.to_dict() == want
+
+
+def test_debruijn_save_load(ref_data_dir, tmp_path):
+    from kmerind_tpu.debruijn import DeBruijnGraph
+    g = DeBruijnGraph(KmerSpec(21, DNA), mesh=make_mesh(4))
+    g.build(ref_data_dir / "test.debruijn.small.fastq")
+    want = g.to_dict()
+    f = tmp_path / "g.npz"
+    g.save(f)
+    g2 = DeBruijnGraph.load(f, mesh=make_mesh(2))
+    assert g2.to_dict() == want
