@@ -157,13 +157,23 @@ class _IndexBase:
         return [int(x) for x in np.asarray(self.store.size)]
 
     def clear(self):
-        """Drop all entries, keeping capacity (map_base::clear)."""
+        """Drop all entries, keeping capacity (map_base::clear).
+
+        Keys reset to the all-ones sentinel (not zero): the store invariant
+        "rows >= size hold sentinel keys" is what `lookup_join` and the
+        merge sorts rely on (matching empty_count_store/empty_multi_store).
+        """
         if hasattr(self, "_pending"):
             self._pending = []
             self._pending_rows = 0
+
+        def _reset(a):
+            if a.dtype == jnp.uint32 and a.ndim >= 3:  # [p, cap, w] key leaf
+                return jnp.full_like(a, jnp.uint32(_SENTINEL))
+            return jnp.zeros_like(a)
+
         self.store = jax.device_put(
-            jax.tree.map(lambda a: jnp.zeros_like(a), self.store),
-            self._sharding)
+            jax.tree.map(_reset, self.store), self._sharding)
         return self
 
     def reserve(self, n: int):
@@ -359,10 +369,15 @@ class CountIndex(_IndexBase):
             bucket_cap *= 2
 
     def find(self, kmers):
-        """(found_mask, counts) for queries — Index::find returns the
-        matching (kmer, value) pairs; flat arrays here."""
-        counts = self.count(kmers)
-        return counts > 0, counts
+        """Found (kmer, count) pairs for the queries — Index::find
+        (kmer_index.hpp:115-140) returns the matching pairs.  Returned as
+        (found_words uint32[f, w], found_counts int32[f]) in query order;
+        keys are in stored (post-InputTransform, i.e. canonical) form, and
+        duplicated queries yield duplicated pairs like the reference."""
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        counts = self.count(words)
+        hit = counts > 0
+        return words[hit], counts[hit]
 
     def erase(self, kmers) -> int:
         """Erase keys; returns number of erased entries (Index::erase)."""
@@ -690,9 +705,21 @@ class PositionIndex(_IndexBase):
                 return np.asarray(counts).reshape(-1)[:m]
             bucket_cap *= 2
 
-    def find(self, kmers, max_per_query: int = 64, with_quality: bool = False):
+    def find(self, kmers, max_per_query: int = 64, with_quality: bool = False,
+             grow_to_fit: bool = True):
         """Per-query position-id lists: (ids uint64[m, max], mask[m, max]),
-        plus float32 qualities when with_quality."""
+        plus float32 qualities when with_quality.
+
+        The reference's find returns ALL matching pairs (two-pass size
+        estimation, distributed_densehash_map.hpp:328-420); here the gather
+        width starts at max_per_query and, when any query's true
+        multiplicity exceeds it, the query is retried with the width
+        doubled until nothing truncates (grow_to_fit=True, default).  With
+        grow_to_fit=False the result is truncated at max_per_query and the
+        third/fourth return value `counts` (int32[m], the true
+        multiplicity) lets callers detect truncation: counts[i] >
+        mask[i].sum() means query i lost pairs.
+        """
         self._flush()
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
@@ -705,18 +732,83 @@ class PositionIndex(_IndexBase):
                     self.mesh, self.nparts, bucket_cap, self.hash_name,
                     max_per_query)
             with self.timer.phase("find"):
-                hi, lo, q, mask, ovf = self._step_cache[key](
+                hi, lo, q, mask, nfound, ovf = self._step_cache[key](
                     self.store, wsh, vsh)
-            if int(np.asarray(ovf).max()) == 0:
-                hi = np.asarray(hi).reshape(-1, max_per_query)[:m]
-                lo = np.asarray(lo).reshape(-1, max_per_query)[:m]
-                q = np.asarray(q).reshape(-1, max_per_query)[:m]
-                mask = np.asarray(mask).reshape(-1, max_per_query)[:m]
-                ids = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
-                if with_quality:
+            if int(np.asarray(ovf).max()) != 0:
+                bucket_cap *= 2
+                continue
+            counts = np.asarray(nfound).reshape(-1)[:m]
+            worst = int(counts.max()) if m else 0
+            if grow_to_fit and worst > max_per_query:
+                max_per_query = _next_pow2(worst)
+                continue
+            hi = np.asarray(hi).reshape(-1, max_per_query)[:m]
+            lo = np.asarray(lo).reshape(-1, max_per_query)[:m]
+            q = np.asarray(q).reshape(-1, max_per_query)[:m]
+            mask = np.asarray(mask).reshape(-1, max_per_query)[:m]
+            ids = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+            if with_quality:
+                if grow_to_fit:
                     return ids, q, mask
+                return ids, q, mask, counts
+            if grow_to_fit:
                 return ids, mask
+            return ids, mask, counts
+
+    # -- erase family (densehash_multimap::erase/erase_if/filter,
+    # distributed_densehash_map.hpp:1603+) -----------------------------
+    def erase(self, kmers) -> int:
+        """Remove ALL pairs whose key matches a query k-mer; returns the
+        number of erased pairs (Index::erase, kmer_index.hpp:148)."""
+        self._flush()
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        (wsh,), vsh, m = self._shard_rows(words)
+        mq = wsh.shape[1]
+        bucket_cap = _next_pow2(mq)
+        while True:
+            key = ("erase", mq, bucket_cap, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_multi_erase_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name)
+            new_store, nerased, ovf = self._step_cache[key](
+                self.store, wsh, vsh)
+            if int(np.asarray(ovf).max()) == 0:
+                self.store = new_store
+                return int(np.asarray(nerased).sum())
             bucket_cap *= 2
+
+    def erase_if(self, pred, kmers=None) -> int:
+        """Erase (key, id, quality) pairs satisfying pred.
+
+        pred: traceable (keys uint32[n, w], id_hi uint32[n],
+        id_lo uint32[n], qual float32[n]) -> bool[n].  With `kmers`, only
+        pairs whose key is among the (canonicalized) query keys AND
+        satisfies pred are erased.
+        """
+        self._flush()
+        if kmers is None:
+            key = ("erase_if", pred, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_multi_filter_step(
+                    self.mesh, lambda k, h, l, q: ~pred(k, h, l, q))
+            new_store, nerased = self._step_cache[key](self.store)
+            self.store = new_store
+            return int(np.asarray(nerased).sum())
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        qset = {tuple(int(x) for x in row) for row in words}
+
+        def _pred_in_set(k, h, l, q):
+            member = jnp.zeros(k.shape[0], bool)
+            for row in qset:
+                member = member | jnp.all(
+                    k == jnp.asarray(row, jnp.uint32), axis=-1)
+            return member & pred(k, h, l, q)
+
+        return self.erase_if(_pred_in_set)
+
+    def filter(self, pred) -> int:
+        """Keep only pairs satisfying pred; returns number erased."""
+        return self.erase_if(lambda k, h, l, q: ~pred(k, h, l, q))
 
     def save(self, path):
         """Serialize the sharded multimap + config to one .npz file."""

@@ -172,9 +172,13 @@ def make_multi_count_step(mesh: Mesh, nparts: int, capacity: int, hash_name: str
 def make_multi_find_step(mesh: Mesh, nparts: int, capacity: int,
                          hash_name: str, max_per_query: int):
     """Jitted multimap find: returns per-query payload lists
-    (hi[p,m,max], lo[p,m,max], q[p,m,max], mask[p,m,max], overflow[p]) in
-    original query order — the find path of
-    distributed_densehash_map.hpp:1509-1577."""
+    (hi[p,m,max], lo[p,m,max], q[p,m,max], mask[p,m,max], counts[p,m],
+    overflow[p]) in original query order — the find path of
+    distributed_densehash_map.hpp:1509-1577.
+
+    counts is the TRUE multiplicity per query (the reference's two-pass
+    size estimation, :328-420); callers compare it against max_per_query to
+    detect truncation and retry with a larger gather width."""
 
     def body(stores_blk, queries_blk, qvalid_blk):
         store = _unstack(stores_blk)
@@ -186,17 +190,78 @@ def make_multi_find_step(mesh: Mesh, nparts: int, capacity: int,
         hi = jnp.where(rvalid, hi, lo)  # empty range for padding slots
         vhi, vlo, vq, mask = st.multi_gather(store, lo, hi, max_per_query)
         qbits = jax.lax.bitcast_convert_type(vq, jnp.uint32)
-        back_hi, back_lo, back_q, back_mask = dist.undistribute(
-            (vhi, vlo, qbits, mask.astype(jnp.int8)), route, nparts, capacity,
-            SHARD_AXIS)
+        back_hi, back_lo, back_q, back_mask, back_n = dist.undistribute(
+            (vhi, vlo, qbits, mask.astype(jnp.int8), hi - lo), route, nparts,
+            capacity, SHARD_AXIS)
         return (back_hi[None], back_lo[None],
                 jax.lax.bitcast_convert_type(back_q, jnp.float32)[None],
-                back_mask.astype(bool)[None], route.overflow[None])
+                back_mask.astype(bool)[None], back_n[None],
+                route.overflow[None])
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(SHARD_AXIS),) * 5,
+        out_specs=(P(SHARD_AXIS),) * 6,
+    ))
+
+
+def make_multi_erase_step(mesh: Mesh, nparts: int, capacity: int,
+                          hash_name: str):
+    """Jitted multimap erase: removes ALL pairs whose key matches a query
+    key (densehash_multimap::erase, distributed_densehash_map.hpp:1603+).
+    Returns (new_stores, n_erased[p], overflow[p])."""
+
+    def body(stores_blk, keys_blk, valid_blk):
+        store = _unstack(stores_blk)
+        keys, valid = keys_blk[0], valid_blk[0]
+        owner = owners_for(keys, nparts, hash_name)
+        (rk,), rvalid, route = dist.distribute(
+            (keys,), owner, valid, nparts, capacity, SHARD_AXIS)
+        new_store, nerased = st.multi_erase(store, rk, rvalid)
+        return _stack(new_store), nerased[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+    ))
+
+
+def make_multi_filter_step(mesh: Mesh, pred):
+    """Jitted predicate filter over every local (key, id, quality) pair of
+    a MultiStore — the multimap erase_if/filter(pred) path
+    (distributed_densehash_map.hpp:1603+ erase_if on densehash_multimap).
+
+    pred: traceable (keys uint32[n, w], id_hi uint32[n], id_lo uint32[n],
+    qual float32[n]) -> keep bool[n].  Returns (new_stores, n_erased[p]).
+    """
+    from ..ops import sortops
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        cap = store.capacity
+        live = jnp.arange(cap) < store.size
+        keep = pred(store.keys, store.val_hi, store.val_lo,
+                    store.val_q) & live
+        s_words, (s_hi, s_lo, s_q), s_valid = sortops.sort_rows(
+            store.keys,
+            (store.val_hi, store.val_lo,
+             jax.lax.bitcast_convert_type(store.val_q, jnp.uint32)),
+            keep)
+        new_size = jnp.sum(keep.astype(jnp.int32))
+        new = st.MultiStore(
+            keys=jnp.where(s_valid[:, None], s_words, jnp.uint32(0xFFFFFFFF)),
+            val_hi=jnp.where(s_valid, s_hi, 0),
+            val_lo=jnp.where(s_valid, s_lo, 0),
+            val_q=jax.lax.bitcast_convert_type(
+                jnp.where(s_valid, s_q, 0), jnp.float32),
+            size=new_size,
+        )
+        return _stack(new), (store.size - new_size)[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(SHARD_AXIS),),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
     ))
 
 

@@ -86,7 +86,11 @@ class ReadBatch:
             return np.zeros(self.num_bases, dtype=np.uint64)
         rs = self.record_start[self.seg_id] & _POS40
         fid = self.file_id[self.seg_id].astype(np.uint64) << np.uint64(56)
-        return fid | (rs << np.uint64(16)) | self.offset_in_record.astype(np.uint64)
+        # pos-in-read is a uint16 in the reference (sequence.hpp:152); mask
+        # so reads >= 64 KiB wrap like the reference instead of corrupting
+        # the 40-bit record-start field
+        off16 = self.offset_in_record.astype(np.uint64) & np.uint64(0xFFFF)
+        return fid | (rs << np.uint64(16)) | off16
 
     def long_ids(self) -> np.ndarray:
         """uint64[n] LongSequenceKmerId per base (sequence.hpp:253-257)."""

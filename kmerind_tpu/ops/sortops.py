@@ -266,25 +266,32 @@ def lookup_join(keys: jax.Array, size: jax.Array, vals: jax.Array,
     the TPU-idiomatic form of the reference's fused scatter_compute_gather
     query pattern (incremental_mxx.hpp:1376-1806):
 
-      1. concatenate store rows (flag 0) and query rows (flag 1), sort by
-         (key words, flag) — equal keys group, store row first;
+      1. concatenate store rows (flag 0), query rows (flag 1), and store
+         PADDING rows (rows >= size, flag 2), sort by (key words, flag) —
+         equal keys group, live store row first;
       2. cummax of "last key-run start" and "last store-row position": a
          query matches iff a store row exists inside its own key run;
       3. one gather fetches the matched store values; a second sort by
          (flag, original index) restores query order.
 
-    keys/vals: store arrays ([cap, w], [cap]); rows >= size must hold
-    sentinel keys with zero values.  queries: [m, w].  Returns int32[m].
+    Padding rows get flag 2 (not 0) so that when the store's sentinel key
+    pattern is also a REAL k-mer (``KmerSpec.sentinel_safe`` False, e.g.
+    k=16 DNA poly-T), the zero-valued padding rows can never shadow the
+    live row of the same key — they sort after the queries in the run and
+    are excluded from `is_store`.
+
+    keys/vals: store arrays ([cap, w], [cap]) with live rows in [0, size).
+    queries: [m, w].  Returns int32[m].
     """
-    del size  # sentinel rows carry zero values; no explicit bound needed
     cap, w = keys.shape
     m = queries.shape[0]
     total = cap + m
     q = queries.astype(jnp.uint32)
 
     all_words = jnp.concatenate([keys, q], axis=0)
-    flag = jnp.concatenate([
-        jnp.zeros(cap, jnp.uint32), jnp.ones(m, jnp.uint32)])
+    store_flag = jnp.where(jnp.arange(cap) < jnp.asarray(size, jnp.int32),
+                           jnp.uint32(0), jnp.uint32(2))
+    flag = jnp.concatenate([store_flag, jnp.ones(m, jnp.uint32)])
     vcol = jnp.concatenate([vals.astype(jnp.int32), jnp.zeros(m, jnp.int32)])
     qidx = jnp.concatenate([
         jnp.zeros(cap, jnp.int32), jnp.arange(m, dtype=jnp.int32)])

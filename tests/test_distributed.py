@@ -207,3 +207,65 @@ def test_sample_sort_global_order(p):
     want = sorted((int(r[0]) << 32) | int(r[1])
                   for r in words[valid])
     assert ints == want, "not a permutation of inputs"
+
+
+def test_position_find_truncation_and_growth(ref_data_dir):
+    """High-multiplicity keys: find must either auto-grow the gather width
+    (grow_to_fit, default) or report the true multiplicity so truncation is
+    visible (the reference two-pass size estimation,
+    distributed_densehash_map.hpp:328-420)."""
+    spec = KmerSpec(15, DNA)
+    idx = PositionIndex(spec, mesh=_mesh(4), id_kind="short",
+                        canonical=False)
+    hot = "ACGTACGTACGTACG"
+    rare = "C" * 15
+    words = np.stack([spec.from_string(hot)] * 100
+                     + [spec.from_string(rare)])
+    idx._insert_pairs(words, np.zeros(101, np.uint32),
+                      np.arange(101).astype(np.uint32),
+                      np.zeros(101, np.float32))
+    # default: auto-grows past max_per_query=8
+    ids, mask = idx.find([hot, rare, "G" * 15], max_per_query=8)
+    assert mask.shape[1] >= 100
+    np.testing.assert_array_equal(mask.sum(axis=1), [100, 1, 0])
+    assert sorted(int(x) for x in ids[0][mask[0]]) == list(range(100))
+    # explicit truncation reporting
+    ids, mask, counts = idx.find([hot, rare], max_per_query=8,
+                                 grow_to_fit=False)
+    assert mask.shape[1] == 8
+    np.testing.assert_array_equal(counts, [100, 1])
+    np.testing.assert_array_equal(mask.sum(axis=1), [8, 1])
+
+
+@pytest.mark.parametrize("p", [1, 8])
+def test_position_erase_family(ref_data_dir, p):
+    """Multimap erase/erase_if/filter (densehash_multimap erase paths,
+    distributed_densehash_map.hpp:1603+)."""
+    path = ref_data_dir / "test.small.fastq"
+    k = 21
+    spec = KmerSpec(k, DNA)
+    idx = PositionIndex(spec, mesh=_mesh(p), id_kind="short")
+    idx.build(path)
+    expect = idx.to_dict()
+    items = list(expect.items())
+    # erase by key: pick 5 keys, all their pairs disappear
+    victims = [v for v, _ in items[:5]]
+    qwords = np.stack([
+        spec.pack_codes(oracle.int_to_codes(v, k, 2)) for v in victims])
+    want_erased = sum(len(expect[v]) for v in victims)
+    assert idx.erase(qwords) == want_erased
+    np.testing.assert_array_equal(idx.count(qwords), [0] * 5)
+    assert idx.size() == sum(len(v) for v in expect.values()) - want_erased
+    # erase_if: drop pairs with odd id_lo
+    import jax.numpy as _jnp
+    n_odd = sum(1 for ids in idx.to_dict().values()
+                for i in ids if i & 1)
+    got = idx.erase_if(lambda kk, h, l, q: (l & 1) == 1)
+    assert got == n_odd
+    assert all((i & 1) == 0 for ids in idx.to_dict().values() for i in ids)
+    # filter: keep nothing with id_lo > 1000
+    before = idx.size()
+    kept = sum(1 for ids in idx.to_dict().values()
+               for i in ids if (i & 0xFFFFFFFF) <= 1000)
+    idx.filter(lambda kk, h, l, q: l <= 1000)
+    assert idx.size() == kept <= before

@@ -130,3 +130,64 @@ def test_lookup_join_matches_binary_search():
     # queries were built as (hi, lo) split of small ints -> value = lo only
     want = [oracle_counts.get(int(q[1]), 0) if q[0] == 0 else 0 for q in queries]
     np.testing.assert_array_equal(got_join, want)
+
+
+def test_lookup_join_fullword_sentinel_key():
+    """Regression (ADVICE r1, high): when the all-ones key is a REAL k-mer
+    (sentinel-unsafe specs like k=16 DNA poly-T), store padding rows share
+    its bit pattern; the join path must still return the live row's count,
+    not the padding rows' zero."""
+    from kmerind_tpu.ops import sortops
+    w = 1
+    s = st.empty_count_store(32, w)
+    poly_t = _mk_words([0xFFFFFFFF], w=w)  # all-ones == sentinel pattern
+    s, _ = st.count_insert(
+        s, jnp.asarray(np.concatenate([poly_t, poly_t, _mk_words([5], w=w)])),
+        jnp.ones(3, bool))
+    # join path directly
+    got = np.asarray(sortops.lookup_join(
+        s.keys, s.size, s.counts,
+        jnp.asarray(np.concatenate([poly_t, _mk_words([5, 7], w=w)]))))
+    np.testing.assert_array_equal(got, [2, 1, 0])
+    # large-batch count_lookup takes the join path when m*8 >= cap
+    queries = np.concatenate([poly_t] * 4 + [_mk_words([5, 7], w=w)])
+    got2 = np.asarray(st.count_lookup(s, jnp.asarray(queries)))
+    np.testing.assert_array_equal(got2, [2, 2, 2, 2, 1, 0])
+
+
+def test_fullword_polyT_end_to_end():
+    """k=16 DNA: poly-T k-mer stored twice must be countable on both the
+    small-batch (binary search) and large-batch (sort-merge join) paths."""
+    from kmerind_tpu.index.api import CountIndex
+    from kmerind_tpu.kmer import KmerSpec
+    from kmerind_tpu import alphabets
+
+    spec = KmerSpec(16, alphabets.DNA)
+    assert not spec.sentinel_safe
+    idx = CountIndex(spec, canonical=False, initial_capacity=64)
+    idx.insert(["T" * 16, "T" * 16, "A" * 7 + "C" * 9])
+    # small batch
+    np.testing.assert_array_equal(idx.count(["T" * 16]), [2])
+    # large batch (forces the join path: m*8 >= capacity)
+    big = ["T" * 16, "A" * 7 + "C" * 9] * 40
+    got = idx.count(big)
+    np.testing.assert_array_equal(got, [2, 1] * 40)
+
+
+def test_clear_preserves_sentinel_invariant():
+    """Regression (ADVICE r1): clear() must reset keys to the sentinel so
+    lookup_join on a cleared store cannot match the all-zero key."""
+    from kmerind_tpu.index.api import CountIndex
+    from kmerind_tpu.kmer import KmerSpec
+    from kmerind_tpu import alphabets
+
+    spec = KmerSpec(15, alphabets.DNA)
+    idx = CountIndex(spec, canonical=False, initial_capacity=64)
+    idx.insert(["A" * 15, "C" * 15])
+    idx.clear()
+    assert idx.size() == 0
+    keys = np.asarray(idx.store.keys)
+    assert (keys == 0xFFFFFFFF).all()
+    # poly-A (all-zero key) on the large-batch join path must return 0
+    got = idx.count(["A" * 15] * 64)
+    np.testing.assert_array_equal(got, [0] * 64)
