@@ -120,8 +120,10 @@ def main():
         s_words, _, s_valid = sortops.sort_rows(
             tup.words, (), tup.valid, is_stable=False,
             sentinel_ok=spec.sentinel_safe)
-        uniq, counts, n_unique = sortops.unique_counts(s_words, s_valid)
-        return n_unique, jnp.sum(counts)
+        # the ingest pipeline's scan-based run-length reduction (what
+        # make_ingest_step runs); one sort + one cummax, no compaction sort
+        weights, emit = sortops.run_length_counts(s_words, s_valid)
+        return jnp.sum(emit.astype(jnp.int32)), jnp.sum(weights)
 
     dcodes = jax.device_put(codes, dev)
     dvalid = jax.device_put(valid, dev)

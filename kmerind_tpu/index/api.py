@@ -20,6 +20,7 @@ All device work happens in the jitted steps of `distributed.py`.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -68,12 +69,17 @@ class _IndexBase:
 
     # -- input marshalling -------------------------------------------------
     def _shard_rows(self, rows: np.ndarray, extra=()):
-        """[m, ...] host rows -> ([p, mq, ...] padded arrays, valid, m)."""
+        """[m, ...] host rows -> ([p, mq, ...] padded arrays, valid, m).
+
+        Multi-process: every process passes the SAME full rows (queries are
+        SPMD-replicated host input); each contributes only its own shards'
+        slice to the global array."""
         m = rows.shape[0]
         p = self.nparts
         mq = max(1, -(-m // p))
         pad = p * mq - m
         valid = np.concatenate([np.ones(m, bool), np.zeros(pad, bool)])
+        lo, hi = self._local_shard_range()
 
         def _pad(a, fill=0):
             if pad == 0:
@@ -81,12 +87,14 @@ class _IndexBase:
             fill_block = np.full((pad,) + a.shape[1:], fill, dtype=a.dtype)
             return np.concatenate([a, fill_block])
 
-        out = [jax.device_put(_pad(rows).reshape((p, mq) + rows.shape[1:]),
-                              self._sharding)]
+        def _put(a):
+            stacked = _pad(a).reshape((p, mq) + a.shape[1:])
+            return self._put_global(stacked[lo:hi], p)
+
+        out = [_put(rows)]
         for a in extra:
-            out.append(jax.device_put(_pad(a).reshape((p, mq) + a.shape[1:]),
-                                      self._sharding))
-        vsh = jax.device_put(valid.reshape(p, mq), self._sharding)
+            out.append(_put(a))
+        vsh = self._put_global(valid.reshape(p, mq)[lo:hi], p)
         return out, vsh, m
 
     def _to_words(self, kmers) -> np.ndarray:
@@ -115,34 +123,146 @@ class _IndexBase:
 
     def _batch_to_stacked(self, batch: ReadBatch, id_kind,
                           halo: int | None = None, halo_left: int = 0):
-        """ReadBatch -> per-base stacked arrays [p, L] on the mesh."""
+        """ReadBatch -> per-base stacked arrays [p, L] on the mesh.
+
+        Multi-process: `batch` is THIS process's file block
+        (`parallel.multihost.host_block_batch`); it is split over the
+        process's local shards and the per-shard length is padded to the
+        max across processes so the global shape agrees."""
         p = self.nparts
         if halo is None:
             halo = self.spec.k - 1
-        shards, owned = batch.shard_with_halo(p, halo, halo_left)
+        lo, hi = self._local_shard_range()
+        n_local_shards = hi - lo
+        shards, owned = batch.shard_with_halo(n_local_shards, halo, halo_left)
+        pad_to = shards[0].num_bases
+        if self._multiprocess:
+            from jax.experimental import multihost_utils
+            pad_to = int(multihost_utils.process_allgather(
+                np.int64(pad_to)).max())
+            shards = [s.pad_to(pad_to) for s in shards]
         cols = {}
         names = ["codes", "valid", "owned", "seg_id"]
         for name in names:
             stacked = np.stack([getattr(s, name) for s in shards])
-            cols[name] = jax.device_put(stacked, self._sharding)
+            cols[name] = self._put_global(stacked, p)
         if id_kind is None:
-            ids = np.zeros((p, shards[0].num_bases), np.uint64)
+            ids = np.zeros((n_local_shards, pad_to), np.uint64)
         else:
             ids = np.stack([s.ids(id_kind) for s in shards])
-        cols["id_hi"] = jax.device_put(
-            (ids >> np.uint64(32)).astype(np.uint32), self._sharding)
-        cols["id_lo"] = jax.device_put(ids.astype(np.uint32), self._sharding)
+        cols["id_hi"] = self._put_global(
+            (ids >> np.uint64(32)).astype(np.uint32), p)
+        cols["id_lo"] = self._put_global(ids.astype(np.uint32), p)
         quals = np.stack([s.qual for s in shards])
-        cols["qual"] = jax.device_put(quals, self._sharding)
+        cols["qual"] = self._put_global(quals, p)
         return cols, owned
 
     def _bucket_capacity(self, n_per_shard: int) -> int:
+        """Per-destination exchange bucket for n_per_shard routed rows:
+        ~n/p with fill-factor headroom, grown by the overflow retry when a
+        destination is hot.  The reference's all2allv ships exact
+        per-destination counts (incremental_mxx.hpp:1087-1098); a dense
+        exchange approximates with 1/p scaling so the tensor stays ~n, not
+        p*n."""
         return _next_pow2(
             int(math.ceil(n_per_shard / self.nparts * self.fill_factor)))
 
     @property
     def num_shards(self) -> int:
         return self.nparts
+
+    # -- multi-process SPMD helpers ------------------------------------
+    # Under jax.distributed (the mpirun analog, SURVEY §4), arrays sharded
+    # over the global mesh are not fully addressable from one process:
+    # host->device feeding must go through make_array_from_process_local_data
+    # and device->host results through an all_gather to a replicated
+    # sharding.  Single-process keeps the direct paths.
+
+    @property
+    def _multiprocess(self) -> bool:
+        return jax.process_count() > 1
+
+    def _fetch(self, garr) -> np.ndarray:
+        """Global (possibly non-addressable) array -> full numpy copy on
+        every process (collective in multi-process mode)."""
+        if not self._multiprocess:
+            return np.asarray(garr)
+        key = ("_fetch_rep", jax.typeof(garr))
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                lambda x: x,
+                out_shardings=NamedSharding(self.mesh, P()))
+        return np.asarray(self._step_cache[key](garr))
+
+    def _put_global(self, local_rows: np.ndarray, global_rows: int):
+        """Host rows -> [p, ...]-sharded global array.
+
+        Single-process: device_put of the full stack.  Multi-process: each
+        process passes only its own shards' rows ([d_local, ...]) and the
+        global array is assembled per-process
+        (jax.make_array_from_process_local_data — the documented multi-host
+        feeding path)."""
+        if not self._multiprocess:
+            return jax.device_put(local_rows, self._sharding)
+        return jax.make_array_from_process_local_data(
+            self._sharding, local_rows,
+            (global_rows,) + local_rows.shape[1:])
+
+    def _device_concat(self, parts, axis=1):
+        """jnp.concatenate under jit (eager ops on non-addressable global
+        arrays are not allowed in multi-process mode)."""
+        if len(parts) == 1:
+            return parts[0]
+        key = ("_concat", axis, tuple(jax.typeof(x) for x in parts))
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                functools.partial(
+                    lambda axis, *xs: jnp.concatenate(xs, axis=axis), axis))
+        return self._step_cache[key](*parts)
+
+    def _local_shard_range(self):
+        """Which global shard rows this process owns (contiguous)."""
+        if not self._multiprocess:
+            return 0, self.nparts
+        d_local = self.nparts // jax.process_count()
+        h = jax.process_index()
+        return h * d_local, (h + 1) * d_local
+
+    def _init_store(self, factory):
+        """Per-shard store pytree sharded over the mesh — computed under
+        jit with explicit out_shardings (SPMD-safe: a plain device_put of
+        host data cannot target non-addressable devices)."""
+        fn = jax.jit(
+            lambda: jax.vmap(lambda _: factory())(jnp.arange(self.nparts)),
+            out_shardings=self._sharding)
+        return fn()
+
+    def _valid_counts(self, valid) -> np.ndarray:
+        """int32[p] live-row counts of a [p, n] validity tensor."""
+        key = ("_vsum", jax.typeof(valid))
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                lambda v: jnp.sum(v.astype(jnp.int32), axis=1))
+        return self._fetch(self._step_cache[key](valid))
+
+    def _equalize_chunks(self, chunks: list):
+        """SPMD discipline: every process must run the SAME number of jit
+        steps.  When hosts' file blocks split into different chunk counts,
+        pad the short lists with all-invalid copies of the last chunk (no
+        windows are owned, so they contribute nothing)."""
+        if not self._multiprocess:
+            return chunks
+        import dataclasses as _dc
+
+        from jax.experimental import multihost_utils
+        gmax = int(multihost_utils.process_allgather(
+            np.int64(len(chunks))).max())
+        while len(chunks) < gmax:
+            t = chunks[-1]
+            chunks.append(_dc.replace(
+                t, valid=np.zeros_like(t.valid),
+                owned=np.zeros_like(t.owned)))
+        return chunks
 
     # -- container-base collective surface (dsc::map_base,
     # distributed_map_base.hpp:149-302) --------------------------------
@@ -154,7 +274,7 @@ class _IndexBase:
         """Per-shard entry counts (load-balance introspection)."""
         if hasattr(self, "_flush"):
             self._flush()
-        return [int(x) for x in np.asarray(self.store.size)]
+        return [int(x) for x in self._fetch(self.store.size)]
 
     def clear(self):
         """Drop all entries, keeping capacity (map_base::clear).
@@ -172,8 +292,13 @@ class _IndexBase:
                 return jnp.full_like(a, jnp.uint32(_SENTINEL))
             return jnp.zeros_like(a)
 
-        self.store = jax.device_put(
-            jax.tree.map(_reset, self.store), self._sharding)
+        key = ("_clear", tuple(jax.typeof(l) for l in
+                               jax.tree.leaves(self.store)))
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                lambda s: jax.tree.map(_reset, s),
+                out_shardings=self._sharding)
+        self.store = self._step_cache[key](self.store)
         return self
 
     def reserve(self, n: int):
@@ -214,10 +339,8 @@ class CountIndex(_IndexBase):
                  initial_capacity: int = 1 << 12, **kw):
         super().__init__(spec, mesh, canonical, hash_name, **kw)
         self.saturate = saturate
-        self.store = jax.device_put(
-            jax.vmap(lambda _: st.empty_count_store(
-                initial_capacity, spec.nwords))(jnp.arange(self.nparts)),
-            self._sharding)
+        self.store = self._init_store(
+            lambda: st.empty_count_store(initial_capacity, spec.nwords))
         # lazy-insert buffers: owner-resident rows awaiting merge
         # (sorted_map semantics — inserts append, first query sorts,
         # distributed_sorted_map.hpp:341,940); avoids re-sorting the whole
@@ -234,19 +357,19 @@ class CountIndex(_IndexBase):
     def size(self) -> int:
         """Collective distinct-key count (dsc::map_base::size allreduce)."""
         self._flush()
-        return int(np.asarray(self.store.size).sum())
+        return int(self._fetch(self.store.size).sum())
 
     def _flush(self):
         """Merge pending owner-resident rows into the sorted store."""
         if not self._pending:
             return
-        words = jnp.concatenate([w for w, _, _ in self._pending], axis=1)
-        counts = jnp.concatenate([c for _, c, _ in self._pending], axis=1)
-        valid = jnp.concatenate([v for _, _, v in self._pending], axis=1)
+        words = self._device_concat([w for w, _, _ in self._pending])
+        counts = self._device_concat([c for _, c, _ in self._pending])
+        valid = self._device_concat([v for _, _, v in self._pending])
         self._pending = []
         self._pending_rows = 0
         n_rows = words.shape[1]
-        cap_needed = int(np.asarray(self.store.size).sum()) + n_rows
+        cap_needed = int(self._fetch(self.store.size).sum()) + n_rows
         if cap_needed > self.capacity * self.nparts:
             self._grow(_next_pow2(-(-cap_needed // self.nparts)))
         while True:
@@ -256,20 +379,24 @@ class CountIndex(_IndexBase):
                     self.mesh, self.saturate, self.spec.sentinel_safe)
             new_store, ovf = self._step_cache[key](
                 self.store, words, counts, valid)
-            if int(np.asarray(ovf).max()) == 0:
+            if int(self._fetch(ovf).max()) == 0:
                 self.store = new_store
                 return
-            self._grow(_next_pow2(self.capacity + int(np.asarray(ovf).max())))
+            self._grow(_next_pow2(self.capacity + int(self._fetch(ovf).max())))
 
     def _grow(self, new_cap: int):
         pad = new_cap - self.capacity
-        self.store = st.CountStore(
-            keys=jnp.pad(self.store.keys, ((0, 0), (0, pad), (0, 0)),
-                         constant_values=np.uint32(_SENTINEL)),
-            counts=jnp.pad(self.store.counts, ((0, 0), (0, pad))),
-            size=self.store.size,
-        )
-        self.store = jax.device_put(self.store, self._sharding)
+        key = ("_grow", new_cap, self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                lambda s: st.CountStore(
+                    keys=jnp.pad(s.keys, ((0, 0), (0, pad), (0, 0)),
+                                 constant_values=np.uint32(_SENTINEL)),
+                    counts=jnp.pad(s.counts, ((0, 0), (0, pad))),
+                    size=s.size,
+                ),
+                out_shardings=self._sharding)
+        self.store = self._step_cache[key](self.store)
 
     # ------------------------------------------------------------------
     def build(self, path, fmt: str | None = None, file_id: int = 0):
@@ -292,10 +419,12 @@ class CountIndex(_IndexBase):
             # chunks are padded to chunk_bases + halo, so they must go
             # straight to the single-chunk path (re-chunking a padded chunk
             # would recurse forever)
-            for sub in batch.iter_chunks(chunk_bases, self.spec.k - 1):
-                self._insert_one_chunk(sub)
-            return self
-        return self._insert_one_chunk(batch)
+            chunks = list(batch.iter_chunks(chunk_bases, self.spec.k - 1))
+        else:
+            chunks = [batch]
+        for sub in self._equalize_chunks(chunks):
+            self._insert_one_chunk(sub)
+        return self
 
     def _insert_one_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
@@ -312,7 +441,7 @@ class CountIndex(_IndexBase):
                 rw, rc, rv, route_ovf = self._step_cache[key](
                     cols["codes"], cols["valid"], cols["owned"],
                     cols["seg_id"])
-            if int(np.asarray(route_ovf).max()) == 0:
+            if int(self._fetch(route_ovf).max()) == 0:
                 self._pending.append((rw, rc, rv))
                 self._pending_rows += rw.shape[1]
                 if self._pending_rows >= self.flush_rows:
@@ -320,33 +449,33 @@ class CountIndex(_IndexBase):
                         self._flush()
                 return self
             bucket_cap = _next_pow2(
-                bucket_cap + int(np.asarray(route_ovf).max()))
+                bucket_cap + int(self._fetch(route_ovf).max()))
 
     def insert(self, kmers):
         """Insert explicit k-mers (Index::insert, kmer_index.hpp:201)."""
         self._flush()
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
-        (wsh,), vsh, m = self._shard_rows(words)
+        (wsh, ones), vsh, m = self._shard_rows(
+            words, extra=(np.ones(words.shape[0], np.int32),))
         mq = wsh.shape[1]
         cap_needed = self.size() + m
         if cap_needed > self.capacity * self.nparts:
             self._grow(_next_pow2(-(-cap_needed // self.nparts)))
-        bucket_cap = _next_pow2(mq)
+        bucket_cap = self._bucket_capacity(mq)
         while True:
             key = ("insert", mq, bucket_cap, self.capacity)
             if key not in self._step_cache:
                 self._step_cache[key] = dx.make_insert_step(
                     self.mesh, self.nparts, bucket_cap, self.hash_name,
                     self.saturate)
-            ones = jnp.ones(wsh.shape[:2], jnp.int32)
             new_store, route_ovf, store_ovf = self._step_cache[key](
                 self.store, wsh, vsh, ones)
-            if int(np.asarray(route_ovf).max()) == 0 and \
-               int(np.asarray(store_ovf).max()) == 0:
+            if int(self._fetch(route_ovf).max()) == 0 and \
+               int(self._fetch(store_ovf).max()) == 0:
                 self.store = new_store
                 return self
             bucket_cap *= 2
-            if int(np.asarray(store_ovf).max()) > 0:
+            if int(self._fetch(store_ovf).max()) > 0:
                 self._grow(self.capacity * 2)
 
     def count(self, kmers) -> np.ndarray:
@@ -356,7 +485,7 @@ class CountIndex(_IndexBase):
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
-        bucket_cap = _next_pow2(mq)
+        bucket_cap = self._bucket_capacity(mq)
         while True:
             key = ("count", mq, bucket_cap, self.capacity)
             if key not in self._step_cache:
@@ -364,8 +493,8 @@ class CountIndex(_IndexBase):
                     self.mesh, self.nparts, bucket_cap, self.hash_name)
             with self.timer.phase("count"):
                 counts, ovf = self._step_cache[key](self.store, wsh, vsh)
-            if int(np.asarray(ovf).max()) == 0:
-                return np.asarray(counts).reshape(-1)[:m]
+            if int(self._fetch(ovf).max()) == 0:
+                return self._fetch(counts).reshape(-1)[:m]
             bucket_cap *= 2
 
     def find(self, kmers):
@@ -385,7 +514,7 @@ class CountIndex(_IndexBase):
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
-        bucket_cap = _next_pow2(mq)
+        bucket_cap = self._bucket_capacity(mq)
         while True:
             key = ("erase", mq, bucket_cap, self.capacity)
             if key not in self._step_cache:
@@ -393,9 +522,9 @@ class CountIndex(_IndexBase):
                     self.mesh, self.nparts, bucket_cap, self.hash_name)
             new_store, nerased, ovf = self._step_cache[key](
                 self.store, wsh, vsh)
-            if int(np.asarray(ovf).max()) == 0:
+            if int(self._fetch(ovf).max()) == 0:
                 self.store = new_store
-                return int(np.asarray(nerased).sum())
+                return int(self._fetch(nerased).sum())
             bucket_cap *= 2
 
     # -- predicate variants (kmer_index.hpp:153-195) -------------------
@@ -415,7 +544,7 @@ class CountIndex(_IndexBase):
                     self.mesh, lambda k, c: ~pred(k, c))
             new_store, nerased = self._step_cache[key](self.store)
             self.store = new_store
-            return int(np.asarray(nerased).sum())
+            return int(self._fetch(nerased).sum())
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         counts = self.count(words)
         import jax.numpy as _jnp
@@ -439,9 +568,9 @@ class CountIndex(_IndexBase):
             if key not in self._step_cache:
                 self._step_cache[key] = dx.make_count_scan_step(
                     self.mesh, pred)
-            mask = np.asarray(self._step_cache[key](self.store))
-            keys = np.asarray(self.store.keys)
-            counts = np.asarray(self.store.counts)
+            mask = self._fetch(self._step_cache[key](self.store))
+            keys = self._fetch(self.store.keys)
+            counts = self._fetch(self.store.counts)
             out = []
             for p in range(self.nparts):
                 for i in np.flatnonzero(mask[p]):
@@ -481,7 +610,7 @@ class CountIndex(_IndexBase):
         mq = wsh.shape[1]
         if self.size() + m > self.capacity * self.nparts:
             self._grow(_next_pow2(-(-(self.size() + m) // self.nparts)))
-        bucket_cap = _next_pow2(mq)
+        bucket_cap = self._bucket_capacity(mq)
         while True:
             key = ("insert", mq, bucket_cap, self.capacity)
             if key not in self._step_cache:
@@ -490,11 +619,11 @@ class CountIndex(_IndexBase):
                     self.saturate)
             new_store, route_ovf, store_ovf = self._step_cache[key](
                 self.store, wsh, vsh, csh)
-            if int(np.asarray(route_ovf).max()) == 0 and                int(np.asarray(store_ovf).max()) == 0:
+            if int(self._fetch(route_ovf).max()) == 0 and                int(self._fetch(store_ovf).max()) == 0:
                 self.store = new_store
                 return self
             bucket_cap *= 2
-            if int(np.asarray(store_ovf).max()) > 0:
+            if int(self._fetch(store_ovf).max()) > 0:
                 self._grow(self.capacity * 2)
 
     # -- persistence (beyond the reference, which is memory-only —
@@ -511,9 +640,9 @@ class CountIndex(_IndexBase):
             hash_name=self.hash_name,
             saturate=-1 if self.saturate is None else self.saturate,
             nparts=self.nparts,
-            keys=np.asarray(self.store.keys),
-            counts=np.asarray(self.store.counts),
-            sizes=np.asarray(self.store.size),
+            keys=self._fetch(self.store.keys),
+            counts=self._fetch(self.store.counts),
+            sizes=self._fetch(self.store.size),
         )
         return self
 
@@ -546,9 +675,9 @@ class CountIndex(_IndexBase):
         distributed_map_base.hpp:202-217).  Host-side; for tests/tools."""
         self._flush()
         out = {}
-        keys = np.asarray(self.store.keys)
-        counts = np.asarray(self.store.counts)
-        sizes = np.asarray(self.store.size)
+        keys = self._fetch(self.store.keys)
+        counts = self._fetch(self.store.counts)
+        sizes = self._fetch(self.store.size)
         for p in range(self.nparts):
             for i in range(int(sizes[p])):
                 out[self.spec.to_int(keys[p, i])] = int(counts[p, i])
@@ -573,10 +702,8 @@ class PositionIndex(_IndexBase):
         from ..quality import ILLUMINA18
         self.id_kind = id_kind
         self.codec = codec if codec is not None else ILLUMINA18
-        self.store = jax.device_put(
-            jax.vmap(lambda _: st.empty_multi_store(
-                initial_capacity, spec.nwords))(jnp.arange(self.nparts)),
-            self._sharding)
+        self.store = self._init_store(
+            lambda: st.empty_multi_store(initial_capacity, spec.nwords))
         self._pending: list = []
         self._pending_rows = 0
         self.flush_rows = 1 << 24
@@ -588,45 +715,49 @@ class PositionIndex(_IndexBase):
     def size(self) -> int:
         """Total number of (kmer, position) pairs."""
         self._flush()
-        return int(np.asarray(self.store.size).sum())
+        return int(self._fetch(self.store.size).sum())
 
     def _flush(self):
         if not self._pending:
             return
-        words = jnp.concatenate([t[0] for t in self._pending], axis=1)
-        hi = jnp.concatenate([t[1] for t in self._pending], axis=1)
-        lo = jnp.concatenate([t[2] for t in self._pending], axis=1)
-        q = jnp.concatenate([t[3] for t in self._pending], axis=1)
-        valid = jnp.concatenate([t[4] for t in self._pending], axis=1)
+        words = self._device_concat([t[0] for t in self._pending])
+        hi = self._device_concat([t[1] for t in self._pending])
+        lo = self._device_concat([t[2] for t in self._pending])
+        q = self._device_concat([t[3] for t in self._pending])
+        valid = self._device_concat([t[4] for t in self._pending])
         self._pending = []
         self._pending_rows = 0
         n_rows = words.shape[1]
-        live = int(np.asarray(
-            jnp.sum(valid.astype(jnp.int32), axis=1)).max())
-        if int(np.asarray(self.store.size).max()) + live > self.capacity:
+        live = int(self._valid_counts(valid).max())
+        if int(self._fetch(self.store.size).max()) + live > self.capacity:
             self._grow(_next_pow2(
-                int(np.asarray(self.store.size).max()) + live))
+                int(self._fetch(self.store.size).max()) + live))
         while True:
             key = ("merge", n_rows, self.capacity)
             if key not in self._step_cache:
                 self._step_cache[key] = dx.make_multi_merge_step(self.mesh)
             new_store, ovf = self._step_cache[key](
                 self.store, words, hi, lo, q, valid)
-            if int(np.asarray(ovf).max()) == 0:
+            if int(self._fetch(ovf).max()) == 0:
                 self.store = new_store
                 return
-            self._grow(_next_pow2(self.capacity + int(np.asarray(ovf).max())))
+            self._grow(_next_pow2(self.capacity + int(self._fetch(ovf).max())))
 
     def _grow(self, new_cap: int):
         pad = new_cap - self.capacity
-        self.store = jax.device_put(st.MultiStore(
-            keys=jnp.pad(self.store.keys, ((0, 0), (0, pad), (0, 0)),
-                         constant_values=np.uint32(_SENTINEL)),
-            val_hi=jnp.pad(self.store.val_hi, ((0, 0), (0, pad))),
-            val_lo=jnp.pad(self.store.val_lo, ((0, 0), (0, pad))),
-            val_q=jnp.pad(self.store.val_q, ((0, 0), (0, pad))),
-            size=self.store.size,
-        ), self._sharding)
+        key = ("_grow", new_cap, self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                lambda s: st.MultiStore(
+                    keys=jnp.pad(s.keys, ((0, 0), (0, pad), (0, 0)),
+                                 constant_values=np.uint32(_SENTINEL)),
+                    val_hi=jnp.pad(s.val_hi, ((0, 0), (0, pad))),
+                    val_lo=jnp.pad(s.val_lo, ((0, 0), (0, pad))),
+                    val_q=jnp.pad(s.val_q, ((0, 0), (0, pad))),
+                    size=s.size,
+                ),
+                out_shardings=self._sharding)
+        self.store = self._step_cache[key](self.store)
 
     def build(self, path, fmt: str | None = None, file_id: int = 0):
         with self.timer.phase("read"):
@@ -638,10 +769,12 @@ class PositionIndex(_IndexBase):
         if chunk_bases is None:
             chunk_bases = self.default_chunk_bases
         if batch.num_bases > chunk_bases:
-            for sub in batch.iter_chunks(chunk_bases, self.spec.k - 1):
-                self._insert_one_chunk(sub)
-            return self
-        return self._insert_one_chunk(batch)
+            chunks = list(batch.iter_chunks(chunk_bases, self.spec.k - 1))
+        else:
+            chunks = [batch]
+        for sub in self._equalize_chunks(chunks):
+            self._insert_one_chunk(sub)
+        return self
 
     def _insert_one_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
@@ -660,7 +793,7 @@ class PositionIndex(_IndexBase):
                     cols["codes"], cols["valid"], cols["owned"],
                     cols["seg_id"], cols["id_hi"], cols["id_lo"],
                     cols["qual"])
-            if int(np.asarray(route_ovf).max()) == 0:
+            if int(self._fetch(route_ovf).max()) == 0:
                 self._pending.append((rw, rhi, rlo, rq, rv))
                 self._pending_rows += rw.shape[1]
                 if self._pending_rows >= self.flush_rows:
@@ -668,15 +801,15 @@ class PositionIndex(_IndexBase):
                         self._flush()
                 return self
             bucket_cap = _next_pow2(
-                bucket_cap + int(np.asarray(route_ovf).max()))
+                bucket_cap + int(self._fetch(route_ovf).max()))
 
     def unique_size(self) -> int:
         """Number of distinct keys in the multimap (map_base::unique_size):
         counted on device per shard as key-change boundaries."""
         self._flush()
         uniq = 0
-        keys = np.asarray(self.store.keys)
-        sizes = np.asarray(self.store.size)
+        keys = self._fetch(self.store.keys)
+        sizes = self._fetch(self.store.size)
         for p in range(self.nparts):
             n = int(sizes[p])
             if n == 0:
@@ -694,15 +827,15 @@ class PositionIndex(_IndexBase):
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
-        bucket_cap = _next_pow2(mq)
+        bucket_cap = self._bucket_capacity(mq)
         while True:
             key = ("count", mq, bucket_cap, self.capacity)
             if key not in self._step_cache:
                 self._step_cache[key] = dx.make_multi_count_step(
                     self.mesh, self.nparts, bucket_cap, self.hash_name)
             counts, ovf = self._step_cache[key](self.store, wsh, vsh)
-            if int(np.asarray(ovf).max()) == 0:
-                return np.asarray(counts).reshape(-1)[:m]
+            if int(self._fetch(ovf).max()) == 0:
+                return self._fetch(counts).reshape(-1)[:m]
             bucket_cap *= 2
 
     def find(self, kmers, max_per_query: int = 64, with_quality: bool = False,
@@ -724,7 +857,7 @@ class PositionIndex(_IndexBase):
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
-        bucket_cap = _next_pow2(mq)
+        bucket_cap = self._bucket_capacity(mq)
         while True:
             key = ("find", mq, bucket_cap, self.capacity, max_per_query)
             if key not in self._step_cache:
@@ -734,18 +867,18 @@ class PositionIndex(_IndexBase):
             with self.timer.phase("find"):
                 hi, lo, q, mask, nfound, ovf = self._step_cache[key](
                     self.store, wsh, vsh)
-            if int(np.asarray(ovf).max()) != 0:
+            if int(self._fetch(ovf).max()) != 0:
                 bucket_cap *= 2
                 continue
-            counts = np.asarray(nfound).reshape(-1)[:m]
+            counts = self._fetch(nfound).reshape(-1)[:m]
             worst = int(counts.max()) if m else 0
             if grow_to_fit and worst > max_per_query:
                 max_per_query = _next_pow2(worst)
                 continue
-            hi = np.asarray(hi).reshape(-1, max_per_query)[:m]
-            lo = np.asarray(lo).reshape(-1, max_per_query)[:m]
-            q = np.asarray(q).reshape(-1, max_per_query)[:m]
-            mask = np.asarray(mask).reshape(-1, max_per_query)[:m]
+            hi = self._fetch(hi).reshape(-1, max_per_query)[:m]
+            lo = self._fetch(lo).reshape(-1, max_per_query)[:m]
+            q = self._fetch(q).reshape(-1, max_per_query)[:m]
+            mask = self._fetch(mask).reshape(-1, max_per_query)[:m]
             ids = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
             if with_quality:
                 if grow_to_fit:
@@ -764,7 +897,7 @@ class PositionIndex(_IndexBase):
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
-        bucket_cap = _next_pow2(mq)
+        bucket_cap = self._bucket_capacity(mq)
         while True:
             key = ("erase", mq, bucket_cap, self.capacity)
             if key not in self._step_cache:
@@ -772,9 +905,9 @@ class PositionIndex(_IndexBase):
                     self.mesh, self.nparts, bucket_cap, self.hash_name)
             new_store, nerased, ovf = self._step_cache[key](
                 self.store, wsh, vsh)
-            if int(np.asarray(ovf).max()) == 0:
+            if int(self._fetch(ovf).max()) == 0:
                 self.store = new_store
-                return int(np.asarray(nerased).sum())
+                return int(self._fetch(nerased).sum())
             bucket_cap *= 2
 
     def erase_if(self, pred, kmers=None) -> int:
@@ -793,7 +926,7 @@ class PositionIndex(_IndexBase):
                     self.mesh, lambda k, h, l, q: ~pred(k, h, l, q))
             new_store, nerased = self._step_cache[key](self.store)
             self.store = new_store
-            return int(np.asarray(nerased).sum())
+            return int(self._fetch(nerased).sum())
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         qset = {tuple(int(x) for x in row) for row in words}
 
@@ -823,11 +956,11 @@ class PositionIndex(_IndexBase):
             id_kind=self.id_kind,
             with_quality=self.with_quality,
             nparts=self.nparts,
-            keys=np.asarray(self.store.keys),
-            val_hi=np.asarray(self.store.val_hi),
-            val_lo=np.asarray(self.store.val_lo),
-            val_q=np.asarray(self.store.val_q),
-            sizes=np.asarray(self.store.size),
+            keys=self._fetch(self.store.keys),
+            val_hi=self._fetch(self.store.val_hi),
+            val_lo=self._fetch(self.store.val_lo),
+            val_q=self._fetch(self.store.val_q),
+            sizes=self._fetch(self.store.size),
         )
         return self
 
@@ -868,7 +1001,7 @@ class PositionIndex(_IndexBase):
             extra=(val_hi.astype(np.uint32), val_lo.astype(np.uint32),
                    val_q.astype(np.float32)))
         mq = wsh.shape[1]
-        bucket_cap = _next_pow2(mq)
+        bucket_cap = self._bucket_capacity(mq)
         while True:
             key = ("insert_pairs", mq, bucket_cap, self.capacity)
             if key not in self._step_cache:
@@ -876,21 +1009,21 @@ class PositionIndex(_IndexBase):
                     self.mesh, self.nparts, bucket_cap, self.hash_name)
             new_store, route_ovf, store_ovf = self._step_cache[key](
                 self.store, wsh, hsh, lsh, qsh, vsh)
-            if int(np.asarray(route_ovf).max()) == 0 and                int(np.asarray(store_ovf).max()) == 0:
+            if int(self._fetch(route_ovf).max()) == 0 and                int(self._fetch(store_ovf).max()) == 0:
                 self.store = new_store
                 return self
             bucket_cap *= 2
-            if int(np.asarray(store_ovf).max()) > 0:
+            if int(self._fetch(store_ovf).max()) > 0:
                 self._grow(self.capacity * 2)
 
     def to_dict(self) -> dict[int, list[int]]:
         """Full contents: {kmer_int: sorted position ids} (tests/tools)."""
         self._flush()
         out: dict[int, list[int]] = {}
-        keys = np.asarray(self.store.keys)
-        hi = np.asarray(self.store.val_hi)
-        lo = np.asarray(self.store.val_lo)
-        sizes = np.asarray(self.store.size)
+        keys = self._fetch(self.store.keys)
+        hi = self._fetch(self.store.val_hi)
+        lo = self._fetch(self.store.val_lo)
+        sizes = self._fetch(self.store.size)
         for p in range(self.nparts):
             for i in range(int(sizes[p])):
                 v = self.spec.to_int(keys[p, i])
@@ -913,11 +1046,11 @@ class PositionQualityIndex(PositionIndex):
         """{kmer_int: sorted [(position id, quality), ...]}."""
         self._flush()
         out: dict[int, list] = {}
-        keys = np.asarray(self.store.keys)
-        hi = np.asarray(self.store.val_hi)
-        lo = np.asarray(self.store.val_lo)
-        q = np.asarray(self.store.val_q)
-        sizes = np.asarray(self.store.size)
+        keys = self._fetch(self.store.keys)
+        hi = self._fetch(self.store.val_hi)
+        lo = self._fetch(self.store.val_lo)
+        q = self._fetch(self.store.val_q)
+        sizes = self._fetch(self.store.size)
         for p in range(self.nparts):
             for i in range(int(sizes[p])):
                 v = self.spec.to_int(keys[p, i])

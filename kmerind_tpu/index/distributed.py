@@ -342,8 +342,10 @@ def make_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
             (tup.words,), owner, tup.valid, nparts, capacity, SHARD_AXIS)
         s_words, _, s_valid = sortops.sort_rows(
             rw, (), rvalid, is_stable=False, sentinel_ok=spec.sentinel_safe)
-        uniq, counts, _ = sortops.unique_counts(s_words, s_valid)
-        return (uniq[None], counts[None], (counts > 0)[None],
+        # run-length weights in place (one cummax scan) — skips the
+        # compaction sort; the pending buffer takes valid-masked rows
+        weights, emit = sortops.run_length_counts(s_words, s_valid)
+        return (s_words[None], weights[None], emit[None],
                 route.overflow[None])
 
     return jax.jit(jax.shard_map(

@@ -132,6 +132,38 @@ def unique_counts(sorted_words: jax.Array, sorted_valid: jax.Array,
     return uniq, counts, n_unique
 
 
+def run_length_counts(sorted_words: jax.Array, sorted_valid: jax.Array):
+    """Run lengths of equal sorted keys WITHOUT compaction — no second
+    sort.
+
+    `unique_counts` compacts run heads to the front with one more stable
+    sort; on the ingest hot path that compaction is wasted work because the
+    pending-merge buffer accepts valid-masked weighted rows in any layout.
+    This emits, for the LAST row of every run, the run's length — computed
+    with a single cummax scan (each row's run start) instead of a sort:
+    O(n) memory traffic vs the sort's O(n · log-ish passes).
+
+    Returns (weights int32[n], emit bool[n]): emit marks one row per
+    distinct key (carrying that key in `sorted_words`), weights its
+    multiplicity; both 0/False elsewhere.  Feeding (sorted_words, weights,
+    emit) to `count_insert` is equivalent to feeding the compacted
+    (uniq, counts) of `unique_counts`.
+    """
+    n, w = sorted_words.shape
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_new = _row_neq_prev(sorted_words) & sorted_valid
+    # lax.cummax (primitive) — NOT associative_scan, whose trace-level
+    # unrolling makes 16M-row compiles pathologically slow
+    run_start = jax.lax.cummax(jnp.where(is_new, idx, -1), axis=0)
+    next_differs = jnp.concatenate([
+        jnp.any(sorted_words[1:] != sorted_words[:-1], axis=1),
+        jnp.ones((1,), bool)])
+    next_invalid = jnp.concatenate([~sorted_valid[1:], jnp.ones((1,), bool)])
+    is_last = sorted_valid & (next_differs | next_invalid)
+    weights = jnp.where(is_last, idx - run_start + 1, 0)
+    return weights, is_last
+
+
 def segment_reduce_sorted(sorted_words, sorted_valid, values, reduce: str = "sum"):
     """Reduce `values` over runs of equal sorted keys.
 
@@ -307,10 +339,8 @@ def lookup_join(keys: jax.Array, size: jax.Array, vals: jax.Array,
     neq_prev = jnp.zeros(total, bool).at[0].set(True)
     for j in range(w):
         neq_prev = neq_prev | (s_cols[j] != jnp.roll(s_cols[j], 1))
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(neq_prev, idx, -1))
-    last_store = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_store, idx, -1))
+    run_start = jax.lax.cummax(jnp.where(neq_prev, idx, -1), axis=0)
+    last_store = jax.lax.cummax(jnp.where(is_store, idx, -1), axis=0)
     match = (~is_store) & (last_store >= run_start)
     matched_val = s_val[jnp.clip(last_store, 0, total - 1)]
     result = jnp.where(match, matched_val, 0)

@@ -63,7 +63,9 @@ def bucket_by_owner(owner: jax.Array, valid: jax.Array, nparts: int, capacity: i
     run_start = jnp.where(
         jnp.concatenate([jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]),
         idx, 0)
-    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
+    # lax.cummax primitive, not associative_scan (trace-level unrolling
+    # makes 16M-row compiles pathologically slow)
+    run_start = jax.lax.cummax(run_start, axis=0)
     slot_sorted = idx - run_start
     # scatter back to original order
     slot = jnp.zeros(n, jnp.int32).at[order].set(slot_sorted)

@@ -1,0 +1,98 @@
+"""Worker process for the multi-process integration test — the analog of
+one MPI rank in the reference's `mpirun -np N` test discipline
+(/root/reference/CMakeLists.txt:851-910).
+
+Each worker: joins the jax.distributed CPU cluster, reads ITS OWN byte
+block of the input (parallel.multihost.host_block_batch — the
+BlockPartitioner + record-repair contract of partitioned_file,
+file.hpp:1216-1432), builds the distributed index over the GLOBAL mesh,
+then dumps the (replicated) index contents + collective stats as JSON so
+the parent test can compare against a single-process build.
+
+Usage: python multiproc_worker.py <pid> <nproc> <devices_per_proc> \
+           <coordinator_port> <fastq_path> <out_json> <index_kind>
+"""
+
+import json
+import os
+import pathlib
+import sys
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+dpp = int(sys.argv[3])
+port = int(sys.argv[4])
+path = sys.argv[5]
+out_json = sys.argv[6]
+kind = sys.argv[7]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={dpp}")
+
+import jax  # noqa: E402
+
+# the session env pins an out-of-process TPU plugin that wins over the env
+# var; only the config update reliably selects CPU (see tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=nproc, process_id=pid)
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+from kmerind_tpu import DNA, KmerSpec  # noqa: E402
+from kmerind_tpu.index.api import CountIndex, PositionIndex  # noqa: E402
+from kmerind_tpu.parallel.multihost import (  # noqa: E402
+    global_mesh, host_block_batch)
+from kmerind_tpu.utils.timers import PhaseTimer  # noqa: E402
+
+assert jax.process_count() == nproc
+assert len(jax.devices()) == nproc * dpp
+
+spec = KmerSpec(21, DNA)
+mesh = global_mesh()
+timer = PhaseTimer()
+
+if kind == "count":
+    idx = CountIndex(spec, mesh=mesh, canonical=True, timer=timer)
+else:
+    idx = PositionIndex(spec, mesh=mesh, id_kind="short", timer=timer)
+
+# each process parses only its own byte block (record-boundary repaired)
+batch = host_block_batch(path, DNA)
+idx.insert_batch(batch)
+
+size = idx.size()
+contents = idx.to_dict()
+
+# a query round-trip through the owner routing + reply exchange
+some = sorted(contents)[:16]
+
+
+def _pack_int(v: int) -> np.ndarray:
+    codes = []
+    for i in range(spec.k - 1, -1, -1):
+        codes.append((v >> (2 * i)) & 3)
+    return spec.pack_codes(codes)
+
+
+qwords = np.stack([_pack_int(v) for v in some])
+counts = idx.count(qwords)
+
+# cross-process timer reduction must include every process's phases
+stats = timer.cross_host_stats()
+
+if pid == 0:
+    json.dump({
+        "size": size,
+        "contents": {str(k): v for k, v in contents.items()},
+        "counts": [int(c) for c in counts],
+        "queried": [str(v) for v in some],
+        "timer_phases": sorted(stats),
+        "timer_count_ok": all(s["count"] == nproc for s in stats.values()),
+        "per_process_bases": batch.num_bases,
+    }, open(out_json, "w"))
+print(f"proc {pid}: ok (bases={batch.num_bases}, size={size})", flush=True)

@@ -269,3 +269,31 @@ def test_position_erase_family(ref_data_dir, p):
                for i in ids if (i & 0xFFFFFFFF) <= 1000)
     idx.filter(lambda kk, h, l, q: l <= 1000)
     assert idx.size() == kept <= before
+
+
+def test_query_exchange_capacity_scales_inverse_p(ref_data_dir):
+    """Query paths must size per-destination buckets ~mq/p (not mq), so the
+    exchanged tensor stays ~mq instead of p*mq (the reference's all2allv
+    ships exact counts, incremental_mxx.hpp:1087-1098)."""
+    path = ref_data_dir / "test.small.fastq"
+    spec = KmerSpec(21, DNA)
+    p = 8
+    idx = CountIndex(spec, mesh=_mesh(p), canonical=False)
+    idx.build(path)
+    expect = idx.to_dict()
+    # 4096 distinct queries (hash-uniform routing): a mix of present and
+    # absent keys
+    rng = np.random.default_rng(0)
+    qints = list(expect)[:64] + sorted(
+        {int(x) for x in rng.integers(0, 1 << 42, size=4096)})[:4032]
+    qwords = np.stack([
+        spec.pack_codes(oracle.int_to_codes(v, 21, 2)) for v in qints])
+    got = idx.count(qwords)
+    np.testing.assert_array_equal(
+        got, [expect.get(v, 0) for v in qints])
+    count_keys = [kk for kk in idx._step_cache if kk[0] == "count"]
+    assert count_keys, "no count step compiled"
+    mq, bucket_cap = count_keys[-1][1], count_keys[-1][2]
+    # started at ~mq/p (pow2-rounded with fill headroom); the retry loop may
+    # double it a bounded number of times, but it stays well under mq
+    assert bucket_cap < mq, (mq, bucket_cap)

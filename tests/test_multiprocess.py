@@ -1,0 +1,79 @@
+"""Real multi-process (jax.distributed) integration — the analog of the
+reference's mpirun -np N ctest sweeps (CMakeLists.txt:851-910): N separate
+OS processes with their own JAX runtimes, a TCP coordinator, per-process
+file-block reads with record repair, and a global-mesh index whose contents
+must equal the single-process build."""
+
+import json
+import pathlib
+import socket
+import subprocess
+import sys
+
+import pytest
+
+import oracle
+from test_io import py_parse_fastq
+
+HERE = pathlib.Path(__file__).resolve().parent
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_workers(nproc, dpp, path, kind, tmp_path):
+    port = _free_port()
+    out_json = tmp_path / f"mp_{kind}_{nproc}x{dpp}.json"
+    procs = []
+    for pid in range(nproc):
+        procs.append(subprocess.Popen(
+            ["timeout", "-s", "KILL", "300", sys.executable,
+             str(HERE / "multiproc_worker.py"), str(pid), str(nproc),
+             str(dpp), str(port), str(path), str(out_json), kind],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for pr in procs:
+        out, _ = pr.communicate(timeout=320)
+        outs.append(out)
+        assert pr.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    assert out_json.exists(), outs[0][-2000:]
+    return json.load(open(out_json))
+
+
+@pytest.mark.parametrize("nproc,dpp", [(2, 1), (4, 2)])
+def test_multiprocess_count_index(ref_data_dir, tmp_path, nproc, dpp):
+    path = ref_data_dir / "test.small.fastq"
+    res = _run_workers(nproc, dpp, path, "count", tmp_path)
+    seqs = [r[1] for r in py_parse_fastq(path.read_text())]
+    from kmerind_tpu import DNA
+    expect = oracle.count_index(seqs, 21, DNA, canonical=True)
+    got = {int(k): v for k, v in res["contents"].items()}
+    assert got == dict(expect)
+    assert res["size"] == len(expect)
+    # the query round trip answered from the distributed store
+    want_counts = [expect[int(v)] for v in res["queried"]]
+    assert res["counts"] == want_counts
+    # cross-process timer reduction saw one total per process
+    assert res["timer_count_ok"]
+    assert "insert" in res["timer_phases"]
+
+
+def test_multiprocess_position_index(ref_data_dir, tmp_path):
+    path = ref_data_dir / "test.small.fastq"
+    res = _run_workers(2, 2, path, "position", tmp_path)
+    k = 21
+    from kmerind_tpu import DNA
+    recs = py_parse_fastq(path.read_text())
+    seqs_ids = []
+    for hdr, seq, qual, rstart, sstart in recs:
+        ids = [(rstart << 16) | (sstart - rstart + i)
+               for i in range(len(seq) - k + 1)]
+        seqs_ids.append((seq, ids))
+    expect = oracle.position_index(seqs_ids, k, DNA, canonical=False)
+    got = {int(kk): v for kk, v in res["contents"].items()}
+    assert got == expect

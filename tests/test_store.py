@@ -191,3 +191,31 @@ def test_clear_preserves_sentinel_invariant():
     # poly-A (all-zero key) on the large-batch join path must return 0
     got = idx.count(["A" * 15] * 64)
     np.testing.assert_array_equal(got, [0] * 64)
+
+
+def test_run_length_counts_matches_unique_counts():
+    """The scan-based in-place run-length reduction must carry the same
+    (key, count) multiset as the compacting unique_counts."""
+    from kmerind_tpu.ops import sortops
+    rng = np.random.default_rng(3)
+    for n, hi in [(64, 8), (512, 40), (4096, 10)]:
+        keys = rng.integers(0, hi, size=n)
+        valid = rng.random(n) < 0.8
+        words = jnp.asarray(_mk_words(keys))
+        s_words, _, s_valid = sortops.sort_rows(words, (), jnp.asarray(valid))
+        uniq, counts, n_unique = sortops.unique_counts(s_words, s_valid)
+        weights, emit = sortops.run_length_counts(s_words, s_valid)
+        want = {}
+        nu = int(n_unique)
+        for i in range(nu):
+            kk = (int(uniq[i, 0]) << 32) | int(uniq[i, 1])
+            want[kk] = int(counts[i])
+        got = {}
+        we, em, sw = np.asarray(weights), np.asarray(emit), np.asarray(s_words)
+        assert int(em.sum()) == nu
+        for i in np.flatnonzero(em):
+            kk = (int(sw[i, 0]) << 32) | int(sw[i, 1])
+            got[kk] = int(we[i])
+        assert got == want, (n, hi)
+        # weights zero off emit rows
+        assert (we[~em] == 0).all()
