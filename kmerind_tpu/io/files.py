@@ -170,12 +170,37 @@ def read_fastq_block(
 _HEADER_CACHE: dict = {}
 
 
-def fasta_header_table(path) -> np.ndarray:
-    """Absolute positions of every '>' record header (line starts).
+def _record_starts_in(data: np.ndarray, at_parent_start: bool,
+                      prev_line_is_header: bool) -> np.ndarray:
+    """Record-start offsets within `data` (header-RUN starts: a '>'/';'
+    line whose previous line is not a header, fasta_loader.hpp:295-325)."""
+    n = data.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64)
+    eol = (data == 10) | (data == 13)
+    prev_nl = np.empty(n, dtype=bool)
+    prev_nl[0] = at_parent_start
+    prev_nl[1:] = data[:-1] == 10
+    starts = np.flatnonzero(prev_nl & ~eol)
+    if starts.size == 0:
+        return np.zeros(0, np.int64)
+    first = data[starts]
+    is_hdr = (first == ord(">")) | (first == ord(";"))
+    prev_hdr = np.empty_like(is_hdr)
+    prev_hdr[0] = prev_line_is_header
+    prev_hdr[1:] = is_hdr[:-1]
+    return starts[is_hdr & ~prev_hdr].astype(np.int64)
 
-    One vectorized scan, cached per (path, size, mtime) — the analog of the
-    reference's one-time distributed header scan (fasta_loader.hpp:202-360);
-    every block read reuses it.
+
+def fasta_header_table(path) -> np.ndarray:
+    """Absolute positions of every FASTA record start (the first line of
+    each '>'/';' header run).
+
+    One vectorized scan, cached per (path, size, mtime) — serves the
+    single-process block readers; the multi-host path scans only its own
+    block (`fasta_block_record_starts` + the boundary exchange in
+    `parallel.multihost`, mirroring the reference's distributed header
+    scan, fasta_loader.hpp:202-360).
     """
     st = pathlib.Path(path).stat()
     key = (str(path), st.st_size, st.st_mtime_ns)
@@ -183,14 +208,61 @@ def fasta_header_table(path) -> np.ndarray:
     if hit is not None:
         return hit
     data = read_bytes(path)
-    at_start = data[:1] == ord(">") if data.size else np.zeros(0, bool)
-    after_nl = (data[1:] == ord(">")) & (data[:-1] == ord("\n"))
-    hdr = np.concatenate([np.flatnonzero(at_start),
-                          np.flatnonzero(after_nl) + 1]).astype(np.int64)
-    hdr.sort()
+    hdr = _record_starts_in(data, True, False)
     _HEADER_CACHE.clear()
     _HEADER_CACHE[key] = hdr
     return hdr
+
+
+def _line_context_before(path, pos: int) -> tuple[int, bool]:
+    """(line start containing/at `pos`, is the previous VISIBLE line a
+    header line).
+
+    O(line) backward peek: scans back from `pos` to the nearest newline
+    for the alignment, then to the previous visible (non-blank) line for
+    the header flag — blank lines are invisible, matching
+    `_record_starts_in` (they neither start records nor break header
+    runs)."""
+    if pos == 0:
+        return 0, False
+    back = 1 << 12
+    while True:
+        lo = max(0, pos - back)
+        window = read_bytes(path, lo, pos)
+        n = window.shape[0]
+        nl = np.flatnonzero(window == 10)
+        if nl.size == 0 and lo > 0:
+            back *= 4
+            continue
+        ls = lo + (int(nl[-1]) + 1 if nl.size else 0)
+        # visible line starts strictly before the containing line
+        prev_nl = np.empty(n, dtype=bool)
+        prev_nl[0] = lo == 0
+        prev_nl[1:] = window[:-1] == 10
+        eol = (window == 10) | (window == 13)
+        starts = np.flatnonzero(prev_nl & ~eol)
+        starts = starts[starts < ls - lo]
+        if starts.size == 0:
+            if lo == 0:
+                return ls, False
+            back *= 4
+            continue
+        first = int(window[int(starts[-1])])
+        return ls, first in (ord(">"), ord(";"))
+
+
+def fasta_block_record_starts(path, bs: int, be: int) -> np.ndarray:
+    """Absolute record-start positions within byte block [bs, be) —
+    O(block) work plus an O(line) boundary peek (the per-rank half of the
+    reference's distributed header scan, fasta_loader.hpp:202-360)."""
+    if bs >= be:
+        return np.zeros(0, np.int64)
+    ls, prev_hdr = _line_context_before(path, bs)
+    data = read_bytes(path, ls, be)
+    # ls is always a line start (file start or just after a newline)
+    rel = _record_starts_in(data, True, prev_hdr)
+    abs_pos = rel + ls
+    return abs_pos[abs_pos >= bs]
 
 
 def read_fasta_block(
@@ -200,6 +272,7 @@ def read_fasta_block(
     nparts: int,
     file_id: int = 0,
     halo: int = 0,
+    context: tuple[int, int] | None = None,
 ) -> ReadBatch:
     """Parse the FASTA sequence bases within byte block `part` of `nparts`,
     plus `halo` following bases (k-1 overlap so windows crossing the block
@@ -207,9 +280,14 @@ def read_fasta_block(
     kmer_file_helper.hpp:361, file.hpp:1264-1295).
 
     Cost is O(block): record context for a block that begins mid-sequence
-    comes from the cached global header table (`fasta_header_table` — the
-    reference's distributed header exchange), and only
-    [block_start, block_end + halo slack) bytes are read and parsed.
+    comes either from `context=(hidx, lead_abs)` — the ordinal and start
+    position of the record containing the block start, as computed by the
+    distributed exchange in `parallel.multihost.distributed_fasta_context`
+    (the reference's distributed header scan, fasta_loader.hpp:202-360);
+    `(-1, -1)` means no record starts at or before the block — or, when
+    `context` is None (single-process), from the cached whole-file header
+    table (`fasta_header_table`).  Only [block_start, block_end + halo
+    slack) bytes are read and parsed.
 
     Ownership: this part owns k-mer windows whose first base lies within its
     byte block; `ReadBatch.owned` is True for owned bases, False for halo
@@ -219,31 +297,25 @@ def read_fasta_block(
     bs, be = block_partition(total, nparts, part)
     if bs >= be:
         return parse_fasta(np.zeros(0, np.uint8), alphabet)
-    headers = fasta_header_table(path)
-    # containing/most-recent record at or before bs
-    hidx = int(np.searchsorted(headers, bs, side="right")) - 1
+    if context is not None:
+        hidx, lead_abs = context
+    else:
+        headers = fasta_header_table(path)
+        # containing/most-recent record at or before bs
+        hidx = int(np.searchsorted(headers, bs, side="right")) - 1
+        lead_abs = int(headers[hidx]) if hidx >= 0 else -1
     if hidx < 0:
-        # block lies before the first record: skip to the first header
-        if headers.size == 0 or headers[0] >= be:
+        # block lies before the first record: skip to the first record
+        # start within the block (O(block) local scan), empty if none
+        local = fasta_block_record_starts(path, bs, be)
+        if local.size == 0:
             return parse_fasta(np.zeros(0, np.uint8), alphabet)
-        bs = int(headers[0])
+        bs = int(local[0])
         hidx = 0
-    # align the parse start to a line boundary at or before bs
-    ps = bs
-    back = 1 << 12
-    while ps > 0:
-        lo = max(0, ps - back)
-        window = read_bytes(path, lo, ps)
-        nl = np.flatnonzero(window == 10)
-        if nl.size:
-            ps = lo + int(nl[-1]) + 1
-            break
-        if lo == 0:
-            ps = 0
-            break
-        back *= 4
-        ps = ps  # keep searching further back
-    lead_abs = int(headers[hidx])
+        lead_abs = bs
+    # align the parse start to a line boundary at or before bs, learning
+    # whether the line just before it is a header line (run context)
+    ps, prev_hdr = _line_context_before(path, bs)
     leading = None if lead_abs >= ps else lead_abs
     # read the block plus slack until >= halo bases beyond be (or EOF)
     slack = max(halo * 2, 1 << 14)
@@ -251,12 +323,14 @@ def read_fasta_block(
         hi = min(total, be + slack)
         data = read_bytes(path, ps, hi)
         # ps is the start of the line containing bs, so either the slice
-        # begins at record hidx's own header (ps == lead_abs, no leading
-        # context) or inside record hidx (leading context = lead_abs);
-        # the first record in the slice is hidx in both cases
+        # begins at record hidx's own header-run start (ps == lead_abs, no
+        # leading context) or inside record hidx (leading context =
+        # lead_abs, with prev_hdr saying whether ps continues a header
+        # run); the first record in the slice is hidx in both cases
         batch = parse_fasta(
             data, alphabet, file_offset=ps, file_id=file_id,
-            seq_index_base=hidx, leading_record_start=leading)
+            seq_index_base=hidx, leading_record_start=leading,
+            prev_line_is_header=prev_hdr)
         pos = batch.global_pos
         past = int((pos >= be).sum())
         if past >= halo or hi == total:

@@ -30,10 +30,18 @@ import numpy as np
 
 from ..alphabets import Alphabet
 from ..io.batch import ReadBatch
-from ..io.files import read_fasta_block, read_fastq_block, sniff_format
+from ..io.files import (
+    block_partition,
+    fasta_block_record_starts,
+    file_size,
+    read_fasta_block,
+    read_fastq_block,
+    sniff_format,
+)
 from .mesh import SHARD_AXIS
 
-__all__ = ["initialize", "global_mesh", "host_block_batch"]
+__all__ = ["initialize", "global_mesh", "host_block_batch",
+           "distributed_fasta_context"]
 
 
 def initialize(coordinator_address: str | None = None,
@@ -75,5 +83,38 @@ def host_block_batch(path, alphabet: Alphabet, fmt: str | None = None,
     fmt = fmt or sniff_format(path)
     if fmt == "fastq":
         return read_fastq_block(path, alphabet, h, nh, file_id=file_id)
+    ctx = distributed_fasta_context(path) if nh > 1 else None
     return read_fasta_block(path, alphabet, h, nh, file_id=file_id,
-                            halo=halo)
+                            halo=halo, context=ctx)
+
+
+def distributed_fasta_context(path) -> tuple[int, int]:
+    """(ordinal, start position) of the FASTA record containing this
+    host's block start — `(-1, -1)` if no record starts at or before it.
+
+    The distributed header scan (fasta_loader.hpp:202-360), O(block) per
+    host: each host scans only ITS byte block for record-run starts, then
+    one small allgather of (count, last_start) per host supplies every
+    host's leading-record context — the ordinal is the exclusive prefix
+    sum of earlier hosts' counts, the position is the nearest earlier
+    host's last start (or this host's own block start when a record
+    begins exactly there).
+    """
+    from jax.experimental import multihost_utils
+
+    h = jax.process_index()
+    nh = jax.process_count()
+    total = file_size(path)
+    bs, be = block_partition(total, nh, h)
+    local = fasta_block_record_starts(path, bs, be)
+    mine = np.array(
+        [local.size, int(local[-1]) if local.size else -1], np.int64)
+    gathered = np.asarray(multihost_utils.process_allgather(mine))
+    counts, lasts = gathered[:, 0], gathered[:, 1]
+    before = int(counts[:h].sum())
+    if local.size and int(local[0]) == bs:
+        return before, bs
+    prev = lasts[:h][lasts[:h] >= 0]
+    if prev.size == 0:
+        return -1, -1
+    return before - 1, int(prev[-1])

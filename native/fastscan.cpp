@@ -111,8 +111,13 @@ int64_t fastq_parse(const uint8_t* data, int64_t n, const uint8_t* from_ascii,
   return nrec;
 }
 
-// Parse a FASTA block that begins at a header ('>') line.
-// Comment lines start with ';' and are skipped (fasta_loader semantics).
+// Parse a FASTA block that begins at a record header line.
+//
+// Both '>' and ';' start header lines, and a RUN of consecutive header
+// lines is ONE record header (the reference's mxx::unique collapse on the
+// header flag, fasta_loader.hpp:295-325): a record starts at a header line
+// whose previous visible line is not a header.  Blank lines are invisible
+// (they neither break a header run nor contribute sequence).
 // Same output layout as fastq_parse; quals are zero-filled.
 int64_t fasta_parse(const uint8_t* data, int64_t n, const uint8_t* from_ascii,
                     int64_t file_offset, uint64_t* record_start,
@@ -124,25 +129,22 @@ int64_t fasta_parse(const uint8_t* data, int64_t n, const uint8_t* from_ascii,
   const uint8_t* end = data + n;
   int64_t nrec = 0;
   int64_t nb = 0;
-  const uint8_t* rec = nullptr;  // current record's '>' position
-  bool seen_any = false;
+  bool prev_hdr = false;  // was the previous visible line a header line?
   while (p < end) {
     while (p < end && (*p == '\n' || *p == '\r')) ++p;
     if (p >= end) break;
-    if (*p == '>') {
-      if (nrec >= nrec_cap) return FS_ERR_CAPACITY;
-      rec = p;
-      record_start[nrec] = static_cast<uint64_t>(file_offset + (p - data));
-      ++nrec;
-      seen_any = true;
+    if (*p == '>' || *p == ';') {  // header line
+      if (!prev_hdr) {             // first line of a run => record start
+        if (nrec >= nrec_cap) return FS_ERR_CAPACITY;
+        record_start[nrec] = static_cast<uint64_t>(file_offset + (p - data));
+        ++nrec;
+      }
+      prev_hdr = true;
       p = find_eol(p, end);
       continue;
     }
-    if (*p == ';') {  // comment line
-      p = find_eol(p, end);
-      continue;
-    }
-    if (!seen_any) return FS_ERR_BAD_HEADER;
+    prev_hdr = false;
+    if (nrec == 0) return FS_ERR_BAD_HEADER;
     // sequence line
     const uint8_t* eol = find_eol(p, end);
     const uint8_t* sl_end = line_end(p, eol);

@@ -56,13 +56,15 @@ spec = KmerSpec(21, DNA)
 mesh = global_mesh()
 timer = PhaseTimer()
 
-if kind == "count":
+if kind in ("count", "fasta_count"):
     idx = CountIndex(spec, mesh=mesh, canonical=True, timer=timer)
 else:
     idx = PositionIndex(spec, mesh=mesh, id_kind="short", timer=timer)
 
-# each process parses only its own byte block (record-boundary repaired)
-batch = host_block_batch(path, DNA)
+# each process parses only its own byte block (record-boundary repaired;
+# FASTA: O(block) header scan + distributed context exchange, plus a k-1
+# halo so boundary-crossing windows are emitted exactly once)
+batch = host_block_batch(path, DNA, halo=spec.k - 1)
 idx.insert_batch(batch)
 
 size = idx.size()

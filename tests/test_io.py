@@ -40,20 +40,30 @@ def py_parse_fastq(text: str):
 
 
 def py_parse_fasta(text: str):
-    """(header_offset, seq_string, [abs pos per base]) per record."""
+    """(header_offset, seq_string, [abs pos per base]) per record.
+
+    Reference semantics (fasta_loader.hpp:295-325): '>' and ';' both start
+    header lines; a run of consecutive header lines is ONE record header;
+    blank lines are invisible (neither header nor sequence)."""
     recs = []
     pos = 0
     cur = None
+    prev_hdr = False
     for ln in text.split("\n"):
-        if ln.startswith(">"):
-            cur = {"hdr": pos, "seq": [], "pos": []}
-            recs.append(cur)
-        elif ln.startswith(";"):
-            pass
-        elif cur is not None:
-            for j, ch in enumerate(ln):
-                cur["seq"].append(ch)
-                cur["pos"].append(pos + j)
+        body = ln.rstrip("\r")
+        if not body:
+            pass  # blank line: invisible, does not break a header run
+        elif body.startswith(">") or body.startswith(";"):
+            if not prev_hdr:
+                cur = {"hdr": pos, "seq": [], "pos": []}
+                recs.append(cur)
+            prev_hdr = True
+        else:
+            prev_hdr = False
+            if cur is not None:
+                for j, ch in enumerate(body):
+                    cur["seq"].append(ch)
+                    cur["pos"].append(pos + j)
         pos += len(ln) + 1
     return recs
 
@@ -286,3 +296,61 @@ def test_fasta_block_long_ids_invariance(ref_data_dir):
                 if o:
                     got[int(p)] = int(i)
         assert got == want, f"np={nparts}"
+
+
+def test_fasta_block_record_starts_union(ref_data_dir):
+    """Per-block O(block) record-start scans must union to the whole-file
+    header table for every partition count (the per-rank half of the
+    reference's distributed header scan, fasta_loader.hpp:202-360)."""
+    from kmerind_tpu.io.files import (
+        block_partition as bp, fasta_block_record_starts, fasta_header_table,
+        file_size)
+
+    for name in ("test.fasta", "test2.fasta", "test.medium.fasta"):
+        path = ref_data_dir / name
+        full = fasta_header_table(path).tolist()
+        total = file_size(path)
+        for nparts in (1, 2, 3, 5, 11):
+            got = []
+            for part in range(nparts):
+                bs, be = bp(total, nparts, part)
+                got.extend(fasta_block_record_starts(path, bs, be).tolist())
+            assert got == full, f"{name} np={nparts}"
+
+
+def test_fasta_block_with_explicit_context(ref_data_dir):
+    """read_fasta_block(context=...) — the multi-host path where leading
+    record context comes from the distributed exchange instead of the
+    whole-file header table — must match the default path exactly."""
+    from kmerind_tpu.io.files import (
+        block_partition as bp, fasta_block_record_starts, fasta_header_table,
+        file_size)
+
+    path = ref_data_dir / "test2.fasta"
+    total = file_size(path)
+    full = fasta_header_table(path)
+    for nparts in (2, 3, 5):
+        for part in range(nparts):
+            bs, be = bp(total, nparts, part)
+            # recompute the context the way the distributed exchange does:
+            # only per-block scans, no whole-file information
+            starts_per = [fasta_block_record_starts(path, *bp(total, nparts, j))
+                          for j in range(nparts)]
+            local = starts_per[part]
+            before = sum(s.size for s in starts_per[:part])
+            if local.size and int(local[0]) == bs:
+                ctx = (before, bs)
+            else:
+                prev = [int(s[-1]) for s in starts_per[:part] if s.size]
+                ctx = (before - 1, prev[-1]) if prev else (-1, -1)
+            a = read_fasta_block(path, DNA, part, nparts, halo=10)
+            b = read_fasta_block(path, DNA, part, nparts, halo=10, context=ctx)
+            np.testing.assert_array_equal(a.global_pos, b.global_pos)
+            np.testing.assert_array_equal(a.codes, b.codes)
+            np.testing.assert_array_equal(a.seq_index, b.seq_index)
+            np.testing.assert_array_equal(a.record_start, b.record_start)
+            np.testing.assert_array_equal(a.owned, b.owned)
+            # context sanity vs the whole-file table
+            hidx = int(np.searchsorted(full, bs, side="right")) - 1
+            want = (hidx, int(full[hidx])) if hidx >= 0 else (-1, -1)
+            assert ctx == want, f"np={nparts} part={part}"

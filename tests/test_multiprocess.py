@@ -63,6 +63,24 @@ def test_multiprocess_count_index(ref_data_dir, tmp_path, nproc, dpp):
     assert "insert" in res["timer_phases"]
 
 
+def test_multiprocess_fasta_count_index(ref_data_dir, tmp_path):
+    """FASTA per-process block reads: each worker scans only ITS block for
+    record starts (O(block)), learns its leading-record context from the
+    distributed exchange (multihost.distributed_fasta_context), and the
+    global index must equal the whole-file oracle — on a fixture with
+    ';' header lines, multi-line header runs, and multi-line sequences."""
+    from test_io import py_parse_fasta
+
+    path = ref_data_dir / "test2.fasta"
+    res = _run_workers(3, 1, path, "fasta_count", tmp_path)
+    seqs = ["".join(r["seq"]) for r in py_parse_fasta(path.read_text())]
+    from kmerind_tpu import DNA
+    expect = oracle.count_index(seqs, 21, DNA, canonical=True)
+    got = {int(k): v for k, v in res["contents"].items()}
+    assert got == dict(expect)
+    assert res["size"] == len(expect)
+
+
 def test_multiprocess_position_index(ref_data_dir, tmp_path):
     path = ref_data_dir / "test.small.fastq"
     res = _run_workers(2, 2, path, "position", tmp_path)
