@@ -38,6 +38,13 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--alphabet", default="DNA")
     ap.add_argument("--single-strand", action="store_true",
                     help="disable canonicalization (SingleStrand preset)")
+    ap.add_argument("--bimolecule", action="store_true",
+                    help="Bimolecule preset: store input-strand keys, "
+                         "hash/compare canonically (count index only)")
+    ap.add_argument("--map", default="hash", choices=["hash", "sorted"],
+                    help="distribution strategy: hash-partitioned "
+                         "(densehash analog) or range-partitioned "
+                         "(sorted_map analog, the reference's pMAP=SORTED)")
     ap.add_argument("--hash", default="murmur",
                     choices=["murmur", "farm", "fmix32", "std", "identity"])
     ap.add_argument("-S", "--sample", type=float, default=1.0,
@@ -68,9 +75,8 @@ def main(argv=None):
     import jax
 
     from .. import alphabets
+    from ..config import IndexConfig
     from ..kmer import KmerSpec
-    from ..debruijn import DeBruijnGraph
-    from ..index.api import CountIndex, PositionIndex, PositionQualityIndex
     from ..io import batch_to_arrays, extract_tuples, read_file
     from ..parallel.mesh import make_mesh
     from ..utils.timers import MemUsage, PhaseTimer
@@ -87,20 +93,14 @@ def main(argv=None):
             (".fasta", ".fa", ".fna")):
         id_kind = "long"
 
-    if args.index == "count":
-        idx = CountIndex(spec, mesh=mesh, canonical=not args.single_strand,
-                         hash_name=args.hash, timer=timer)
-    elif args.index == "position":
-        idx = PositionIndex(spec, mesh=mesh,
-                            canonical=not args.single_strand,
-                            hash_name=args.hash, id_kind=id_kind, timer=timer)
-    elif args.index == "posqual":
-        idx = PositionQualityIndex(spec, mesh=mesh, hash_name=args.hash,
-                                   id_kind=id_kind, timer=timer)
-    else:
-        idx = DeBruijnGraph(spec, mesh=mesh,
-                            canonical=not args.single_strand,
-                            hash_name=args.hash, timer=timer)
+    strands = ("bimolecule" if args.bimolecule
+               else "single" if args.single_strand else "canonical")
+    cfg = IndexConfig(
+        k=args.k, alphabet=args.alphabet, index=args.index,
+        strands=strands,
+        distribution="range" if args.map == "sorted" else "hash",
+        hash_name=args.hash, id_kind=id_kind, fmt=args.format)
+    idx = cfg.make_index(mesh=mesh, timer=timer)
 
     # ---- read query sample (readForQuery + sample, BenchmarkKmerIndex
     # :486-492): extract all kmers of the query file, sample a fraction

@@ -14,8 +14,8 @@ Mapping from the reference's macro values:
 |------------------------|-------------------|--------|
 | pPARSER FASTQ/FASTA    | fmt               | "fastq" / "fasta" (or sniffed) |
 | pINDEX COUNT/POS/POSQUAL | index           | "count"/"position"/"posqual"/"debruijn" |
-| pMAP DENSEHASH/SORTED… | (storage)         | sorted arrays (one TPU-native store) |
-| pKmerParser canonical  | canonical         | True (Canonical) / False (SingleStrand) |
+| pMAP DENSEHASH/SORTED… | distribution      | "hash" (densehash analog) / "range" (sorted_map analog) |
+| pKmerParser canonical  | strands           | "canonical" / "single" / "bimolecule" (the three MapParams presets, kmer_index.hpp:436-562) |
 | pDistHash MURMUR/FARM… | hash_name         | "murmur"/"fmix32"/"identity" |
 | pDNA 4/5/16            | alphabet          | "DNA"/"DNA5"/"DNA6"/"DNA16"/… |
 | pK 21/31/63            | k                 | any |
@@ -39,6 +39,9 @@ class IndexConfig:
     alphabet: str = "DNA"
     index: str = "count"           # count | position | posqual | debruijn
     canonical: bool = True         # Canonical vs SingleStrand presets
+    strands: str | None = None     # "canonical"|"single"|"bimolecule";
+    #                                overrides `canonical` when set
+    distribution: str = "hash"     # "hash" (densehash) | "range" (sorted_map)
     hash_name: str = "murmur"      # DistHash preset
     id_kind: str = "short"         # short (FASTQ) | long (FASTA)
     quality_codec: str = "Illumina18"
@@ -53,27 +56,55 @@ class IndexConfig:
     def make_index(self, mesh=None, **kw):
         """Instantiate the configured index class."""
         from .debruijn import DeBruijnGraph
-        from .index.api import CountIndex, PositionIndex, PositionQualityIndex
+        from .index.api import (BimoleculeCountIndex, CountIndex,
+                                PositionIndex, PositionQualityIndex)
+        from .index.sorted_api import (SortedCountIndex, SortedPositionIndex,
+                                       SortedPositionQualityIndex)
         from .parallel.mesh import make_mesh
         from . import quality
 
         if mesh is None:
             mesh = make_mesh(self.devices)
         spec = self.spec()
-        common = dict(mesh=mesh, canonical=self.canonical,
-                      hash_name=self.hash_name,
-                      fill_factor=self.fill_factor, **kw)
+        strands = self.strands
+        if strands is None:
+            strands = "canonical" if self.canonical else "single"
+        if strands not in ("canonical", "single", "bimolecule"):
+            raise ValueError(f"unknown strands preset {strands!r}")
+        canonical = strands != "single"
+        if self.distribution not in ("hash", "range"):
+            raise ValueError(f"unknown distribution {self.distribution!r}")
+        common = dict(mesh=mesh, fill_factor=self.fill_factor, **kw)
+        if strands == "bimolecule":
+            if self.distribution != "hash" or self.index != "count":
+                raise ValueError(
+                    "the Bimolecule preset is provided for hash-distributed "
+                    "count indexes (the reference's BenchmarkKmerIndex "
+                    "matrix likewise pairs it with hash maps)")
+            return BimoleculeCountIndex(
+                spec, hash_name=self.hash_name, saturate=self.saturate,
+                **common)
+        if self.distribution == "range":
+            if self.index == "count":
+                return SortedCountIndex(spec, canonical=canonical,
+                                        saturate=self.saturate, **common)
+            if self.index == "position":
+                return SortedPositionIndex(spec, canonical=canonical,
+                                           id_kind=self.id_kind, **common)
+            if self.index == "posqual":
+                codec = quality.by_name(self.quality_codec)
+                return SortedPositionQualityIndex(
+                    spec, canonical=canonical, id_kind=self.id_kind,
+                    codec=codec, **common)
+            raise ValueError(
+                f"range distribution has no {self.index!r} index")
+        common.update(canonical=canonical, hash_name=self.hash_name)
         if self.index == "count":
             return CountIndex(spec, saturate=self.saturate, **common)
         if self.index == "position":
             return PositionIndex(spec, id_kind=self.id_kind, **common)
         if self.index == "posqual":
-            codec = {
-                "Illumina18": quality.ILLUMINA18,
-                "Sanger": quality.SANGER,
-                "Illumina13": quality.ILLUMINA13,
-                "Illumina15": quality.ILLUMINA15,
-            }[self.quality_codec]
+            codec = quality.by_name(self.quality_codec)
             return PositionQualityIndex(spec, id_kind=self.id_kind,
                                         codec=codec, **common)
         if self.index == "debruijn":

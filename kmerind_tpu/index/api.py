@@ -37,7 +37,8 @@ from ..utils.timers import PhaseTimer
 from . import distributed as dx
 from . import store as st
 
-__all__ = ["CountIndex", "PositionIndex", "PositionQualityIndex"]
+__all__ = ["CountIndex", "BimoleculeCountIndex", "PositionIndex",
+           "PositionQualityIndex"]
 
 _SENTINEL = 0xFFFFFFFF
 
@@ -376,7 +377,8 @@ class CountIndex(_IndexBase):
             key = ("merge", n_rows, self.capacity)
             if key not in self._step_cache:
                 self._step_cache[key] = dx.make_merge_step(
-                    self.mesh, self.saturate, self.spec.sentinel_safe)
+                    self.mesh, self.saturate, self.spec.sentinel_safe,
+                    word_bits=self.spec.word_bits())
             new_store, ovf = self._step_cache[key](
                 self.store, words, counts, valid)
             if int(self._fetch(ovf).max()) == 0:
@@ -682,6 +684,288 @@ class CountIndex(_IndexBase):
             for i in range(int(sizes[p])):
                 out[self.spec.to_int(keys[p, i])] = int(counts[p, i])
         return out
+
+
+class BimoleculeCountIndex(CountIndex):
+    """Counting index with the Bimolecule map preset
+    (kmer_index.hpp:436-562): keys are hashed and compared in CANONICAL
+    form — both strands of a k-mer answer the same entry — but the stored
+    (reported) key keeps the INPUT-strand orientation, like the
+    reference's hash table keeping the first-inserted key.
+
+    The representative orientation is the earliest occurrence in file
+    order (deterministic; equals the reference's sequential single-rank
+    insertion order — with multiple MPI ranks the reference's own stored
+    orientation is arrival-order-dependent).  Counts, queries, and erases
+    behave exactly like the canonical CountIndex.
+    """
+
+    def __init__(self, spec: KmerSpec, mesh=None,
+                 hash_name: str = "murmur", saturate: int | None = None,
+                 initial_capacity: int = 1 << 12, **kw):
+        _IndexBase.__init__(self, spec, mesh, True, hash_name, **kw)
+        self.saturate = saturate
+        self.store = self._init_store(
+            lambda: st.empty_bimol_store(initial_capacity, spec.nwords))
+        self._pending = []
+        self._pending_rows = 0
+        self.flush_rows = 1 << 24
+        #: ids for explicitly inserted k-mers rank after any file-derived
+        #: occurrence id (file ids use at most 63 bits)
+        self._insert_seq = 1 << 63
+
+    def _flush(self):
+        if not self._pending:
+            return
+        words = self._device_concat([t[0] for t in self._pending])
+        hi = self._device_concat([t[1] for t in self._pending])
+        lo = self._device_concat([t[2] for t in self._pending])
+        strand = self._device_concat([t[3] for t in self._pending])
+        valid = self._device_concat([t[4] for t in self._pending])
+        self._pending = []
+        self._pending_rows = 0
+        n_rows = words.shape[1]
+        cap_needed = int(self._fetch(self.store.size).sum()) + n_rows
+        if cap_needed > self.capacity * self.nparts:
+            self._grow(_next_pow2(-(-cap_needed // self.nparts)))
+        key_w = ("bimol_ones", n_rows)
+        if key_w not in self._step_cache:
+            self._step_cache[key_w] = jax.jit(
+                lambda v: v.astype(jnp.int32), out_shardings=self._sharding)
+        ones = self._step_cache[key_w](valid)
+        while True:
+            key = ("bimol_merge", n_rows, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_bimol_merge_step(
+                    self.mesh, self.saturate)
+            new_store, ovf = self._step_cache[key](
+                self.store, words, ones, hi, lo, strand, valid)
+            if int(self._fetch(ovf).max()) == 0:
+                self.store = new_store
+                return
+            self._grow(_next_pow2(self.capacity + int(self._fetch(ovf).max())))
+
+    def _grow(self, new_cap: int):
+        pad = new_cap - self.capacity
+        key = ("_grow", new_cap, self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                lambda s: st.BimolStore(
+                    keys=jnp.pad(s.keys, ((0, 0), (0, pad), (0, 0)),
+                                 constant_values=np.uint32(_SENTINEL)),
+                    counts=jnp.pad(s.counts, ((0, 0), (0, pad))),
+                    rep_hi=jnp.pad(s.rep_hi, ((0, 0), (0, pad)),
+                                   constant_values=np.uint32(_SENTINEL)),
+                    rep_lo=jnp.pad(s.rep_lo, ((0, 0), (0, pad)),
+                                   constant_values=np.uint32(_SENTINEL)),
+                    rep_strand=jnp.pad(s.rep_strand, ((0, 0), (0, pad))),
+                    size=s.size,
+                ),
+                out_shardings=self._sharding)
+        self.store = self._step_cache[key](self.store)
+
+    def _insert_one_chunk(self, batch: ReadBatch):
+        with self.timer.phase("extract"):
+            cols, _ = self._batch_to_stacked(batch, id_kind="long")
+        n_local = cols["codes"].shape[1]
+        bucket_cap = self._bucket_capacity(n_local)
+        while True:
+            key = ("bimol_ingest", n_local, bucket_cap)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_bimol_ingest_step(
+                    self.mesh, self.nparts, self.spec, bucket_cap,
+                    self.hash_name)
+            with self.timer.phase("insert"):
+                rw, rhi, rlo, rs, rv, route_ovf = self._step_cache[key](
+                    cols["codes"], cols["valid"], cols["owned"],
+                    cols["seg_id"], cols["id_hi"], cols["id_lo"])
+            if int(self._fetch(route_ovf).max()) == 0:
+                self._pending.append((rw, rhi, rlo, rs, rv))
+                self._pending_rows += rw.shape[1]
+                if self._pending_rows >= self.flush_rows:
+                    with self.timer.phase("merge"):
+                        self._flush()
+                return self
+            bucket_cap = _next_pow2(
+                bucket_cap + int(self._fetch(route_ovf).max()))
+
+    def _strand_of(self, input_words: np.ndarray,
+                   canon: np.ndarray) -> np.ndarray:
+        return (~np.all(input_words == canon, axis=1)).astype(np.uint32)
+
+    def insert(self, kmers):
+        """Insert input-strand k-mers: stored canonically with the input
+        orientation remembered (first insertion wins)."""
+        self._flush()
+        raw = self._to_words(kmers)
+        canon = self._maybe_canonicalize_queries(raw)
+        strand = self._strand_of(raw, canon)
+        m = raw.shape[0]
+        ids = (np.arange(m, dtype=np.uint64)
+               + np.uint64(self._insert_seq))
+        self._insert_seq += m
+        return self._insert_tuples(
+            canon, np.ones(m, np.int32),
+            (ids >> np.uint64(32)).astype(np.uint32),
+            ids.astype(np.uint32), strand)
+
+    def insert_counts(self, kmers, counts):
+        self._flush()
+        raw = self._to_words(kmers)
+        canon = self._maybe_canonicalize_queries(raw)
+        strand = self._strand_of(raw, canon)
+        m = raw.shape[0]
+        ids = (np.arange(m, dtype=np.uint64)
+               + np.uint64(self._insert_seq))
+        self._insert_seq += m
+        return self._insert_tuples(
+            canon, np.asarray(counts, np.int32),
+            (ids >> np.uint64(32)).astype(np.uint32),
+            ids.astype(np.uint32), strand)
+
+    def _insert_tuples(self, canon, weights, rhi, rlo, strand):
+        (wsh, csh, hish, losh, ssh), vsh, m = self._shard_rows(
+            canon, extra=(weights, rhi, rlo, strand))
+        mq = wsh.shape[1]
+        cap_needed = self.size() + m
+        if cap_needed > self.capacity * self.nparts:
+            self._grow(_next_pow2(-(-cap_needed // self.nparts)))
+        bucket_cap = self._bucket_capacity(mq)
+        while True:
+            key = ("bimol_insert", mq, bucket_cap, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_bimol_insert_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name,
+                    self.saturate)
+            new_store, route_ovf, store_ovf = self._step_cache[key](
+                self.store, wsh, csh, hish, losh, ssh, vsh)
+            if int(self._fetch(route_ovf).max()) == 0 and \
+               int(self._fetch(store_ovf).max()) == 0:
+                self.store = new_store
+                return self
+            bucket_cap *= 2
+            if int(self._fetch(store_ovf).max()) > 0:
+                self._grow(self.capacity * 2)
+
+    def erase(self, kmers) -> int:
+        self._flush()
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        (wsh,), vsh, m = self._shard_rows(words)
+        mq = wsh.shape[1]
+        bucket_cap = self._bucket_capacity(mq)
+        while True:
+            key = ("bimol_erase", mq, bucket_cap, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_bimol_erase_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name)
+            new_store, nerased, ovf = self._step_cache[key](
+                self.store, wsh, vsh)
+            if int(self._fetch(ovf).max()) == 0:
+                self.store = new_store
+                return int(self._fetch(nerased).sum())
+            bucket_cap *= 2
+
+    def erase_if(self, pred, kmers=None) -> int:
+        if kmers is None:
+            self._flush()
+            key = ("bimol_erase_if", pred, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_bimol_filter_step(
+                    self.mesh, lambda k, c: ~pred(k, c))
+            new_store, nerased = self._step_cache[key](self.store)
+            self.store = new_store
+            return int(self._fetch(nerased).sum())
+        return CountIndex.erase_if(self, pred, kmers)
+
+    def _stored_words(self):
+        """(words uint32[t, w], counts int32[t]) — keys in their STORED
+        (input-strand) orientation, concatenated over shards."""
+        self._flush()
+        from ..ops import bitops
+        keys = self._fetch(self.store.keys)
+        counts = self._fetch(self.store.counts)
+        strands = self._fetch(self.store.rep_strand)
+        sizes = self._fetch(self.store.size)
+        rows, cnts, sts = [], [], []
+        for p in range(self.nparts):
+            s = int(sizes[p])
+            rows.append(keys[p, :s])
+            cnts.append(counts[p, :s])
+            sts.append(strands[p, :s])
+        rows = np.concatenate(rows) if rows else np.zeros((0, self.spec.nwords), np.uint32)
+        cnts = np.concatenate(cnts) if cnts else np.zeros(0, np.int32)
+        sts = np.concatenate(sts) if sts else np.zeros(0, np.uint32)
+        if rows.shape[0]:
+            rc = np.asarray(bitops.revcomp(jnp.asarray(rows), self.spec))
+            rows = np.where((sts == 1)[:, None], rc, rows)
+        return rows, cnts
+
+    def to_dict(self) -> dict[int, int]:
+        """{input_strand_kmer_int: count} — keys in stored orientation."""
+        rows, cnts = self._stored_words()
+        return {self.spec.to_int(rows[i]): int(cnts[i])
+                for i in range(rows.shape[0])}
+
+    def find(self, kmers):
+        """Found (stored-orientation kmer words, count) pairs."""
+        canon = self._maybe_canonicalize_queries(self._to_words(kmers))
+        counts = self.count(canon)
+        hit = counts > 0
+        if not hit.any():
+            return canon[:0], counts[:0]
+        # decode stored orientation for the hit keys
+        self._flush()
+        from ..ops import bitops
+        hits = canon[hit]
+        # fetch per-key strand via a membership scan over stored entries
+        rows, _ = self._stored_words()
+        canon_rows = self._maybe_canonicalize_queries(rows) if rows.shape[0] \
+            else rows
+        lut = {tuple(canon_rows[i]): tuple(rows[i])
+               for i in range(rows.shape[0])}
+        out = np.stack([np.array(lut[tuple(r)], np.uint32) for r in hits]) \
+            if hits.shape[0] else hits
+        return out, counts[hit]
+
+    def save(self, path):
+        self._flush()
+        np.savez_compressed(
+            path,
+            kind="bimol_count",
+            k=self.spec.k,
+            alphabet=self.spec.alphabet.name,
+            hash_name=self.hash_name,
+            saturate=-1 if self.saturate is None else self.saturate,
+            nparts=self.nparts,
+            keys=self._fetch(self.store.keys),
+            counts=self._fetch(self.store.counts),
+            rep_hi=self._fetch(self.store.rep_hi),
+            rep_lo=self._fetch(self.store.rep_lo),
+            rep_strand=self._fetch(self.store.rep_strand),
+            sizes=self._fetch(self.store.size),
+        )
+        return self
+
+    @classmethod
+    def load(cls, path, mesh=None):
+        from .. import alphabets as _al
+        z = np.load(path, allow_pickle=False)
+        spec = KmerSpec(int(z["k"]), _al.by_name(str(z["alphabet"])))
+        sat = int(z["saturate"])
+        idx = cls(spec, mesh=mesh, hash_name=str(z["hash_name"]),
+                  saturate=None if sat < 0 else sat)
+        keys, counts, sizes = z["keys"], z["counts"], z["sizes"]
+        rhi, rlo, rst = z["rep_hi"], z["rep_lo"], z["rep_strand"]
+        P_ = keys.shape[0]
+        rows = np.concatenate([keys[p, :sizes[p]] for p in range(P_)])
+        if rows.shape[0]:
+            idx._insert_tuples(
+                rows.astype(np.uint32),
+                np.concatenate([counts[p, :sizes[p]] for p in range(P_)]),
+                np.concatenate([rhi[p, :sizes[p]] for p in range(P_)]),
+                np.concatenate([rlo[p, :sizes[p]] for p in range(P_)]),
+                np.concatenate([rst[p, :sizes[p]] for p in range(P_)]))
+        return idx
 
 
 class PositionIndex(_IndexBase):

@@ -341,7 +341,8 @@ def make_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
         (rw,), rvalid, route = dist.distribute(
             (tup.words,), owner, tup.valid, nparts, capacity, SHARD_AXIS)
         s_words, _, s_valid = sortops.sort_rows(
-            rw, (), rvalid, is_stable=False, sentinel_ok=spec.sentinel_safe)
+            rw, (), rvalid, is_stable=False, sentinel_ok=spec.sentinel_safe,
+            word_bits=spec.word_bits())
         # run-length weights in place (one cummax scan) — skips the
         # compaction sort; the pending buffer takes valid-masked rows
         weights, emit = sortops.run_length_counts(s_words, s_valid)
@@ -356,7 +357,8 @@ def make_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
 
 
 def make_merge_step(mesh: Mesh, saturate: int | None = None,
-                    sentinel_ok: bool = False):
+                    sentinel_ok: bool = False,
+                    word_bits: tuple | None = None):
     """Jitted: (stores, words[p, m, w], weights[p, m], valid[p, m]) ->
     (new_stores, store_overflow[p]) — local weighted merge of
     already-owner-resident rows (the deferred sort of the lazy-insert
@@ -366,7 +368,7 @@ def make_merge_step(mesh: Mesh, saturate: int | None = None,
         store = _unstack(stores_blk)
         new_store, ovf = st.count_insert(
             store, words_blk[0], valid_blk[0], weights=weights_blk[0],
-            saturate=saturate, sentinel_ok=sentinel_ok)
+            saturate=saturate, sentinel_ok=sentinel_ok, word_bits=word_bits)
         return _stack(new_store), ovf[None]
 
     return jax.jit(jax.shard_map(
@@ -426,6 +428,129 @@ def make_multi_merge_step(mesh: Mesh):
         body, mesh=mesh,
         in_specs=(P(SHARD_AXIS),) * 6,
         out_specs=(P(SHARD_AXIS),) * 2,
+    ))
+
+
+def make_bimol_ingest_step(mesh: Mesh, nparts: int, spec, capacity: int,
+                           hash_name: str):
+    """Jitted Bimolecule ingest: extraction (canonical words + strand flag)
+    + owner exchange of (canonical kmer, occurrence id, strand) tuples
+    WITHOUT the store merge — the Bimolecule map preset stores input-strand
+    keys while hashing/comparing canonically (kmer_index.hpp:436-562)."""
+    from ..io.kmer_parsers import DeviceBases, extract_tuples
+
+    def body(codes_blk, valid_blk, owned_blk, seg_blk, hi_blk, lo_blk):
+        bases = DeviceBases(
+            codes=codes_blk[0], valid=valid_blk[0], owned=owned_blk[0],
+            seg_id=seg_blk[0], id_hi=hi_blk[0], id_lo=lo_blk[0],
+            qual=jnp.zeros_like(codes_blk[0]),
+        )
+        tup = extract_tuples(bases, spec, canonical=True)
+        owner = owners_for(tup.words, nparts, hash_name)
+        (rw, rhi, rlo, rs), rvalid, route = dist.distribute(
+            (tup.words, tup.id_hi, tup.id_lo, tup.strand), owner, tup.valid,
+            nparts, capacity, SHARD_AXIS)
+        return (rw[None], rhi[None], rlo[None], rs[None], rvalid[None],
+                route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 6,
+        out_specs=(P(SHARD_AXIS),) * 6,
+    ))
+
+
+def make_bimol_merge_step(mesh: Mesh, saturate: int | None = None):
+    """Jitted deferred Bimolecule merge: weighted count sum + earliest-
+    occurrence representative per canonical key."""
+
+    def body(stores_blk, words_blk, w_blk, hi_blk, lo_blk, s_blk, valid_blk):
+        store = _unstack(stores_blk)
+        new_store, ovf = st.bimol_insert(
+            store, words_blk[0], w_blk[0], hi_blk[0], lo_blk[0], s_blk[0],
+            valid_blk[0], saturate=saturate)
+        return _stack(new_store), ovf[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 7,
+        out_specs=(P(SHARD_AXIS),) * 2,
+    ))
+
+
+def make_bimol_insert_step(mesh: Mesh, nparts: int, capacity: int,
+                           hash_name: str, saturate: int | None = None):
+    """Jitted direct Bimolecule insert of explicit (canonical key, weight,
+    occurrence id, strand) tuples: route to owners + merge."""
+
+    def body(stores_blk, words_blk, w_blk, hi_blk, lo_blk, s_blk, valid_blk):
+        store = _unstack(stores_blk)
+        words = words_blk[0]
+        owner = owners_for(words, nparts, hash_name)
+        (rw, rwt, rhi, rlo, rs), rvalid, route = dist.distribute(
+            (words, w_blk[0], hi_blk[0], lo_blk[0], s_blk[0]), owner,
+            valid_blk[0], nparts, capacity, SHARD_AXIS)
+        new_store, ovf = st.bimol_insert(
+            store, rw, rwt, rhi, rlo, rs, rvalid, saturate=saturate)
+        return _stack(new_store), route.overflow[None], ovf[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 7,
+        out_specs=(P(SHARD_AXIS),) * 3,
+    ))
+
+
+def make_bimol_erase_step(mesh: Mesh, nparts: int, capacity: int,
+                          hash_name: str):
+    """Jitted Bimolecule erase: route canonical query keys to owners and
+    remove them, preserving representative columns."""
+
+    def body(stores_blk, keys_blk, valid_blk):
+        store = _unstack(stores_blk)
+        keys, valid = keys_blk[0], valid_blk[0]
+        owner = owners_for(keys, nparts, hash_name)
+        (rk,), rvalid, route = dist.distribute(
+            (keys,), owner, valid, nparts, capacity, SHARD_AXIS)
+        new_store, nerased = st.bimol_erase(store, rk, rvalid)
+        return _stack(new_store), nerased[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 3,
+        out_specs=(P(SHARD_AXIS),) * 3,
+    ))
+
+
+def make_bimol_filter_step(mesh: Mesh, pred):
+    """Jitted predicate filter over local Bimolecule entries (erase_if /
+    filter; pred sees canonical keys and counts).  Returns
+    (new_stores, n_erased[p])."""
+    from ..ops import sortops
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        cap = store.capacity
+        live = jnp.arange(cap) < store.size
+        keep = pred(store.keys, store.counts) & live
+        s_words, (s_c, s_hi, s_lo, s_s), s_valid = sortops.sort_rows(
+            store.keys,
+            (store.counts, store.rep_hi, store.rep_lo, store.rep_strand),
+            keep)
+        new_size = jnp.sum(keep.astype(jnp.int32))
+        new = st.BimolStore(
+            keys=jnp.where(s_valid[:, None], s_words, jnp.uint32(0xFFFFFFFF)),
+            counts=jnp.where(s_valid, s_c, 0),
+            rep_hi=jnp.where(s_valid, s_hi, jnp.uint32(0xFFFFFFFF)),
+            rep_lo=jnp.where(s_valid, s_lo, jnp.uint32(0xFFFFFFFF)),
+            rep_strand=jnp.where(s_valid, s_s, 0),
+            size=new_size,
+        )
+        return _stack(new), (store.size - new_size)[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(SHARD_AXIS),),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
     ))
 
 

@@ -31,8 +31,10 @@ from ..ops import sortops
 __all__ = [
     "CountStore",
     "MultiStore",
+    "BimolStore",
     "empty_count_store",
     "empty_multi_store",
+    "empty_bimol_store",
     "count_insert",
     "count_lookup",
     "count_erase",
@@ -40,6 +42,7 @@ __all__ = [
     "multi_lookup_ranges",
     "multi_count",
     "multi_erase",
+    "bimol_insert",
 ]
 
 _SENTINEL = 0xFFFFFFFF
@@ -99,10 +102,12 @@ def empty_multi_store(capacity: int, nwords: int) -> MultiStore:
 
 
 # --------------------------------------------------------------- counting
-@functools.partial(jax.jit, static_argnames=("saturate", "sentinel_ok"))
+@functools.partial(jax.jit,
+                   static_argnames=("saturate", "sentinel_ok", "word_bits"))
 def count_insert(store: CountStore, words: jax.Array, valid: jax.Array,
                  weights: jax.Array | None = None,
-                 saturate: int | None = None, sentinel_ok: bool = False):
+                 saturate: int | None = None, sentinel_ok: bool = False,
+                 word_bits: tuple | None = None):
     """Merge a batch of keys into the count store.
 
     Each valid row contributes `weights[i]` (default 1) to its key's count —
@@ -121,7 +126,7 @@ def count_insert(store: CountStore, words: jax.Array, valid: jax.Array,
     # run-reduction is order-insensitive: unstable sort is ~10% faster
     s_words, (s_vals,), s_valid = sortops.sort_rows(
         all_words, (all_vals,), all_valid, is_stable=False,
-        sentinel_ok=sentinel_ok)
+        sentinel_ok=sentinel_ok, word_bits=word_bits)
     uniq, red, n_unique = sortops.segment_reduce_sorted(
         s_words, s_valid, s_vals, reduce="sum")
     if saturate is not None:
@@ -330,3 +335,130 @@ def vec_lookup(store: VecStore, queries: jax.Array):
                                 store.size)
     vals = store.vals[jnp.clip(idx, 0, store.capacity - 1)]
     return jnp.where(hit[:, None], vals, 0), hit
+
+
+# ------------------------------------------------- bimolecule counting map
+@dataclasses.dataclass
+class BimolStore:
+    """Counting store for the Bimolecule preset (kmer_index.hpp:436-562):
+    keys are hashed/compared in CANONICAL form, but the map remembers the
+    INPUT-strand orientation of each key's first occurrence so dumps and
+    finds can report the stored (input-strand) k-mer, like the reference's
+    hash table keeping the first-inserted key.  `rep_hi`/`rep_lo` hold the
+    64-bit position id of the earliest (file-order) occurrence and
+    `rep_strand` whether that occurrence was reverse-complemented by
+    canonicalization."""
+
+    keys: jax.Array        # uint32[cap, w] — canonical, sorted, unique
+    counts: jax.Array      # int32[cap]
+    rep_hi: jax.Array      # uint32[cap]
+    rep_lo: jax.Array      # uint32[cap]
+    rep_strand: jax.Array  # uint32[cap] — 0 forward, 1 reverse-complement
+    size: jax.Array        # int32 scalar
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    BimolStore,
+    data_fields=["keys", "counts", "rep_hi", "rep_lo", "rep_strand", "size"],
+    meta_fields=[])
+
+
+def empty_bimol_store(capacity: int, nwords: int) -> BimolStore:
+    return BimolStore(
+        keys=jnp.full((capacity, nwords), _SENTINEL, dtype=jnp.uint32),
+        counts=jnp.zeros((capacity,), jnp.int32),
+        rep_hi=jnp.full((capacity,), _SENTINEL, dtype=jnp.uint32),
+        rep_lo=jnp.full((capacity,), _SENTINEL, dtype=jnp.uint32),
+        rep_strand=jnp.zeros((capacity,), jnp.uint32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+@jax.jit
+def bimol_erase(store: BimolStore, queries: jax.Array, qvalid: jax.Array):
+    """Remove query keys (canonical form); returns (new_store, n_erased) —
+    the Bimolecule-preserving analog of `count_erase`."""
+    idx = sortops.lower_bound(store.keys, store.size,
+                              queries.astype(jnp.uint32))
+    hit = sortops.rows_equal_at(store.keys, idx, queries.astype(jnp.uint32),
+                                store.size) & qvalid
+    cap = store.capacity
+    kill = jnp.zeros((cap + 1,), bool).at[
+        jnp.where(hit, idx, cap)].set(True)[:cap]
+    keep = (jnp.arange(cap) < store.size) & ~kill
+    s_words, (s_c, s_hi, s_lo, s_s), s_valid = sortops.sort_rows(
+        store.keys,
+        (store.counts, store.rep_hi, store.rep_lo, store.rep_strand), keep)
+    new_size = jnp.sum(keep.astype(jnp.int32))
+    new = BimolStore(
+        keys=jnp.where(s_valid[:, None], s_words, jnp.uint32(_SENTINEL)),
+        counts=jnp.where(s_valid, s_c, 0),
+        rep_hi=jnp.where(s_valid, s_hi, jnp.uint32(_SENTINEL)),
+        rep_lo=jnp.where(s_valid, s_lo, jnp.uint32(_SENTINEL)),
+        rep_strand=jnp.where(s_valid, s_s, 0),
+        size=new_size,
+    )
+    return new, store.size - new_size
+
+
+@functools.partial(jax.jit, static_argnames=("saturate",))
+def bimol_insert(store: BimolStore, words, weights, rep_hi, rep_lo,
+                 rep_strand, valid, saturate: int | None = None):
+    """Merge (canonical key, weight, first-occurrence id, strand) tuples.
+
+    Counts sum per key; the representative (id, strand) is the MINIMUM id —
+    the earliest occurrence in file order, matching the reference's
+    keep-first-inserted-key hash semantics for a single sequential rank.
+    Returns (new_store, overflow).
+    """
+    cap = store.capacity
+    live_store = jnp.arange(cap) < store.size
+    all_words = jnp.concatenate([store.keys, words.astype(jnp.uint32)], axis=0)
+    all_w = jnp.concatenate([store.counts, weights.astype(jnp.int32)])
+    all_hi = jnp.concatenate([store.rep_hi, rep_hi.astype(jnp.uint32)])
+    all_lo = jnp.concatenate([store.rep_lo, rep_lo.astype(jnp.uint32)])
+    all_s = jnp.concatenate([store.rep_strand, rep_strand.astype(jnp.uint32)])
+    all_valid = jnp.concatenate([live_store, valid])
+    n, w = all_words.shape
+    # sort with (key words, rep id) ALL as sort keys: within a run of equal
+    # key words the min-id row sorts FIRST, so the run head carries the
+    # earliest occurrence — segmented min for free (invalid rows flagged
+    # to the end with a leading flag column; their id columns are inert)
+    flag = (~all_valid).astype(jnp.uint32)
+    cols = tuple(all_words[:, j] for j in range(w))
+    out = jax.lax.sort(
+        (flag,) + cols + (all_hi, all_lo, all_s, all_w),
+        num_keys=1 + w + 2, is_stable=False)
+    s_valid = out[0] == 0
+    s_words = jnp.stack(out[1:1 + w], axis=1)
+    s_hi, s_lo, s_s, s_w = out[1 + w:]
+    # counts: prefix-sum difference over runs; reps: first-of-run payloads
+    uniq, (hi_f, lo_f, st_f, _wf), starts, n_unique, total_valid = \
+        sortops.compact_runs(s_words, s_valid, payloads=(s_hi, s_lo, s_s, s_w))
+    # int32 prefix sums: counts are int32 in the store, so any overflow
+    # here would overflow the stored count anyway (use saturate= to bound)
+    prefix = jnp.concatenate([
+        jnp.zeros(1, jnp.int32),
+        jnp.cumsum(jnp.where(s_valid, s_w, 0).astype(jnp.int32))])
+    j = jnp.arange(n, dtype=jnp.int32)
+    next_start = jnp.concatenate([starts[1:], jnp.zeros(1, jnp.int32)])
+    ends = jnp.where(j + 1 < n_unique, next_start,
+                     jnp.where(j + 1 == n_unique, total_valid, 0))
+    starts_c = jnp.where(j < n_unique, starts, 0)
+    counts = (prefix[ends] - prefix[starts_c]).astype(jnp.int32)
+    if saturate is not None:
+        counts = jnp.minimum(counts, saturate)
+    live = j < n_unique
+    new = BimolStore(
+        keys=jnp.where(live[:, None], uniq, jnp.uint32(_SENTINEL))[:cap],
+        counts=jnp.where(live, counts, 0)[:cap],
+        rep_hi=jnp.where(live, hi_f, jnp.uint32(_SENTINEL))[:cap],
+        rep_lo=jnp.where(live, lo_f, jnp.uint32(_SENTINEL))[:cap],
+        rep_strand=jnp.where(live, st_f, 0)[:cap],
+        size=jnp.minimum(n_unique, cap),
+    )
+    return new, jnp.maximum(n_unique - cap, 0)

@@ -63,11 +63,14 @@ class KmerTuples:
     id_hi: jax.Array    # uint32[n] position id of the window's first base
     id_lo: jax.Array    # uint32[n]
     qual: jax.Array     # float32[n] windowed quality score (0 if unused)
+    strand: jax.Array   # uint32[n] — 1 when the stored word is the reverse
+                        # complement of the input window (canonical modes;
+                        # 0 otherwise).  Consumed by the Bimolecule preset.
 
 
 jax.tree_util.register_dataclass(
     KmerTuples,
-    data_fields=["words", "valid", "id_hi", "id_lo", "qual"],
+    data_fields=["words", "valid", "id_hi", "id_lo", "qual", "strand"],
     meta_fields=[],
 )
 
@@ -114,12 +117,14 @@ def extract_tuples(bases: DeviceBases, spec: KmerSpec, canonical: bool = True,
         and pallas_kernels.pallas_supported(spec))
     if canonical:
         if use_pallas:
-            words, _ = pallas_kernels.extract_canonical_pallas(
+            words, was_rc = pallas_kernels.extract_canonical_pallas(
                 bases.codes, spec)
         else:
-            words, _ = packing.extract_canonical(bases.codes, spec)
+            words, was_rc = packing.extract_canonical(bases.codes, spec)
+        strand = was_rc.astype(jnp.uint32)
     else:
         words = packing.extract_kmers(bases.codes, spec)
+        strand = jnp.zeros(bases.codes.shape[0], jnp.uint32)
     wvalid = packing.window_valid(bases.valid, bases.seg_id, spec.k) & bases.owned
     if with_quality:
         qual = window_quality(bases.qual, spec.k, codec)
@@ -131,4 +136,5 @@ def extract_tuples(bases: DeviceBases, spec: KmerSpec, canonical: bool = True,
         id_hi=bases.id_hi,
         id_lo=bases.id_lo,
         qual=qual,
+        strand=strand,
     )

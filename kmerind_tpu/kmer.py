@@ -90,6 +90,12 @@ class KmerSpec:
             min(cpw, self.k - w * cpw) for w in range(self.nwords)
         )
 
+    def word_bits(self) -> tuple[int, ...]:
+        """Significant bits per word, word 0 first — the last word of a
+        non-multiple k is narrow (e.g. 10 bits for DNA k=21), which the
+        sort exploits with a narrower comparator column."""
+        return tuple(n * self.bits_per_char for n in self.word_char_counts())
+
     # -- host-side (numpy) scalar helpers, used by tests/tools -------------
     def pack_codes(self, codes: np.ndarray) -> np.ndarray:
         """Pack one k-mer's codes (len k) into its word array (numpy)."""

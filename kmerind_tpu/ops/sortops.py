@@ -30,8 +30,21 @@ __all__ = [
 ]
 
 
+def _narrow_dtype(bits: int | None):
+    """Smallest sortable dtype whose all-ones pattern still exceeds every
+    valid `bits`-bit value (strict <, so the sentinel stays distinct)."""
+    if bits is None:
+        return None
+    if bits < 8:
+        return jnp.uint8
+    if bits < 16:
+        return jnp.uint16
+    return None
+
+
 def sort_rows(words: jax.Array, payloads=(), valid: jax.Array | None = None,
-              is_stable: bool = True, sentinel_ok: bool = False):
+              is_stable: bool = True, sentinel_ok: bool = False,
+              word_bits: tuple | None = None):
     """Sort rows of uint32[n, w] lexicographically, carrying payloads.
 
     Invalid rows sort after all valid rows (regardless of key bits) — via a
@@ -39,26 +52,55 @@ def sort_rows(words: jax.Array, payloads=(), valid: jax.Array | None = None,
     all-ones, KmerSpec.sentinel_safe), by overwriting invalid rows with the
     all-ones sentinel and dropping the flag operand (one fewer sort column).
 
+    word_bits: optional per-column significant-bit counts
+    (KmerSpec.word_char_counts() × bits_per_char).  Columns with < 16
+    significant bits sort as uint16 (< 8 as uint8) — the TPU sort is
+    comparator-width-bound (measured ~11% faster for the 2-word k=21 key),
+    and narrow columns widen back losslessly.
+
     Returns (sorted_words, sorted_payloads_tuple, sorted_valid).
     """
     n, w = words.shape
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
+    narrow = [None] * w
+    if word_bits is not None:
+        narrow = [_narrow_dtype(b) for b in word_bits[:w]]
+        narrow += [None] * (w - len(narrow))
+
+    def _shrink(col, dt):
+        return col if dt is None else col.astype(dt)
+
+    def _widen(col, dt, sorted_valid):
+        if dt is None:
+            return col
+        full = col.astype(jnp.uint32)
+        if sentinel_ok:
+            full = jnp.where(sorted_valid, full, jnp.uint32(0xFFFFFFFF))
+        return full
+
     if sentinel_ok:
         sent = jnp.uint32(0xFFFFFFFF)
         masked = jnp.where(valid[:, None], words, sent)
         total_valid = jnp.sum(valid.astype(jnp.int32))
-        operands = tuple(masked[:, j] for j in range(w)) + tuple(payloads)
+        operands = tuple(
+            _shrink(masked[:, j], narrow[j]) for j in range(w)
+        ) + tuple(payloads)
         out = jax.lax.sort(operands, num_keys=w, is_stable=is_stable)
-        sorted_words = jnp.stack(out[:w], axis=1)
-        sorted_payloads = tuple(out[w:])
         sorted_valid = jnp.arange(n) < total_valid
+        sorted_words = jnp.stack(
+            [_widen(out[j], narrow[j], sorted_valid) for j in range(w)],
+            axis=1)
+        sorted_payloads = tuple(out[w:])
         return sorted_words, sorted_payloads, sorted_valid
     invalid_key = (~valid).astype(jnp.uint32)
-    operands = (invalid_key,) + tuple(words[:, j] for j in range(w)) + tuple(payloads)
+    operands = (invalid_key,) + tuple(
+        _shrink(words[:, j], narrow[j]) for j in range(w)) + tuple(payloads)
     out = jax.lax.sort(operands, num_keys=1 + w, is_stable=is_stable)
     sorted_valid = out[0] == 0
-    sorted_words = jnp.stack(out[1:1 + w], axis=1)
+    sorted_words = jnp.stack(
+        [_widen(out[1 + j], narrow[j], sorted_valid) for j in range(w)],
+        axis=1)
     sorted_payloads = tuple(out[1 + w:])
     return sorted_words, sorted_payloads, sorted_valid
 

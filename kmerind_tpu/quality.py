@@ -105,6 +105,16 @@ ILLUMINA13 = QualityCodec("Illumina13", 64, 126, 0)
 ILLUMINA15 = QualityCodec("Illumina15", 64, 126, 3)
 
 
+def by_name(name: str) -> QualityCodec:
+    """Codec preset by name (the reference's quality_scores.hpp:529-542
+    preset aliases)."""
+    try:
+        return {"Illumina18": ILLUMINA18, "Sanger": SANGER,
+                "Illumina13": ILLUMINA13, "Illumina15": ILLUMINA15}[name]
+    except KeyError:
+        raise ValueError(f"unknown quality codec {name!r}") from None
+
+
 def _shift_idx(a, s):
     from .ops.packing import _shift_idx as _impl
     return _impl(a, s)
