@@ -86,7 +86,7 @@ def main():
     ap.add_argument("--k", type=int, default=21)
     ap.add_argument("--read-len", type=int, default=250)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--inner", type=int, default=5,
+    ap.add_argument("--inner", type=int, default=40,
                     help="on-device builds per timed dispatch")
     ap.add_argument("--baseline-bases", type=int, default=1 << 21)
     ap.add_argument("--measure-baseline", action="store_true")
