@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..kmer import KmerSpec
 
-__all__ = ["extract_canonical_pallas", "pallas_supported"]
+__all__ = ["extract_canonical_pallas", "pallas_supported",
+           "run_length_weights_pallas"]
 
 _LANES = 128
 _TILE = 1 << 16  # windows per grid step (multiple of _LANES)
@@ -229,3 +230,157 @@ def extract_canonical_pallas(codes: jax.Array, spec: KmerSpec,
     words = words.reshape(spec.nwords, ntiles * tile).T[:n]
     rc = rc.reshape(ntiles * tile)[:n].astype(bool)
     return words, rc
+
+
+# ---------------------------------------------------------------------------
+# Run-length weights over sorted rows — single-HBM-pass scan kernel.
+#
+# Replaces the XLA `lax.cummax` in sortops.run_length_counts, which lowers
+# to ~log2(n) full-array HBM passes (~7 ms at 16M rows); here the max-scan
+# runs entirely in VMEM (two-level: lane-direction doubling + row-direction
+# doubling) so the kernel reads and writes each element once.  Semantics
+# match run_length_counts' (weights, emit) with emit == weights > 0: the
+# LAST row of every run of equal keys carries the run's length; all other
+# rows carry 0.  Requires prefix validity (rows >= total_valid dead) — the
+# invariant sort_rows guarantees.  This is the segmented-reduction half of
+# the count build (the reference's hash-probe += loop,
+# distributed_densehash_map.hpp:278,1911).
+
+_RL_ROWS = 2048                       # rows per grid block
+_RL_BLOCK = _RL_ROWS * _LANES         # elements per grid block
+
+
+def _lane_shift_right(v: jax.Array, s: int, fill) -> jax.Array:
+    """out[r, l] = v[r, l-s] for l >= s else fill (static s)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.where(lane >= s, pltpu.roll(v, s, 1), fill)
+
+
+def _make_rl_kernel(w: int, nrows_total: int):
+    NEG = -1  # python int: jnp scalars would be captured closure constants
+
+    def kernel(tv_ref, *refs):
+        # refs: w col blocks, w next-row blocks, out block, SMEM carries
+        cols = refs[:w]
+        nxts = refs[w:2 * w]
+        out_ref = refs[2 * w]
+        carry_ref = refs[2 * w + 1]    # SMEM i32[1]: last run start so far
+        prev_ref = refs[2 * w + 2]     # SMEM u32[w]: element before block
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry_ref[0] = NEG
+            for c in range(w):
+                prev_ref[c] = jnp.int32(0)
+
+        carry = carry_ref[0]
+        tv = tv_ref[0]
+        base = i * _RL_BLOCK
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (_RL_ROWS, _LANES), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (_RL_ROWS, _LANES), 1)
+        j2 = base + row_i * _LANES + lane_i
+        live = j2 < tv
+
+        # neighbor access uses roll + masked fills only — Mosaic's
+        # concatenate on sliced operands hits layout-offset limits
+        neq_prev = jnp.zeros((_RL_ROWS, _LANES), jnp.bool_)
+        neq_next = jnp.zeros((_RL_ROWS, _LANES), jnp.bool_)
+        for c in range(w):
+            # work in i32 (bitcast): Mosaic has no unsigned reductions,
+            # and equality is bit-equality either way
+            x = pltpu.bitcast(cols[c][...], jnp.int32)
+            # prev element in linear order
+            y = pltpu.roll(x, 1, 1)                   # y[r,0] = x[r,127]
+            y_dn = jnp.where(row_i >= 1, pltpu.roll(y, 1, 0), prev_ref[c])
+            prv = jnp.where(lane_i == 0, y_dn, y)
+            neq_prev = neq_prev | (prv != x)
+            # next element in linear order
+            z = pltpu.roll(x, _LANES - 1, 1)          # z[r,127] = x[r,0]
+            nb = pltpu.bitcast(nxts[c][...], jnp.int32)     # [8, 128]
+            nrow = jax.lax.broadcasted_iota(jnp.int32, nb.shape, 0)
+            nlane = jax.lax.broadcasted_iota(jnp.int32, nb.shape, 1)
+            nxt_fill = jnp.max(jnp.where((nrow == 0) & (nlane == 0),
+                                         nb, jnp.int32(-(1 << 31))))
+            z_up = jnp.where(row_i < _RL_ROWS - 1,
+                             pltpu.roll(z, _RL_ROWS - 1, 0), nxt_fill)
+            nxt = jnp.where(lane_i == _LANES - 1, z_up, z)
+            neq_next = neq_next | (nxt != x)
+            # x[R-1, 127] as a masked-reduction scalar (no vector.extract)
+            prev_ref[c] = jnp.max(jnp.where(
+                (row_i == _RL_ROWS - 1) & (lane_i == _LANES - 1),
+                x, jnp.int32(-(1 << 31))))
+
+        is_new = live & ((j2 == 0) | neq_prev)
+        v = jnp.where(is_new, j2, NEG)
+        # lane-direction inclusive max-scan (7 doubling steps)
+        s = 1
+        while s < _LANES:
+            v = jnp.maximum(v, _lane_shift_right(v, s, NEG))
+            s *= 2
+        # row-direction scan: mask everything but lane 127, scan down rows
+        u = jnp.where(lane_i == _LANES - 1, v, NEG)
+        s = 1
+        while s < _RL_ROWS:
+            u = jnp.maximum(
+                u, jnp.where(row_i >= s, pltpu.roll(u, s, 0), NEG))
+            s *= 2
+        # exclusive per-row prefix (broadcast along lanes), carry-seeded
+        u1 = jnp.where(row_i >= 1, pltpu.roll(u, 1, 0), NEG)
+        rexc = jnp.maximum(
+            jnp.max(jnp.where(lane_i == _LANES - 1, u1, NEG),
+                    axis=1, keepdims=True),
+            carry)
+        start = jnp.maximum(v, rexc)
+        is_last = live & (neq_next | (j2 == tv - 1))
+        out_ref[...] = jnp.where(is_last, j2 - start + 1, 0)
+        carry_ref[0] = jnp.maximum(carry, jnp.max(u))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def run_length_weights_pallas(sorted_words: jax.Array,
+                              total_valid: jax.Array,
+                              interpret: bool = False) -> jax.Array:
+    """weights int32[n]: run length at each run's last row, else 0.
+
+    sorted_words: uint32[n, w], rows sorted lexicographically with all
+    valid rows first (prefix validity); total_valid: int32 scalar.
+    """
+    n, w = sorted_words.shape
+    npad = _round_up(max(n, _RL_BLOCK), _RL_BLOCK)
+    cols = []
+    for c in range(w):
+        col = sorted_words[:, c]
+        if npad != n:
+            col = jnp.pad(col, (0, npad - n))
+        cols.append(col.reshape(npad // _LANES, _LANES))
+    nrows = npad // _LANES
+    ntiles = npad // _RL_BLOCK
+    tv = jnp.reshape(total_valid.astype(jnp.int32), (1,))
+    try:
+        vma = jax.typeof(sorted_words).vma
+    except AttributeError:
+        vma = frozenset()
+    col_spec = pl.BlockSpec((_RL_ROWS, _LANES), lambda i: (i, 0))
+    # one-row lookahead: the first element of block i+1 (clamped for the
+    # last block, where it is unused).  Index map is in BLOCK units and the
+    # block height must be a multiple of 8 (Mosaic tiling).
+    nxt_spec = pl.BlockSpec(
+        (8, _LANES),
+        lambda i: (jnp.minimum((i + 1) * (_RL_ROWS // 8), nrows // 8 - 1), 0))
+    weights = pl.pallas_call(
+        _make_rl_kernel(w, nrows),
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + [col_spec] * w + [nxt_spec] * w,
+        out_specs=pl.BlockSpec((_RL_ROWS, _LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nrows, _LANES), jnp.int32, vma=vma),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((w,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tv, *cols, *cols)
+    return weights.reshape(npad)[:n]

@@ -192,6 +192,14 @@ def run_length_counts(sorted_words: jax.Array, sorted_valid: jax.Array):
     (uniq, counts) of `unique_counts`.
     """
     n, w = sorted_words.shape
+    if jax.default_backend() == "tpu" and sorted_words.dtype == jnp.uint32:
+        # single-HBM-pass Pallas scan; sort_rows guarantees the prefix
+        # validity (all valid rows first) the kernel requires
+        from . import pallas_kernels
+        total_valid = jnp.sum(sorted_valid.astype(jnp.int32))
+        weights = pallas_kernels.run_length_weights_pallas(
+            sorted_words, total_valid)
+        return weights, weights > 0
     idx = jnp.arange(n, dtype=jnp.int32)
     is_new = _row_neq_prev(sorted_words) & sorted_valid
     # lax.cummax (primitive) — NOT associative_scan, whose trace-level

@@ -30,6 +30,13 @@ import pytest  # noqa: E402
 REFERENCE_DATA = pathlib.Path("/root/reference/test/data")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: exercises compiled paths on attached TPU hardware "
+        "(subprocess; auto-skips when no TPU)")
+
+
 @pytest.fixture(scope="session")
 def ref_data_dir():
     if not REFERENCE_DATA.is_dir():

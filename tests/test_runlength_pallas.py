@@ -1,0 +1,75 @@
+"""The Pallas run-length kernel vs the jnp scan path.
+
+run_length_weights_pallas is the single-HBM-pass replacement for the
+lax.cummax scan in sortops.run_length_counts (the segmented-reduction half
+of the count build — the reference's hash-probe += loop,
+distributed_densehash_map.hpp:278,1911).  These tests pin its semantics in
+interpret mode (CPU); the compiled path is exercised by tests/test_tpu.py
+and bench.py on hardware.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kmerind_tpu.ops import sortops
+from kmerind_tpu.ops.pallas_kernels import run_length_weights_pallas
+
+
+def _make_sorted(rng, n, w, nkeys, tv):
+    """Rows with a sorted valid prefix of tv rows (sort_rows' invariant)."""
+    keys = rng.integers(0, 2**32, (max(nkeys, 1), w), dtype=np.uint32)
+    pick = keys[rng.integers(0, max(nkeys, 1), n)]
+    pre = pick[:tv]
+    pre = pre[np.lexsort(pre.T[::-1])]
+    return np.concatenate([pre, pick[tv:]])
+
+
+@pytest.mark.parametrize("n,w,nkeys,tvfrac", [
+    (1 << 12, 2, 50, 1.0),       # exactly one block
+    (1 << 12, 2, 50, 0.7),       # invalid tail inside the block
+    (300000, 1, 7, 0.9),         # non-multiple length -> padding; long runs
+    (1 << 19, 3, 100000, 0.99),  # multiple blocks, 3-word keys
+    (5000, 2, 1, 1.0),           # a single run spanning every block
+    (4096, 2, 10, 0.0),          # all rows invalid
+])
+def test_matches_jnp_scan(n, w, nkeys, tvfrac):
+    rng = np.random.default_rng(n + w)
+    tv = int(n * tvfrac)
+    swords = _make_sorted(rng, n, w, nkeys, tv)
+    svalid = np.arange(n) < tv
+    ref_w, ref_e = jax.jit(sortops.run_length_counts)(
+        jnp.asarray(swords), jnp.asarray(svalid))
+    got = run_length_weights_pallas(
+        jnp.asarray(swords), jnp.int32(tv), interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref_w), np.asarray(got))
+    np.testing.assert_array_equal(np.asarray(ref_e), np.asarray(got) > 0)
+
+
+def test_run_spanning_block_boundary():
+    """A run crossing the 256K-element grid-block boundary must emit one
+    weight with the full length (the SMEM carry path)."""
+    n = 1 << 19
+    block = 2048 * 128
+    swords = np.zeros((n, 2), np.uint32)
+    swords[:block + 100] = 7          # run of block+100 equal keys
+    swords[block + 100:] = 9
+    got = np.asarray(run_length_weights_pallas(
+        jnp.asarray(swords), jnp.int32(n), interpret=True))
+    nz = np.flatnonzero(got)
+    assert list(nz) == [block + 99, n - 1]
+    assert got[block + 99] == block + 100
+    assert got[n - 1] == n - (block + 100)
+
+
+def test_weights_sum_and_first_invalid_equal_key():
+    """Sum of weights == total_valid even when the first invalid row
+    bit-equals the last valid row (the j == tv-1 guard)."""
+    n = 1 << 12
+    swords = np.full((n, 2), 5, np.uint32)
+    tv = 1000
+    got = np.asarray(run_length_weights_pallas(
+        jnp.asarray(swords), jnp.int32(tv), interpret=True))
+    assert got.sum() == tv
+    assert got[tv - 1] == tv

@@ -1,0 +1,33 @@
+"""Real-TPU test tier (VERDICT round-1 item 10).
+
+The rest of the suite pins the CPU backend (conftest), so the compiled
+TPU paths — Mosaic-compiled Pallas kernels, the jitted ingest and query
+steps — are exercised here via a subprocess that keeps the session's
+default (TPU) backend.  Skips when no TPU is attached.
+"""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+HERE = pathlib.Path(__file__).resolve().parent
+
+
+@pytest.mark.tpu
+def test_compiled_kernels_and_index_on_tpu():
+    env = dict(os.environ)
+    # undo the conftest CPU pin for the child; let jax pick the best backend
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
+    proc = subprocess.run(
+        [sys.executable, str(HERE / "tpu_driver.py")],
+        env=env, cwd=str(HERE.parent), timeout=900,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    if proc.returncode == 42:
+        pytest.skip(f"no TPU attached: {proc.stdout[-500:]}")
+    assert proc.returncode == 0, proc.stdout[-4000:]
