@@ -22,7 +22,7 @@ from ..io.batch import ReadBatch
 from ..io.files import read_file
 from ..ops import packing
 from ..parallel import distribute as dist
-from ..parallel.mesh import SHARD_AXIS
+from ..parallel.mesh import axes_of
 from ..index import distributed as dx
 from ..index import store as st
 from ..index.api import _IndexBase, _next_pow2, _SENTINEL
@@ -266,7 +266,7 @@ def _make_vec_route_merge_step(mesh, nparts, capacity, hash_name, saturate):
         words, vecs, valid = words_blk[0], vecs_blk[0], valid_blk[0]
         owner = dx.owners_for(words, nparts, hash_name)
         (rw, rv), rvalid, route = dist.distribute(
-            (words, vecs), owner, valid, nparts, capacity, SHARD_AXIS)
+            (words, vecs), owner, valid, nparts, capacity, axes_of(mesh))
         new_store, ovf = st.vec_insert(store, rw, rv, rvalid,
                                        saturate=saturate)
         return (jax.tree.map(lambda a: a[None], new_store),
@@ -274,8 +274,8 @@ def _make_vec_route_merge_step(mesh, nparts, capacity, hash_name, saturate):
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 4,
-        out_specs=(P(SHARD_AXIS),) * 3,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 3,
     ))
 
 
@@ -285,18 +285,18 @@ def _make_vec_lookup_step(mesh, nparts, capacity, hash_name):
         queries, qvalid = queries_blk[0], qvalid_blk[0]
         owner = dx.owners_for(queries, nparts, hash_name)
         (rq,), rvalid, route = dist.distribute(
-            (queries,), owner, qvalid, nparts, capacity, SHARD_AXIS)
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
         vals, found = st.vec_lookup(store, rq)
         vals = jnp.where(rvalid[:, None], vals, 0)
         found = found & rvalid
         back_vals, back_found = dist.undistribute(
             (vals, found.astype(jnp.int8)), route, nparts, capacity,
-            SHARD_AXIS)
+            axes_of(mesh))
         return (back_vals[None], back_found.astype(bool)[None],
                 route.overflow[None])
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 3,
-        out_specs=(P(SHARD_AXIS),) * 3,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 3,
     ))

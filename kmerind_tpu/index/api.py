@@ -32,7 +32,7 @@ from ..kmer import KmerSpec
 from ..io.batch import ReadBatch
 from ..io.files import read_file
 from ..ops import packing
-from ..parallel.mesh import SHARD_AXIS, make_mesh
+from ..parallel.mesh import axes_of, make_mesh
 from ..utils.timers import PhaseTimer
 from . import distributed as dx
 from . import store as st
@@ -65,7 +65,7 @@ class _IndexBase:
         self.hash_name = hash_name
         self.fill_factor = fill_factor
         self.timer = timer if timer is not None else PhaseTimer()
-        self._sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
+        self._sharding = NamedSharding(self.mesh, P(axes_of(self.mesh)))
         self._step_cache: dict = {}
 
     # -- input marshalling -------------------------------------------------

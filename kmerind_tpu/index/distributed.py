@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import hashing
 from ..parallel import distribute as dist
-from ..parallel.mesh import SHARD_AXIS
+from ..parallel.mesh import axes_of
 from . import store as st
 
 __all__ = [
@@ -68,15 +68,15 @@ def make_insert_step(mesh: Mesh, nparts: int, capacity: int, hash_name: str,
         words, valid, weights = words_blk[0], valid_blk[0], weights_blk[0]
         owner = owners_for(words, nparts, hash_name)
         (rwords, rweights), rvalid, route = dist.distribute(
-            (words, weights), owner, valid, nparts, capacity, SHARD_AXIS)
+            (words, weights), owner, valid, nparts, capacity, axes_of(mesh))
         new_store, ovf = st.count_insert(
             store, rwords, rvalid, weights=rweights, saturate=saturate)
         return _stack(new_store), route.overflow[None], ovf[None]
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        in_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh))),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh))),
     ))
 
 
@@ -91,17 +91,17 @@ def make_count_query_step(mesh: Mesh, nparts: int, capacity: int, hash_name: str
         queries, qvalid = queries_blk[0], qvalid_blk[0]
         owner = owners_for(queries, nparts, hash_name)
         (rq,), rvalid, route = dist.distribute(
-            (queries,), owner, qvalid, nparts, capacity, SHARD_AXIS)
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
         local_counts = st.count_lookup(store, rq)
         local_counts = jnp.where(rvalid, local_counts, 0)
         (back,) = dist.undistribute(
-            (local_counts,), route, nparts, capacity, SHARD_AXIS)
+            (local_counts,), route, nparts, capacity, axes_of(mesh))
         return back[None], route.overflow[None]
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        in_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh))),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
     ))
 
 
@@ -114,14 +114,14 @@ def make_erase_step(mesh: Mesh, nparts: int, capacity: int, hash_name: str):
         keys, valid = keys_blk[0], valid_blk[0]
         owner = owners_for(keys, nparts, hash_name)
         (rk,), rvalid, route = dist.distribute(
-            (keys,), owner, valid, nparts, capacity, SHARD_AXIS)
+            (keys,), owner, valid, nparts, capacity, axes_of(mesh))
         new_store, nerased = st.count_erase(store, rk, rvalid)
         return _stack(new_store), nerased[None], route.overflow[None]
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        in_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh))),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh))),
     ))
 
 
@@ -136,15 +136,15 @@ def make_multi_insert_step(mesh: Mesh, nparts: int, capacity: int, hash_name: st
         qbits = jax.lax.bitcast_convert_type(vq, jnp.uint32)
         (rw, rhi, rlo, rqb), rvalid, route = dist.distribute(
             (words, vhi, vlo, qbits), owner, valid, nparts, capacity,
-            SHARD_AXIS)
+            axes_of(mesh))
         rq = jax.lax.bitcast_convert_type(rqb, jnp.float32)
         new_store, ovf = st.multi_insert(store, rw, rhi, rlo, rvalid, val_q=rq)
         return _stack(new_store), route.overflow[None], ovf[None]
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 6,
-        out_specs=(P(SHARD_AXIS),) * 3,
+        in_specs=(P(axes_of(mesh)),) * 6,
+        out_specs=(P(axes_of(mesh)),) * 3,
     ))
 
 
@@ -156,16 +156,16 @@ def make_multi_count_step(mesh: Mesh, nparts: int, capacity: int, hash_name: str
         queries, qvalid = queries_blk[0], qvalid_blk[0]
         owner = owners_for(queries, nparts, hash_name)
         (rq,), rvalid, route = dist.distribute(
-            (queries,), owner, qvalid, nparts, capacity, SHARD_AXIS)
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
         local = jnp.where(rvalid, st.multi_count(store, rq), 0)
         (back,) = dist.undistribute(
-            (local,), route, nparts, capacity, SHARD_AXIS)
+            (local,), route, nparts, capacity, axes_of(mesh))
         return back[None], route.overflow[None]
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        in_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh))),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
     ))
 
 
@@ -185,14 +185,14 @@ def make_multi_find_step(mesh: Mesh, nparts: int, capacity: int,
         queries, qvalid = queries_blk[0], qvalid_blk[0]
         owner = owners_for(queries, nparts, hash_name)
         (rq,), rvalid, route = dist.distribute(
-            (queries,), owner, qvalid, nparts, capacity, SHARD_AXIS)
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
         lo, hi = st.multi_lookup_ranges(store, rq)
         hi = jnp.where(rvalid, hi, lo)  # empty range for padding slots
         vhi, vlo, vq, mask = st.multi_gather(store, lo, hi, max_per_query)
         qbits = jax.lax.bitcast_convert_type(vq, jnp.uint32)
         back_hi, back_lo, back_q, back_mask, back_n = dist.undistribute(
             (vhi, vlo, qbits, mask.astype(jnp.int8), hi - lo), route, nparts,
-            capacity, SHARD_AXIS)
+            capacity, axes_of(mesh))
         return (back_hi[None], back_lo[None],
                 jax.lax.bitcast_convert_type(back_q, jnp.float32)[None],
                 back_mask.astype(bool)[None], back_n[None],
@@ -200,8 +200,8 @@ def make_multi_find_step(mesh: Mesh, nparts: int, capacity: int,
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(SHARD_AXIS),) * 6,
+        in_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh))),
+        out_specs=(P(axes_of(mesh)),) * 6,
     ))
 
 
@@ -216,14 +216,14 @@ def make_multi_erase_step(mesh: Mesh, nparts: int, capacity: int,
         keys, valid = keys_blk[0], valid_blk[0]
         owner = owners_for(keys, nparts, hash_name)
         (rk,), rvalid, route = dist.distribute(
-            (keys,), owner, valid, nparts, capacity, SHARD_AXIS)
+            (keys,), owner, valid, nparts, capacity, axes_of(mesh))
         new_store, nerased = st.multi_erase(store, rk, rvalid)
         return _stack(new_store), nerased[None], route.overflow[None]
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        in_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh))),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh))),
     ))
 
 
@@ -260,8 +260,8 @@ def make_multi_filter_step(mesh: Mesh, pred):
         return _stack(new), (store.size - new_size)[None]
 
     return jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(P(SHARD_AXIS),),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
     ))
 
 
@@ -291,8 +291,8 @@ def make_count_filter_step(mesh: Mesh, pred):
         return _stack(new), (store.size - new_size)[None]
 
     return jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(P(SHARD_AXIS),),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
     ))
 
 
@@ -307,7 +307,7 @@ def make_count_scan_step(mesh: Mesh, pred):
         return (pred(store.keys, store.counts) & live)[None]
 
     return jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(P(SHARD_AXIS),), out_specs=P(SHARD_AXIS),
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),), out_specs=P(axes_of(mesh)),
     ))
 
 
@@ -339,7 +339,7 @@ def make_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
         tup = extract_tuples(bases, spec, canonical=canonical)
         owner = owners_for(tup.words, nparts, hash_name)
         (rw,), rvalid, route = dist.distribute(
-            (tup.words,), owner, tup.valid, nparts, capacity, SHARD_AXIS)
+            (tup.words,), owner, tup.valid, nparts, capacity, axes_of(mesh))
         s_words, _, s_valid = sortops.sort_rows(
             rw, (), rvalid, is_stable=False, sentinel_ok=spec.sentinel_safe,
             word_bits=spec.word_bits())
@@ -351,8 +351,8 @@ def make_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 4,
-        out_specs=(P(SHARD_AXIS),) * 4,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 4,
     ))
 
 
@@ -373,8 +373,8 @@ def make_merge_step(mesh: Mesh, saturate: int | None = None,
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 4,
-        out_specs=(P(SHARD_AXIS),) * 2,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 2,
     ))
 
 
@@ -402,15 +402,15 @@ def make_multi_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
         qbits = jax.lax.bitcast_convert_type(tup.qual, jnp.uint32)
         (rw, rhi, rlo, rqb), rvalid, route = dist.distribute(
             (tup.words, tup.id_hi, tup.id_lo, qbits), owner, tup.valid,
-            nparts, capacity, SHARD_AXIS)
+            nparts, capacity, axes_of(mesh))
         rq = jax.lax.bitcast_convert_type(rqb, jnp.float32)
         return (rw[None], rhi[None], rlo[None], rq[None], rvalid[None],
                 route.overflow[None])
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 7,
-        out_specs=(P(SHARD_AXIS),) * 6,
+        in_specs=(P(axes_of(mesh)),) * 7,
+        out_specs=(P(axes_of(mesh)),) * 6,
     ))
 
 
@@ -426,8 +426,8 @@ def make_multi_merge_step(mesh: Mesh):
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 6,
-        out_specs=(P(SHARD_AXIS),) * 2,
+        in_specs=(P(axes_of(mesh)),) * 6,
+        out_specs=(P(axes_of(mesh)),) * 2,
     ))
 
 
@@ -449,14 +449,14 @@ def make_bimol_ingest_step(mesh: Mesh, nparts: int, spec, capacity: int,
         owner = owners_for(tup.words, nparts, hash_name)
         (rw, rhi, rlo, rs), rvalid, route = dist.distribute(
             (tup.words, tup.id_hi, tup.id_lo, tup.strand), owner, tup.valid,
-            nparts, capacity, SHARD_AXIS)
+            nparts, capacity, axes_of(mesh))
         return (rw[None], rhi[None], rlo[None], rs[None], rvalid[None],
                 route.overflow[None])
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 6,
-        out_specs=(P(SHARD_AXIS),) * 6,
+        in_specs=(P(axes_of(mesh)),) * 6,
+        out_specs=(P(axes_of(mesh)),) * 6,
     ))
 
 
@@ -473,8 +473,8 @@ def make_bimol_merge_step(mesh: Mesh, saturate: int | None = None):
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 7,
-        out_specs=(P(SHARD_AXIS),) * 2,
+        in_specs=(P(axes_of(mesh)),) * 7,
+        out_specs=(P(axes_of(mesh)),) * 2,
     ))
 
 
@@ -489,15 +489,15 @@ def make_bimol_insert_step(mesh: Mesh, nparts: int, capacity: int,
         owner = owners_for(words, nparts, hash_name)
         (rw, rwt, rhi, rlo, rs), rvalid, route = dist.distribute(
             (words, w_blk[0], hi_blk[0], lo_blk[0], s_blk[0]), owner,
-            valid_blk[0], nparts, capacity, SHARD_AXIS)
+            valid_blk[0], nparts, capacity, axes_of(mesh))
         new_store, ovf = st.bimol_insert(
             store, rw, rwt, rhi, rlo, rs, rvalid, saturate=saturate)
         return _stack(new_store), route.overflow[None], ovf[None]
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 7,
-        out_specs=(P(SHARD_AXIS),) * 3,
+        in_specs=(P(axes_of(mesh)),) * 7,
+        out_specs=(P(axes_of(mesh)),) * 3,
     ))
 
 
@@ -511,14 +511,14 @@ def make_bimol_erase_step(mesh: Mesh, nparts: int, capacity: int,
         keys, valid = keys_blk[0], valid_blk[0]
         owner = owners_for(keys, nparts, hash_name)
         (rk,), rvalid, route = dist.distribute(
-            (keys,), owner, valid, nparts, capacity, SHARD_AXIS)
+            (keys,), owner, valid, nparts, capacity, axes_of(mesh))
         new_store, nerased = st.bimol_erase(store, rk, rvalid)
         return _stack(new_store), nerased[None], route.overflow[None]
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 3,
-        out_specs=(P(SHARD_AXIS),) * 3,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 3,
     ))
 
 
@@ -549,8 +549,8 @@ def make_bimol_filter_step(mesh: Mesh, pred):
         return _stack(new), (store.size - new_size)[None]
 
     return jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(P(SHARD_AXIS),),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
     ))
 
 
@@ -577,7 +577,7 @@ def make_debruijn_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
         vecs = edge_byte_to_vec(edges)
         owner = owners_for(words, nparts, hash_name)
         (rw, rv), rvalid, route = dist.distribute(
-            (words, vecs), owner, wvalid, nparts, capacity, SHARD_AXIS)
+            (words, vecs), owner, wvalid, nparts, capacity, axes_of(mesh))
         # chunk-local vector reduction (bucket_reduce on edge counters)
         s_words, (s_v0, s_v1, s_v2, s_v3, s_v4, s_v5, s_v6, s_v7, s_v8), \
             s_valid = sortops.sort_rows(
@@ -592,8 +592,8 @@ def make_debruijn_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 4,
-        out_specs=(P(SHARD_AXIS),) * 4,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 4,
     ))
 
 
@@ -609,6 +609,6 @@ def make_vec_merge_step(mesh: Mesh, saturate: int | None = None):
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 4,
-        out_specs=(P(SHARD_AXIS),) * 2,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 2,
     ))

@@ -31,7 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import sortops
 from ..parallel import distribute as dist
-from ..parallel.mesh import SHARD_AXIS
+from ..parallel.mesh import axes_of
 from . import store as st
 
 __all__ = [
@@ -69,7 +69,8 @@ def owners_from_splitters(words: jax.Array, splitters: jax.Array,
     return owner
 
 
-def _global_splitters(s_words, s_valid, nparts: int, oversample: int):
+def _global_splitters(s_words, s_valid, nparts: int, oversample: int,
+                      axes="shards"):
     """Evenly-spaced local samples → allgather → p-1 global splitters.
 
     Shards with fewer valid rows than samples contribute sentinel rows
@@ -80,7 +81,7 @@ def _global_splitters(s_words, s_valid, nparts: int, oversample: int):
     pos = jnp.clip(((j + 1) * total_valid) // (oversample + 1), 0, n - 1)
     samples = jnp.where((pos < total_valid)[:, None], s_words[pos], _SENT)
     all_samples = jax.lax.all_gather(
-        samples, SHARD_AXIS, axis=0, tiled=True)  # [p*oversample, w]
+        samples, axes, axis=0, tiled=True)  # [p*oversample, w]
     g_sorted, _, _ = sortops.sort_rows(all_samples, ())
     m = nparts * oversample
     if nparts > 1:
@@ -107,10 +108,11 @@ def make_count_flush_step(mesh: Mesh, nparts: int, capacity: int,
         words, weights, valid = words_blk[0], weights_blk[0], valid_blk[0]
         s_words, _, s_valid = sortops.sort_rows(
             words, (), valid, is_stable=False, sentinel_ok=sentinel_ok)
-        splitters = _global_splitters(s_words, s_valid, nparts, oversample)
+        splitters = _global_splitters(s_words, s_valid, nparts, oversample,
+                                      axes_of(mesh))
         owner = owners_from_splitters(words, splitters, nparts)
         (rw, rwts), rvalid, route = dist.distribute(
-            (words, weights), owner, valid, nparts, capacity, SHARD_AXIS)
+            (words, weights), owner, valid, nparts, capacity, axes_of(mesh))
         s2, (v2,), sv2 = sortops.sort_rows(
             rw, (rwts,), rvalid, is_stable=False, sentinel_ok=sentinel_ok)
         uniq, red, n_unique = sortops.segment_reduce_sorted(s2, sv2, v2)
@@ -121,8 +123,8 @@ def make_count_flush_step(mesh: Mesh, nparts: int, capacity: int,
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 3,
-        out_specs=(P(SHARD_AXIS),) * 3,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 3,
     ))
 
 
@@ -137,16 +139,16 @@ def make_count_query_step(mesh: Mesh, nparts: int, capacity: int):
         queries, qvalid = queries_blk[0], qvalid_blk[0]
         owner = owners_from_splitters(queries, splitters, nparts)
         (rq,), rvalid, route = dist.distribute(
-            (queries,), owner, qvalid, nparts, capacity, SHARD_AXIS)
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
         local = jnp.where(rvalid, st.count_lookup(store, rq), 0)
         (back,) = dist.undistribute(
-            (local,), route, nparts, capacity, SHARD_AXIS)
+            (local,), route, nparts, capacity, axes_of(mesh))
         return back[None], route.overflow[None]
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 4,
-        out_specs=(P(SHARD_AXIS),) * 2,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 2,
     ))
 
 
@@ -161,14 +163,14 @@ def make_count_erase_step(mesh: Mesh, nparts: int, capacity: int):
         keys, valid = keys_blk[0], valid_blk[0]
         owner = owners_from_splitters(keys, splitters, nparts)
         (rk,), rvalid, route = dist.distribute(
-            (keys,), owner, valid, nparts, capacity, SHARD_AXIS)
+            (keys,), owner, valid, nparts, capacity, axes_of(mesh))
         new_store, nerased = st.count_erase(store, rk, rvalid)
         return _stack(new_store), nerased[None], route.overflow[None]
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 4,
-        out_specs=(P(SHARD_AXIS),) * 3,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 3,
     ))
 
 
@@ -183,12 +185,13 @@ def make_multi_flush_step(mesh: Mesh, nparts: int, capacity: int,
             words_blk[0], hi_blk[0], lo_blk[0], q_blk[0], valid_blk[0])
         s_words, _, s_valid = sortops.sort_rows(words, (), valid,
                                                 is_stable=False)
-        splitters = _global_splitters(s_words, s_valid, nparts, oversample)
+        splitters = _global_splitters(s_words, s_valid, nparts, oversample,
+                                      axes_of(mesh))
         owner = owners_from_splitters(words, splitters, nparts)
         qbits = jax.lax.bitcast_convert_type(vq, jnp.uint32)
         (rw, rhi, rlo, rqb), rvalid, route = dist.distribute(
             (words, vhi, vlo, qbits), owner, valid, nparts, capacity,
-            SHARD_AXIS)
+            axes_of(mesh))
         s2, (shi, slo, sqb), sv2 = sortops.sort_rows(
             rw, (rhi, rlo, rqb), rvalid)
         total = jnp.sum(sv2.astype(jnp.int32))
@@ -203,8 +206,8 @@ def make_multi_flush_step(mesh: Mesh, nparts: int, capacity: int,
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 5,
-        out_specs=(P(SHARD_AXIS),) * 3,
+        in_specs=(P(axes_of(mesh)),) * 5,
+        out_specs=(P(axes_of(mesh)),) * 3,
     ))
 
 
@@ -217,16 +220,16 @@ def make_multi_count_step(mesh: Mesh, nparts: int, capacity: int):
         queries, qvalid = queries_blk[0], qvalid_blk[0]
         owner = owners_from_splitters(queries, splitters, nparts)
         (rq,), rvalid, route = dist.distribute(
-            (queries,), owner, qvalid, nparts, capacity, SHARD_AXIS)
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
         local = jnp.where(rvalid, st.multi_count(store, rq), 0)
         (back,) = dist.undistribute(
-            (local,), route, nparts, capacity, SHARD_AXIS)
+            (local,), route, nparts, capacity, axes_of(mesh))
         return back[None], route.overflow[None]
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 4,
-        out_specs=(P(SHARD_AXIS),) * 2,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 2,
     ))
 
 
@@ -241,14 +244,14 @@ def make_multi_find_step(mesh: Mesh, nparts: int, capacity: int,
         queries, qvalid = queries_blk[0], qvalid_blk[0]
         owner = owners_from_splitters(queries, splitters, nparts)
         (rq,), rvalid, route = dist.distribute(
-            (queries,), owner, qvalid, nparts, capacity, SHARD_AXIS)
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
         lo, hi = st.multi_lookup_ranges(store, rq)
         hi = jnp.where(rvalid, hi, lo)
         vhi, vlo, vq, mask = st.multi_gather(store, lo, hi, max_per_query)
         qbits = jax.lax.bitcast_convert_type(vq, jnp.uint32)
         back_hi, back_lo, back_q, back_mask, back_n = dist.undistribute(
             (vhi, vlo, qbits, mask.astype(jnp.int8), hi - lo), route, nparts,
-            capacity, SHARD_AXIS)
+            capacity, axes_of(mesh))
         return (back_hi[None], back_lo[None],
                 jax.lax.bitcast_convert_type(back_q, jnp.float32)[None],
                 back_mask.astype(bool)[None], back_n[None],
@@ -256,8 +259,8 @@ def make_multi_find_step(mesh: Mesh, nparts: int, capacity: int,
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 4,
-        out_specs=(P(SHARD_AXIS),) * 6,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 6,
     ))
 
 
@@ -270,14 +273,14 @@ def make_multi_erase_step(mesh: Mesh, nparts: int, capacity: int):
         keys, valid = keys_blk[0], valid_blk[0]
         owner = owners_from_splitters(keys, splitters, nparts)
         (rk,), rvalid, route = dist.distribute(
-            (keys,), owner, valid, nparts, capacity, SHARD_AXIS)
+            (keys,), owner, valid, nparts, capacity, axes_of(mesh))
         new_store, nerased = st.multi_erase(store, rk, rvalid)
         return _stack(new_store), nerased[None], route.overflow[None]
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 4,
-        out_specs=(P(SHARD_AXIS),) * 3,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 3,
     ))
 
 
@@ -306,8 +309,8 @@ def make_local_ingest_step(mesh: Mesh, spec, canonical: bool):
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 4,
-        out_specs=(P(SHARD_AXIS),) * 3,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 3,
     ))
 
 
@@ -334,6 +337,6 @@ def make_multi_local_ingest_step(mesh: Mesh, spec, canonical: bool,
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS),) * 7,
-        out_specs=(P(SHARD_AXIS),) * 5,
+        in_specs=(P(axes_of(mesh)),) * 7,
+        out_specs=(P(axes_of(mesh)),) * 5,
     ))

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import sortops
 from . import distribute as dist
-from .mesh import SHARD_AXIS
+from .mesh import axes_of
 
 __all__ = ["make_sample_sort_step"]
 
@@ -60,7 +60,7 @@ def make_sample_sort_step(mesh: Mesh, nparts: int, capacity: int,
         samples, _ = _splitters_from_sorted(s_words, s_valid, nparts,
                                             oversample)
         all_samples = jax.lax.all_gather(
-            samples, SHARD_AXIS, axis=0, tiled=True)  # [p*oversample, w]
+            samples, axes_of(mesh), axis=0, tiled=True)  # [p*oversample, w]
         g_sorted, _, _ = sortops.sort_rows(all_samples, ())
         # splitters: p-1 evenly spaced rows of the sorted sample set
         m = nparts * oversample
@@ -77,12 +77,12 @@ def make_sample_sort_step(mesh: Mesh, nparts: int, capacity: int,
 
         # 4. route + local sort of received runs
         (rwords,), rvalid, route = dist.distribute(
-            (words,), owner, valid, nparts, capacity, SHARD_AXIS)
+            (words,), owner, valid, nparts, capacity, axes_of(mesh))
         f_words, _, f_valid = sortops.sort_rows(rwords, (), rvalid)
         return (f_words[None], f_valid[None], route.overflow[None])
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        in_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh))),
     ))
