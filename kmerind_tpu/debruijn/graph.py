@@ -109,18 +109,24 @@ class DeBruijnGraph(_IndexBase):
             chunk_bases = self.default_chunk_bases
         if batch.num_bases > chunk_bases:
             # edge context needs 1 base left + k right
-            for sub in batch.iter_chunks(chunk_bases, self.spec.k,
-                                         halo_left=1):
-                self._insert_one_chunk(sub)
-            return self
-        return self._insert_one_chunk(batch)
+            chunks = list(batch.iter_chunks(chunk_bases, self.spec.k,
+                                            halo_left=1))
+        else:
+            chunks = [batch]
+        self._stream_chunks(chunks, self._marshal_chunk, self._insert_cols)
+        return self
 
-    def _insert_one_chunk(self, batch: ReadBatch):
+    def _marshal_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
             # edge bytes need 1 base of left context and the k-th base on
             # the right, beyond the k-1 window halo
-            cols, _ = self._batch_to_stacked(
-                batch, id_kind=None, halo=self.spec.k, halo_left=1)
+            return self._batch_to_stacked(
+                batch, id_kind=None, halo=self.spec.k, halo_left=1)[0]
+
+    def _insert_one_chunk(self, batch: ReadBatch):
+        return self._insert_cols(self._marshal_chunk(batch))
+
+    def _insert_cols(self, cols):
         n_local = cols["codes"].shape[1]
         bucket_cap = self._bucket_capacity(n_local)
         while True:

@@ -265,6 +265,30 @@ class _IndexBase:
                 owned=np.zeros_like(t.owned)))
         return chunks
 
+    def _stream_chunks(self, chunks: list, marshal, consume):
+        """Double-buffered host→device feeding: marshal chunk i+1 on a
+        worker thread while the device runs chunk i.
+
+        The reference overlaps MPI-IO reads with insert via its loader's
+        L1/L2 block pipeline (file_loader.hpp two-level partitioning);
+        here the host-side work (shard_with_halo, padding, device_put)
+        overlaps the jitted ingest step, whose `_fetch(overflow)` sync is
+        the bubble being hidden.  Single chunk (or multi-process SPMD,
+        where marshalling itself runs collectives and must stay on the
+        main thread in program order) degrades to the serial loop."""
+        if len(chunks) <= 1 or self._multiprocess:
+            for b in chunks:
+                consume(marshal(b))
+            return
+        import concurrent.futures as _cf
+        with _cf.ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(marshal, chunks[0])
+            for i in range(len(chunks)):
+                cols = fut.result()
+                if i + 1 < len(chunks):
+                    fut = ex.submit(marshal, chunks[i + 1])
+                consume(cols)
+
     # -- container-base collective surface (dsc::map_base,
     # distributed_map_base.hpp:149-302) --------------------------------
     def empty(self) -> bool:
@@ -424,13 +448,18 @@ class CountIndex(_IndexBase):
             chunks = list(batch.iter_chunks(chunk_bases, self.spec.k - 1))
         else:
             chunks = [batch]
-        for sub in self._equalize_chunks(chunks):
-            self._insert_one_chunk(sub)
+        self._stream_chunks(self._equalize_chunks(chunks),
+                            self._marshal_chunk, self._insert_cols)
         return self
 
-    def _insert_one_chunk(self, batch: ReadBatch):
+    def _marshal_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
-            cols, _ = self._batch_to_stacked(batch, id_kind=None)
+            return self._batch_to_stacked(batch, id_kind=None)[0]
+
+    def _insert_one_chunk(self, batch: ReadBatch):
+        return self._insert_cols(self._marshal_chunk(batch))
+
+    def _insert_cols(self, cols):
         n_local = cols["codes"].shape[1]
         bucket_cap = self._bucket_capacity(n_local)
         while True:
@@ -764,9 +793,11 @@ class BimoleculeCountIndex(CountIndex):
                 out_shardings=self._sharding)
         self.store = self._step_cache[key](self.store)
 
-    def _insert_one_chunk(self, batch: ReadBatch):
+    def _marshal_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
-            cols, _ = self._batch_to_stacked(batch, id_kind="long")
+            return self._batch_to_stacked(batch, id_kind="long")[0]
+
+    def _insert_cols(self, cols):
         n_local = cols["codes"].shape[1]
         bucket_cap = self._bucket_capacity(n_local)
         while True:
@@ -1056,13 +1087,18 @@ class PositionIndex(_IndexBase):
             chunks = list(batch.iter_chunks(chunk_bases, self.spec.k - 1))
         else:
             chunks = [batch]
-        for sub in self._equalize_chunks(chunks):
-            self._insert_one_chunk(sub)
+        self._stream_chunks(self._equalize_chunks(chunks),
+                            self._marshal_chunk, self._insert_cols)
         return self
 
-    def _insert_one_chunk(self, batch: ReadBatch):
+    def _marshal_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
-            cols, _ = self._batch_to_stacked(batch, id_kind=self.id_kind)
+            return self._batch_to_stacked(batch, id_kind=self.id_kind)[0]
+
+    def _insert_one_chunk(self, batch: ReadBatch):
+        return self._insert_cols(self._marshal_chunk(batch))
+
+    def _insert_cols(self, cols):
         n_local = cols["codes"].shape[1]
         bucket_cap = self._bucket_capacity(n_local)
         while True:

@@ -120,14 +120,20 @@ class SortedCountIndex(_SortedBase):
         if chunk_bases is None:
             chunk_bases = self.default_chunk_bases
         if batch.num_bases > chunk_bases:
-            for sub in batch.iter_chunks(chunk_bases, self.spec.k - 1):
-                self._insert_one_chunk(sub)
-            return self
-        return self._insert_one_chunk(batch)
+            chunks = list(batch.iter_chunks(chunk_bases, self.spec.k - 1))
+        else:
+            chunks = [batch]
+        self._stream_chunks(chunks, self._marshal_chunk, self._insert_cols)
+        return self
+
+    def _marshal_chunk(self, batch: ReadBatch):
+        with self.timer.phase("extract"):
+            return self._batch_to_stacked(batch, id_kind=None)[0]
 
     def _insert_one_chunk(self, batch: ReadBatch):
-        with self.timer.phase("extract"):
-            cols, _ = self._batch_to_stacked(batch, id_kind=None)
+        return self._insert_cols(self._marshal_chunk(batch))
+
+    def _insert_cols(self, cols):
         n_local = cols["codes"].shape[1]
         key = ("local_ingest", n_local)
         if key not in self._step_cache:
@@ -401,14 +407,20 @@ class SortedPositionIndex(_SortedBase):
         if chunk_bases is None:
             chunk_bases = self.default_chunk_bases
         if batch.num_bases > chunk_bases:
-            for sub in batch.iter_chunks(chunk_bases, self.spec.k - 1):
-                self._insert_one_chunk(sub)
-            return self
-        return self._insert_one_chunk(batch)
+            chunks = list(batch.iter_chunks(chunk_bases, self.spec.k - 1))
+        else:
+            chunks = [batch]
+        self._stream_chunks(chunks, self._marshal_chunk, self._insert_cols)
+        return self
+
+    def _marshal_chunk(self, batch: ReadBatch):
+        with self.timer.phase("extract"):
+            return self._batch_to_stacked(batch, id_kind=self.id_kind)[0]
 
     def _insert_one_chunk(self, batch: ReadBatch):
-        with self.timer.phase("extract"):
-            cols, _ = self._batch_to_stacked(batch, id_kind=self.id_kind)
+        return self._insert_cols(self._marshal_chunk(batch))
+
+    def _insert_cols(self, cols):
         n_local = cols["codes"].shape[1]
         key = ("local_ingest", n_local)
         if key not in self._step_cache:

@@ -24,9 +24,10 @@ specializations (kmer.hpp:1619-2046):
 * DNA / RNA   : comp = 3 - c          (bitwise NOT, kmer.hpp:1726-1804)
 * DNA6 / RNA6 : comp = 3-bit reversal
 * DNA16       : comp = 4-bit reversal (kmer.hpp:1851-1912)
-
-Alphabets whose complement is not a bit reversal (DNA_IUPAC, ASCII) fall
-back to the XLA path.
+* DNA_IUPAC   : 4-bit reversal with U (0) -> A (1) special case
+                (alphabets.hpp:539-632 — the strict-IUPAC table is the
+                DNA16 reversal except code 0 is U, whose complement is A)
+* ASCII       : identity (no biological complement).
 """
 
 from __future__ import annotations
@@ -48,7 +49,8 @@ _TILE = 1 << 16  # windows per grid step (multiple of _LANES)
 
 
 def pallas_supported(spec: KmerSpec) -> bool:
-    return (spec.alphabet.name in ("DNA", "RNA", "DNA6", "RNA6", "DNA16")
+    return (spec.alphabet.name in ("DNA", "RNA", "DNA6", "RNA6", "DNA16",
+                                   "DNA_IUPAC", "ASCII")
             and spec.k <= 512)
 
 
@@ -65,6 +67,12 @@ def _complement_expr(name: str, c: jax.Array) -> jax.Array:
     if name == "DNA16":  # 4-bit reversal
         return (((c & 1) << 3) | ((c & 2) << 1)
                 | ((c & 4) >> 1) | ((c & 8) >> 3))
+    if name == "DNA_IUPAC":  # 4-bit reversal, except U (0) -> A (1)
+        rev = (((c & 1) << 3) | ((c & 2) << 1)
+               | ((c & 4) >> 1) | ((c & 8) >> 3))
+        return jnp.where(c == 0, jnp.uint32(1), rev)
+    if name == "ASCII":  # identity complement
+        return c
     raise ValueError(name)
 
 
@@ -208,7 +216,7 @@ def extract_canonical_pallas(codes: jax.Array, spec: KmerSpec,
     words, rc = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((spec.nwords, rows_out, _LANES),
                          lambda i: (0, i, 0)),

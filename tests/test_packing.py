@@ -6,7 +6,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from kmerind_tpu import DNA, DNA6, DNA16, KmerSpec
+from kmerind_tpu import ASCII, DNA, DNA6, DNA16, DNA_IUPAC, KmerSpec
 from kmerind_tpu.ops import packing
 
 import oracle
@@ -99,7 +99,8 @@ def test_lex_less():
 
 
 @pytest.mark.parametrize("alpha,k", [
-    (DNA, 21), (DNA, 16), (DNA, 63), (DNA16, 11), (DNA6, 9)])
+    (DNA, 21), (DNA, 16), (DNA, 63), (DNA16, 11), (DNA6, 9),
+    (DNA_IUPAC, 11), (ASCII, 5)])
 def test_pallas_kernel_interpret_matches_xla(alpha, k):
     """Fused Pallas extraction (interpret mode on CPU) == XLA path."""
     from kmerind_tpu.ops.pallas_kernels import (
