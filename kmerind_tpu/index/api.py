@@ -705,13 +705,16 @@ class CountIndex(_IndexBase):
         """Full index contents as {kmer_int: count} (to_vector analog,
         distributed_map_base.hpp:202-217).  Host-side; for tests/tools."""
         self._flush()
-        out = {}
         keys = self._fetch(self.store.keys)
         counts = self._fetch(self.store.counts)
         sizes = self._fetch(self.store.size)
+        out = {}
         for p in range(self.nparts):
-            for i in range(int(sizes[p])):
-                out[self.spec.to_int(keys[p, i])] = int(counts[p, i])
+            n = int(sizes[p])
+            if n == 0:
+                continue
+            ints = self.spec.to_ints(keys[p, :n]).tolist()
+            out.update(zip(ints, counts[p, :n].tolist()))
         return out
 
 
@@ -1345,9 +1348,13 @@ class PositionIndex(_IndexBase):
         lo = self._fetch(self.store.val_lo)
         sizes = self._fetch(self.store.size)
         for p in range(self.nparts):
-            for i in range(int(sizes[p])):
-                v = self.spec.to_int(keys[p, i])
-                pid = (int(hi[p, i]) << 32) | int(lo[p, i])
+            n = int(sizes[p])
+            if n == 0:
+                continue
+            ints = self.spec.to_ints(keys[p, :n]).tolist()
+            pids = ((hi[p, :n].astype(np.uint64) << np.uint64(32))
+                    | lo[p, :n].astype(np.uint64)).tolist()
+            for v, pid in zip(ints, pids):
                 out.setdefault(v, []).append(pid)
         return {k: sorted(v) for k, v in out.items()}
 
@@ -1372,8 +1379,13 @@ class PositionQualityIndex(PositionIndex):
         q = self._fetch(self.store.val_q)
         sizes = self._fetch(self.store.size)
         for p in range(self.nparts):
-            for i in range(int(sizes[p])):
-                v = self.spec.to_int(keys[p, i])
-                pid = (int(hi[p, i]) << 32) | int(lo[p, i])
-                out.setdefault(v, []).append((pid, float(q[p, i])))
+            n = int(sizes[p])
+            if n == 0:
+                continue
+            ints = self.spec.to_ints(keys[p, :n]).tolist()
+            pids = ((hi[p, :n].astype(np.uint64) << np.uint64(32))
+                    | lo[p, :n].astype(np.uint64)).tolist()
+            qs = q[p, :n].tolist()
+            for v, pid, qv in zip(ints, pids, qs):
+                out.setdefault(v, []).append((pid, float(qv)))
         return {k: sorted(v) for k, v in out.items()}

@@ -325,13 +325,16 @@ class SortedCountIndex(_SortedBase):
     # -- persistence / export ------------------------------------------
     def to_dict(self) -> dict[int, int]:
         self._flush()
-        out = {}
         keys = np.asarray(self.store.keys)
         counts = np.asarray(self.store.counts)
         sizes = np.asarray(self.store.size)
+        out = {}
         for p in range(self.nparts):
-            for i in range(int(sizes[p])):
-                out[self.spec.to_int(keys[p, i])] = int(counts[p, i])
+            n = int(sizes[p])
+            if n == 0:
+                continue
+            ints = self.spec.to_ints(keys[p, :n]).tolist()
+            out.update(zip(ints, counts[p, :n].tolist()))
         return out
 
     def save(self, path):

@@ -145,5 +145,26 @@ class KmerSpec:
             v = v * (1 << self.bits_per_char) + int(c)
         return v
 
+    def to_ints(self, rows: np.ndarray) -> np.ndarray:
+        """Vectorized `to_int` over [n, nwords] rows.
+
+        Concatenating each word's significant bits big-endian equals the
+        per-char accumulation of to_int (words are char-aligned with the
+        last word right-aligned).  Returns uint64 when the key fits 64
+        bits, else an object array of Python ints (k=63 DNA etc.)."""
+        rows = np.asarray(rows, dtype=np.uint32).reshape(-1, self.nwords)
+        wbits = self.word_bits()
+        if self.nbits <= 64:
+            out = np.zeros(rows.shape[0], np.uint64)
+            for w in range(self.nwords):
+                out = (out << np.uint64(wbits[w])) \
+                    | rows[:, w].astype(np.uint64)
+            return out
+        out = np.zeros(rows.shape[0], object)
+        cols = rows.astype(object)
+        for w in range(self.nwords):
+            out = (out << wbits[w]) | cols[:, w]
+        return out
+
     def __repr__(self):
         return f"KmerSpec(k={self.k}, {self.alphabet.name})"

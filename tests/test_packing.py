@@ -158,3 +158,18 @@ def test_mix32_differs_from_murmur():
     a = np.asarray(hashing.murmur3_32(w))
     b = np.asarray(hashing.mix32(w))
     assert (a != b).mean() > 0.99  # independent families
+
+
+@pytest.mark.parametrize("alpha,k", [
+    (DNA, 21), (DNA, 16), (DNA, 63), (DNA16, 11), (DNA6, 9), (ASCII, 5)])
+def test_to_ints_vectorized_matches_to_int(alpha, k):
+    """KmerSpec.to_ints (vectorized export path) == scalar to_int."""
+    spec = KmerSpec(k, alpha)
+    rng = np.random.default_rng(k)
+    rows = np.stack([
+        spec.pack_codes(rng.integers(0, alpha.size, k).astype(np.uint64))
+        for _ in range(64)])
+    ints = spec.to_ints(rows)
+    assert ints.dtype == (np.uint64 if spec.nbits <= 64 else object)
+    for i in range(64):
+        assert int(ints[i]) == spec.to_int(rows[i])
