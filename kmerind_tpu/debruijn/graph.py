@@ -100,7 +100,8 @@ class DeBruijnGraph(_IndexBase):
     # ------------------------------------------------------------------
     def build(self, path, fmt: str | None = None, file_id: int = 0):
         with self.timer.phase("read"):
-            batch = read_file(path, self.spec.alphabet, fmt, file_id)
+            batch = read_file(path, self.spec.alphabet, fmt, file_id,
+                              reuse=True)  # consumed before return
         self.insert_batch(batch)
         return self
 

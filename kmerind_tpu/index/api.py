@@ -427,9 +427,14 @@ class CountIndex(_IndexBase):
     # ------------------------------------------------------------------
     def build(self, path, fmt: str | None = None, file_id: int = 0):
         """Read a FASTQ/FASTA file and insert all its k-mers
-        (Index::build_posix/build_mmap, kmer_index.hpp:201-394)."""
+        (Index::build_posix/build_mmap, kmer_index.hpp:201-394).
+
+        reuse=True: the batch is fully consumed by insert_batch before this
+        returns, so the parser may hand out ring-buffer views (no per-build
+        output allocation)."""
         with self.timer.phase("read"):
-            batch = read_file(path, self.spec.alphabet, fmt, file_id)
+            batch = read_file(path, self.spec.alphabet, fmt, file_id,
+                              reuse=True)
         self.insert_batch(batch)
         return self
 
@@ -1079,7 +1084,8 @@ class PositionIndex(_IndexBase):
 
     def build(self, path, fmt: str | None = None, file_id: int = 0):
         with self.timer.phase("read"):
-            batch = read_file(path, self.spec.alphabet, fmt, file_id)
+            batch = read_file(path, self.spec.alphabet, fmt, file_id,
+                              reuse=True)  # consumed before return
         self.insert_batch(batch)
         return self
 

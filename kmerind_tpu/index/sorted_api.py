@@ -109,7 +109,8 @@ class SortedCountIndex(_SortedBase):
     # -- ingest --------------------------------------------------------
     def build(self, path, fmt: str | None = None, file_id: int = 0):
         with self.timer.phase("read"):
-            batch = read_file(path, self.spec.alphabet, fmt, file_id)
+            batch = read_file(path, self.spec.alphabet, fmt, file_id,
+                              reuse=True)  # consumed before return
         self.insert_batch(batch)
         return self
 
@@ -402,7 +403,8 @@ class SortedPositionIndex(_SortedBase):
 
     def build(self, path, fmt: str | None = None, file_id: int = 0):
         with self.timer.phase("read"):
-            batch = read_file(path, self.spec.alphabet, fmt, file_id)
+            batch = read_file(path, self.spec.alphabet, fmt, file_id,
+                              reuse=True)  # consumed before return
         self.insert_batch(batch)
         return self
 

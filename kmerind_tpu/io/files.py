@@ -102,22 +102,29 @@ def read_file(
     fmt: str | None = None,
     file_id: int = 0,
     engine: str = "auto",
+    reuse: bool = False,
 ) -> ReadBatch:
     """Whole-file parse (serial read path, kmer_file_helper.hpp:391-433).
 
     engine: "native" (C++ single-pass scanner), "numpy" (vectorized python),
     or "auto" (native when the shared library is available).
+
+    reuse: with the native engine, return zero-copy views into a rotating
+    buffer ring instead of fresh arrays — the batch is valid until the
+    next-but-one native parse.  Streaming build loops that consume each batch
+    onto the device before parsing the next block use this to avoid
+    first-touch page-fault storms on multi-GB outputs.
     """
     fmt = fmt or sniff_format(path)
     data = read_bytes(path)
     use_native = engine == "native" or (engine == "auto" and native.available())
     if fmt == "fastq":
         if use_native:
-            return native.fastq_parse(data, alphabet, 0, file_id)
+            return native.fastq_parse(data, alphabet, 0, file_id, reuse=reuse)
         return parse_fastq(data, alphabet, file_offset=0, file_id=file_id)
     if fmt == "fasta":
         if use_native:
-            return native.fasta_parse(data, alphabet, 0, file_id)
+            return native.fasta_parse(data, alphabet, 0, file_id, reuse=reuse)
         return parse_fasta(data, alphabet, file_offset=0, file_id=file_id)
     raise ValueError(f"unknown format {fmt!r}")
 
@@ -146,6 +153,7 @@ def read_fastq_block(
     part: int,
     nparts: int,
     file_id: int = 0,
+    reuse: bool = False,
 ) -> ReadBatch:
     """Parse the FASTQ records starting within byte block `part` of `nparts`.
 
@@ -163,7 +171,7 @@ def read_fastq_block(
     nxt = _find_boundary(path, total, be, finder)
     data = read_bytes(path, first, nxt)
     if native.available():
-        return native.fastq_parse(data, alphabet, first, file_id)
+        return native.fastq_parse(data, alphabet, first, file_id, reuse=reuse)
     return parse_fastq(data, alphabet, file_offset=first, file_id=file_id)
 
 

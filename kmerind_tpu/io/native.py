@@ -34,17 +34,42 @@ _ERRORS = {
 _lib = None
 _load_failed = False
 
-# Workspace pool: parsing 100MB blocks allocates ~18 bytes of output per
-# input byte; reusing warmed buffers avoids first-touch page-fault storms.
-_pool: dict[str, np.ndarray] = {}
+# Output ring pool.  Parsing emits ~18 bytes of output per input byte; on
+# first touch, freshly-allocated pages fault in at ~2% of warm write
+# bandwidth (measured in this class of sandboxed hosts), so all parse
+# output lands in persistent ring slots that are faulted once and then
+# rewritten at memory speed.  Slot rotation lets a double-buffered
+# streaming consumer hold the previous batch while the next one is parsed.
+_RING_SIZE = 2  # double-buffer: previous batch stays live during next parse
+_COLS = (("rec", np.uint64), ("codes", np.uint8), ("quals", np.uint8),
+         ("seg", np.int32), ("offs", np.uint32), ("gpos", np.uint64),
+         ("ones", bool))
 
 
-def _ws(name: str, n: int, dtype) -> np.ndarray:
-    a = _pool.get(name)
-    if a is None or a.shape[0] < n or a.dtype != dtype:
-        a = np.empty(int(n * 1.25) + 16, dtype)
-        _pool[name] = a
-    return a[:n]
+class _Slot:
+    def __init__(self):
+        self.arrays: dict[str, np.ndarray] = {}
+
+    def get(self, name: str, n: int, dtype) -> np.ndarray:
+        a = self.arrays.get(name)
+        if a is None or a.shape[0] < n or a.dtype != dtype:
+            a = np.empty(int(n * 1.25) + 16, dtype)
+            if name == "ones":
+                a[:] = True  # written once; aliased by valid AND owned
+                a.flags.writeable = False
+            self.arrays[name] = a
+        return a[:n]
+
+
+_ring = [_Slot() for _ in range(_RING_SIZE)]
+_ring_pos = 0
+
+
+def _next_slot() -> _Slot:
+    global _ring_pos
+    slot = _ring[_ring_pos]
+    _ring_pos = (_ring_pos + 1) % _RING_SIZE
+    return slot
 
 
 def _try_load():
@@ -93,19 +118,23 @@ def _as_ptr(a: np.ndarray, ctype):
 
 
 def _parse(kind: str, data: np.ndarray, alphabet: Alphabet,
-           file_offset: int, file_id: int, seq_index_base: int) -> ReadBatch:
+           file_offset: int, file_id: int, seq_index_base: int,
+           reuse: bool) -> ReadBatch:
     lib = _try_load()
     assert lib is not None
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = data.shape[0]
-    # capacities: at most n bases; at most n/4+1 records (FASTQ) or n (FASTA)
+    slot = _next_slot()
+    # capacities: FASTQ bases <= n/2 (each base also has a quality byte);
+    # FASTA bases <= n.  Records: n/4+1 (FASTQ, 4 lines each) or n (FASTA).
     nrec_cap = n // 4 + 2 if kind == "fastq" else n + 2
-    record_start = _ws("rec", nrec_cap, np.uint64)
-    codes = _ws("codes", n, np.uint8)
-    quals = _ws("quals", n, np.uint8)
-    seg = _ws("seg", n, np.int32)
-    offs = _ws("offs", n, np.uint32)
-    gpos = _ws("gpos", n, np.uint64)
+    nbase_cap = n // 2 + 16 if kind == "fastq" else n
+    record_start = slot.get("rec", nrec_cap, np.uint64)
+    codes = slot.get("codes", nbase_cap, np.uint8)
+    quals = slot.get("quals", nbase_cap, np.uint8)
+    seg = slot.get("seg", nbase_cap, np.int32)
+    offs = slot.get("offs", nbase_cap, np.uint32)
+    gpos = slot.get("gpos", nbase_cap, np.uint64)
     nb = ctypes.c_int64(0)
     fn = lib.fastq_parse if kind == "fastq" else lib.fasta_parse
     nrec = fn(
@@ -115,35 +144,46 @@ def _parse(kind: str, data: np.ndarray, alphabet: Alphabet,
         _as_ptr(record_start, ctypes.c_uint64), nrec_cap,
         _as_ptr(codes, ctypes.c_uint8), _as_ptr(quals, ctypes.c_uint8),
         _as_ptr(seg, ctypes.c_int32), _as_ptr(offs, ctypes.c_uint32),
-        _as_ptr(gpos, ctypes.c_uint64), n, ctypes.byref(nb))
+        _as_ptr(gpos, ctypes.c_uint64), nbase_cap, ctypes.byref(nb))
     if nrec < 0:
         raise ValueError(
             f"native {kind} parse failed: {_ERRORS.get(nrec, nrec)}")
     nb = nb.value
-    # copy out of the pooled workspace (the pool is reused by the next call)
+    if reuse:
+        # Views into the ring slot: valid until _RING_SIZE-1 further
+        # parses (= one, with the default double-buffer ring).  For
+        # streaming ingest loops that consume each batch onto the device
+        # before requesting the next block, this is zero-copy/zero-alloc.
+        take = lambda a, m: a[:m]  # noqa: E731
+    else:
+        take = lambda a, m: a[:m].copy()  # noqa: E731
     return ReadBatch(
-        codes=codes[:nb].copy(),
-        valid=np.ones(nb, bool),
-        owned=np.ones(nb, bool),
-        seg_id=seg[:nb].copy(),
-        offset_in_record=offs[:nb].copy(),
-        global_pos=gpos[:nb].copy(),
-        qual=quals[:nb].copy(),
-        record_start=record_start[:nrec].copy(),
+        codes=take(codes, nb),
+        valid=take(slot.get("ones", nb, bool), nb) if reuse
+        else np.ones(nb, bool),
+        owned=take(slot.get("ones", nb, bool), nb) if reuse
+        else np.ones(nb, bool),
+        seg_id=take(seg, nb),
+        offset_in_record=take(offs, nb),
+        global_pos=take(gpos, nb),
+        qual=take(quals, nb),
+        record_start=take(record_start, nrec),
         seq_index=(np.arange(nrec) + seq_index_base).astype(np.uint32),
         file_id=np.full(nrec, file_id, dtype=np.uint16),
         alphabet=alphabet,
     )
 
 
-def fastq_parse(data, alphabet, file_offset=0, file_id=0, seq_index_base=0):
+def fastq_parse(data, alphabet, file_offset=0, file_id=0, seq_index_base=0,
+                reuse=False):
     return _parse("fastq", data, alphabet, file_offset, file_id,
-                  seq_index_base)
+                  seq_index_base, reuse)
 
 
-def fasta_parse(data, alphabet, file_offset=0, file_id=0, seq_index_base=0):
+def fasta_parse(data, alphabet, file_offset=0, file_id=0, seq_index_base=0,
+                reuse=False):
     return _parse("fasta", data, alphabet, file_offset, file_id,
-                  seq_index_base)
+                  seq_index_base, reuse)
 
 
 def find_record_start(data: np.ndarray, at_parent_start: bool) -> int:

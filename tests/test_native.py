@@ -61,3 +61,38 @@ def test_native_find_record_start_parity(ref_data_dir):
         got = native.find_record_start(data[off:], off == 0)
         want = np_find(data[off:], off == 0)
         assert got == want, off
+
+
+def test_native_reuse_ring(ref_data_dir):
+    """reuse=True returns ring views: contents match copy mode, memory is
+    recycled after _RING_SIZE parses, and the live double-buffer pair is
+    never aliased."""
+    data = np.fromfile(ref_data_dir / "test.medium.fastq", np.uint8)
+    safe = native.fastq_parse(data, DNA)
+    a = native.fastq_parse(data, DNA, reuse=True)
+    for col in COLUMNS:
+        np.testing.assert_array_equal(getattr(a, col), getattr(safe, col))
+    b = native.fastq_parse(data, DNA, reuse=True)  # other ring slot
+    assert a.codes.ctypes.data != b.codes.ctypes.data  # double-buffer live
+    np.testing.assert_array_equal(a.codes, b.codes)   # a still intact
+    c = native.fastq_parse(data, DNA, reuse=True)     # wraps: reuses a's slot
+    assert c.codes.ctypes.data == a.codes.ctypes.data
+    # valid/owned alias a read-only pooled ones buffer
+    assert not c.valid.flags.writeable
+    assert c.valid.all() and c.owned.all()
+    # copy mode still returns independent writable arrays
+    d = native.fastq_parse(data, DNA)
+    assert d.codes.flags.writeable
+    assert d.codes.ctypes.data not in (a.codes.ctypes.data,
+                                       b.codes.ctypes.data)
+
+
+def test_native_fastq_base_capacity():
+    """FASTQ output capacity n//2+16 always suffices (quality line mirrors
+    the sequence line), even for degenerate tiny records."""
+    text = "".join(f"@{i}\nA\n+\nI\n" for i in range(500))
+    data = np.frombuffer(text.encode(), np.uint8)
+    nat = native.fastq_parse(data, DNA, reuse=True)
+    ref = parse_fastq(data, DNA)
+    np.testing.assert_array_equal(nat.codes, ref.codes)
+    np.testing.assert_array_equal(nat.seg_id, ref.seg_id)
