@@ -19,7 +19,6 @@ from jax.sharding import PartitionSpec as P
 
 from ..kmer import KmerSpec
 from ..io.batch import ReadBatch
-from ..io.files import read_file
 from ..ops import packing
 from ..parallel import distribute as dist
 from ..parallel.mesh import axes_of
@@ -98,12 +97,10 @@ class DeBruijnGraph(_IndexBase):
         ), self._sharding)
 
     # ------------------------------------------------------------------
-    def build(self, path, fmt: str | None = None, file_id: int = 0):
-        with self.timer.phase("read"):
-            batch = read_file(path, self.spec.alphabet, fmt, file_id,
-                              reuse=True)  # consumed before return
-        self.insert_batch(batch)
-        return self
+    def _chunk_halo(self):
+        # edge bytes need 1 base of left context and the k-th base on the
+        # right, beyond the k-1 window halo (edge_iterator.hpp:56)
+        return self.spec.k, 1
 
     def insert_batch(self, batch: ReadBatch, chunk_bases: int | None = None):
         if chunk_bases is None:

@@ -30,7 +30,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..kmer import KmerSpec
 from ..io.batch import ReadBatch
-from ..io.files import read_file
+from ..io.files import (file_size, read_fasta_block, read_fastq_block,
+                        read_file, sniff_format)
 from ..ops import packing
 from ..parallel.mesh import axes_of, make_mesh
 from ..utils.timers import PhaseTimer
@@ -334,6 +335,24 @@ class _IndexBase:
             self._grow(per)
         return self
 
+    def build(self, path, fmt: str | None = None, file_id: int = 0):
+        """Read a FASTQ/FASTA file and insert all its k-mers
+        (Index::build_posix/build_mmap, kmer_index.hpp:201-394).
+
+        Files above `stream_threshold_bytes` stream block-by-block
+        (`build_stream`) so host memory stays O(block); smaller files are
+        parsed whole into zero-copy parser-ring views (reuse=True — the
+        batch is fully consumed by insert_batch before this returns)."""
+        fmt = fmt or sniff_format(path)
+        if (file_size(path) > self.stream_threshold_bytes
+                and self._stream_supported(fmt)):
+            return self.build_stream(path, fmt, file_id)
+        with self.timer.phase("read"):
+            batch = read_file(path, self.spec.alphabet, fmt, file_id,
+                              reuse=True)
+        self.insert_batch(batch)
+        return self
+
     def build_posix(self, path, fmt: str | None = None, file_id: int = 0):
         """Alias of build (the reference exposes per-reader entry points
         build_posix/build_mmap/build_mpiio, kmer_index.hpp:332-394; one
@@ -342,6 +361,86 @@ class _IndexBase:
 
     build_mmap = build_posix
     build_mpiio = build_posix
+
+    # -- streaming block build -----------------------------------------
+    stream_threshold_bytes = 64 << 20
+
+    def _chunk_halo(self) -> tuple[int, int]:
+        """(halo, halo_left) context bases each device chunk needs — the
+        k-1 window lookahead (kmer_file_helper.hpp:361); de Bruijn
+        overrides with one extra base on each side for edge context."""
+        return self.spec.k - 1, 0
+
+    def _stream_supported(self, fmt: str) -> bool:
+        halo, halo_left = self._chunk_halo()
+        # FASTA block reads supply right halo only; multi-process hosts
+        # read their own blocks via parallel.multihost instead
+        return not (fmt == "fasta" and halo_left) and not self._multiprocess
+
+    def build_stream(self, path, fmt: str | None = None, file_id: int = 0,
+                     block_bytes: int | None = None):
+        """Build by streaming byte blocks of the file through the parser
+        ring and the device — O(block) host memory for corpora of any
+        size (the reference's read_block loop over a partitioned file,
+        kmer_file_helper.hpp:293-331 + file.hpp:1216-1432).  Block i+1 is
+        parsed + marshalled on a worker thread while the device ingests
+        block i; every chunk shares one static shape, so one compiled
+        program serves the whole stream."""
+        fmt = fmt or sniff_format(path)
+        if not self._stream_supported(fmt):
+            raise ValueError("streaming build unsupported for this "
+                             "index/format combination; use build()")
+        halo, halo_left = self._chunk_halo()
+        if block_bytes is None:
+            # FASTQ bytes ≈ 2.2x bases (quality + headers); FASTA ≈ 1.01x
+            block_bytes = self.default_chunk_bases * (
+                2 if fmt == "fastq" else 1)
+        # one static chunk shape serves every block; a block never yields
+        # more than block_bytes bases, so cap the chunk size accordingly
+        chunk_bases = min(self.default_chunk_bases, block_bytes)
+        total = file_size(path)
+        nblocks = max(1, -(-total // block_bytes))
+
+        def chunks():
+            for p in range(nblocks):
+                with self.timer.phase("read"):
+                    if fmt == "fastq":
+                        b = read_fastq_block(path, self.spec.alphabet, p,
+                                             nblocks, file_id=file_id,
+                                             reuse=True)
+                    else:
+                        b = read_fasta_block(path, self.spec.alphabet, p,
+                                             nblocks, file_id=file_id,
+                                             halo=halo)
+                if b.num_bases == 0:
+                    continue
+                yield from b.iter_chunks(chunk_bases, halo, halo_left)
+
+        self._stream_chunks_iter(chunks(), self._marshal_chunk,
+                                 self._insert_cols)
+        return self
+
+    def _stream_chunks_iter(self, it, marshal, consume):
+        """Double-buffered streaming over a lazy chunk iterator: a worker
+        thread pulls (parses) + marshals the next chunk while the device
+        consumes the current one.  Parser ring slots stay live exactly
+        for the double-buffer window (io/native.py _RING_SIZE=2): block
+        p+1 parses only after block p's last chunk is marshalled, and
+        block p's slot is overwritten only by block p+2."""
+        import concurrent.futures as _cf
+
+        def produce():
+            b = next(it, None)
+            return None if b is None else marshal(b)
+
+        with _cf.ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(produce)
+            while True:
+                cols = fut.result()
+                if cols is None:
+                    return
+                fut = ex.submit(produce)
+                consume(cols)
 
     def build_files(self, paths, fmt: str | None = None):
         """Build from multiple files; file_id is the position in `paths`
@@ -425,19 +524,6 @@ class CountIndex(_IndexBase):
         self.store = self._step_cache[key](self.store)
 
     # ------------------------------------------------------------------
-    def build(self, path, fmt: str | None = None, file_id: int = 0):
-        """Read a FASTQ/FASTA file and insert all its k-mers
-        (Index::build_posix/build_mmap, kmer_index.hpp:201-394).
-
-        reuse=True: the batch is fully consumed by insert_batch before this
-        returns, so the parser may hand out ring-buffer views (no per-build
-        output allocation)."""
-        with self.timer.phase("read"):
-            batch = read_file(path, self.spec.alphabet, fmt, file_id,
-                              reuse=True)
-        self.insert_batch(batch)
-        return self
-
     def insert_batch(self, batch: ReadBatch, chunk_bases: int | None = None):
         """Extract + canonicalize + distribute + merge a parsed batch.
 
@@ -1081,13 +1167,6 @@ class PositionIndex(_IndexBase):
                 ),
                 out_shardings=self._sharding)
         self.store = self._step_cache[key](self.store)
-
-    def build(self, path, fmt: str | None = None, file_id: int = 0):
-        with self.timer.phase("read"):
-            batch = read_file(path, self.spec.alphabet, fmt, file_id,
-                              reuse=True)  # consumed before return
-        self.insert_batch(batch)
-        return self
 
     def insert_batch(self, batch: ReadBatch, chunk_bases: int | None = None):
         if chunk_bases is None:

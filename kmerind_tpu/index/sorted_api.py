@@ -31,7 +31,6 @@ import numpy as np
 
 from ..kmer import KmerSpec
 from ..io.batch import ReadBatch
-from ..io.files import read_file
 from ..utils.timers import PhaseTimer
 from . import distributed as dx
 from . import sorted_dist as sx
@@ -107,13 +106,6 @@ class SortedCountIndex(_SortedBase):
         return int(np.asarray(self.store.size).sum())
 
     # -- ingest --------------------------------------------------------
-    def build(self, path, fmt: str | None = None, file_id: int = 0):
-        with self.timer.phase("read"):
-            batch = read_file(path, self.spec.alphabet, fmt, file_id,
-                              reuse=True)  # consumed before return
-        self.insert_batch(batch)
-        return self
-
     def insert_batch(self, batch: ReadBatch, chunk_bases: int | None = None):
         """Shard-local extract + pre-reduce; rows stay on their resident
         shard until the flush samplesort (sorted_map append-then-sort,
@@ -400,13 +392,6 @@ class SortedPositionIndex(_SortedBase):
     def size(self) -> int:
         self._flush()
         return int(np.asarray(self.store.size).sum())
-
-    def build(self, path, fmt: str | None = None, file_id: int = 0):
-        with self.timer.phase("read"):
-            batch = read_file(path, self.spec.alphabet, fmt, file_id,
-                              reuse=True)  # consumed before return
-        self.insert_batch(batch)
-        return self
 
     def insert_batch(self, batch: ReadBatch, chunk_bases: int | None = None):
         if chunk_bases is None:
