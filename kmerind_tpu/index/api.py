@@ -411,7 +411,7 @@ class _IndexBase:
                     else:
                         b = read_fasta_block(path, self.spec.alphabet, p,
                                              nblocks, file_id=file_id,
-                                             halo=halo)
+                                             halo=halo, reuse=True)
                 if b.num_bases == 0:
                     continue
                 yield from b.iter_chunks(chunk_bases, halo, halo_left)
@@ -444,13 +444,11 @@ class _IndexBase:
 
     def build_files(self, paths, fmt: str | None = None):
         """Build from multiple files; file_id is the position in `paths`
-        (multi-file corpora, SequenceId file_id field)."""
-        from ..io.batch import concat_batches
-        batches = []
+        (multi-file corpora, SequenceId file_id field).  Files build
+        sequentially — identical contents to a concatenated ingest, with
+        host memory bounded per file (streamed above the threshold)."""
         for fid, path in enumerate(paths):
-            with self.timer.phase("read"):
-                batches.append(read_file(path, self.spec.alphabet, fmt, fid))
-        self.insert_batch(concat_batches(batches))
+            self.build(path, fmt, file_id=fid)
         return self
 
 

@@ -281,6 +281,7 @@ def read_fasta_block(
     file_id: int = 0,
     halo: int = 0,
     context: tuple[int, int] | None = None,
+    reuse: bool = False,
 ) -> ReadBatch:
     """Parse the FASTA sequence bases within byte block `part` of `nparts`,
     plus `halo` following bases (k-1 overlap so windows crossing the block
@@ -335,23 +336,34 @@ def read_fasta_block(
         # leading context) or inside record hidx (leading context =
         # lead_abs, with prev_hdr saying whether ps continues a header
         # run); the first record in the slice is hidx in both cases
-        batch = parse_fasta(
-            data, alphabet, file_offset=ps, file_id=file_id,
-            seq_index_base=hidx, leading_record_start=leading,
-            prev_line_is_header=prev_hdr)
+        if native.available():
+            batch = native.fasta_parse(
+                data, alphabet, file_offset=ps, file_id=file_id,
+                seq_index_base=hidx, reuse=reuse,
+                leading_record_start=leading,
+                prev_line_is_header=prev_hdr)
+        else:
+            batch = parse_fasta(
+                data, alphabet, file_offset=ps, file_id=file_id,
+                seq_index_base=hidx, leading_record_start=leading,
+                prev_line_is_header=prev_hdr)
+        # global_pos is strictly increasing (bases in file order), so the
+        # owned span [bs, be) is one contiguous index range — searchsorted
+        # instead of mask temporaries (block reads are allocation-bound on
+        # hosts where first-touch faults are slow)
         pos = batch.global_pos
-        past = int((pos >= be).sum())
-        if past >= halo or hi == total:
+        cut = int(np.searchsorted(pos, be, side="left"))
+        if batch.num_bases - cut >= halo or hi == total:
             break
         slack *= 4
-    owned = (pos >= bs) & (pos < be)
-    idx = np.flatnonzero(owned)
-    if idx.size == 0:
+    lo_i = int(np.searchsorted(pos, bs, side="left"))
+    if lo_i >= cut:
         return batch.slice_bases(0, 0)
-    lo_i = int(idx[0])
-    hi_i = min(int(idx[-1]) + 1 + halo, batch.num_bases)
+    hi_i = min(cut + halo, batch.num_bases)
     sub = batch.slice_bases(lo_i, hi_i)
-    return dataclasses.replace(sub, owned=owned[lo_i:hi_i].copy())
+    owned = np.zeros(hi_i - lo_i, bool)
+    owned[: cut - lo_i] = True
+    return dataclasses.replace(sub, owned=owned)
 
 
 def owned_base_count(batch: ReadBatch) -> int:

@@ -102,6 +102,11 @@ def _try_load():
         fn = getattr(lib, name)
         fn.argtypes = sig
         fn.restype = ctypes.c_int64
+    # fasta_parse_ctx inserts (leading_record_start, prev_line_is_header)
+    # after file_offset
+    lib.fasta_parse_ctx.argtypes = (
+        sig[:4] + [ctypes.c_int64, ctypes.c_int32] + sig[4:])
+    lib.fasta_parse_ctx.restype = ctypes.c_int64
     lib.fastq_find_record_start.argtypes = [u8p, ctypes.c_int64,
                                             ctypes.c_int32]
     lib.fastq_find_record_start.restype = ctypes.c_int64
@@ -119,15 +124,19 @@ def _as_ptr(a: np.ndarray, ctype):
 
 def _parse(kind: str, data: np.ndarray, alphabet: Alphabet,
            file_offset: int, file_id: int, seq_index_base: int,
-           reuse: bool) -> ReadBatch:
+           reuse: bool, leading_record_start: int | None = None,
+           prev_line_is_header: bool = False) -> ReadBatch:
     lib = _try_load()
     assert lib is not None
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = data.shape[0]
     slot = _next_slot()
     # capacities: FASTQ bases <= n/2 (each base also has a quality byte);
-    # FASTA bases <= n.  Records: n/4+1 (FASTQ, 4 lines each) or n (FASTA).
-    nrec_cap = n // 4 + 2 if kind == "fastq" else n + 2
+    # FASTA bases <= n.  Records are >= 4 bytes in both formats (FASTQ:
+    # 4 lines; FASTA: a '>\n' header run + >= 1 seq byte + '\n' — runs of
+    # consecutive header lines collapse into ONE record), so n/4 + slack
+    # (incl. a leading mid-block record) bounds the record count.
+    nrec_cap = n // 4 + 3
     nbase_cap = n // 2 + 16 if kind == "fastq" else n
     record_start = slot.get("rec", nrec_cap, np.uint64)
     codes = slot.get("codes", nbase_cap, np.uint8)
@@ -136,15 +145,20 @@ def _parse(kind: str, data: np.ndarray, alphabet: Alphabet,
     offs = slot.get("offs", nbase_cap, np.uint32)
     gpos = slot.get("gpos", nbase_cap, np.uint64)
     nb = ctypes.c_int64(0)
-    fn = lib.fastq_parse if kind == "fastq" else lib.fasta_parse
-    nrec = fn(
-        _as_ptr(data, ctypes.c_uint8), n,
-        _as_ptr(np.ascontiguousarray(alphabet.from_ascii), ctypes.c_uint8),
-        file_offset,
-        _as_ptr(record_start, ctypes.c_uint64), nrec_cap,
-        _as_ptr(codes, ctypes.c_uint8), _as_ptr(quals, ctypes.c_uint8),
-        _as_ptr(seg, ctypes.c_int32), _as_ptr(offs, ctypes.c_uint32),
-        _as_ptr(gpos, ctypes.c_uint64), nbase_cap, ctypes.byref(nb))
+    head = (_as_ptr(data, ctypes.c_uint8), n,
+            _as_ptr(np.ascontiguousarray(alphabet.from_ascii),
+                    ctypes.c_uint8), file_offset)
+    tail = (_as_ptr(record_start, ctypes.c_uint64), nrec_cap,
+            _as_ptr(codes, ctypes.c_uint8), _as_ptr(quals, ctypes.c_uint8),
+            _as_ptr(seg, ctypes.c_int32), _as_ptr(offs, ctypes.c_uint32),
+            _as_ptr(gpos, ctypes.c_uint64), nbase_cap, ctypes.byref(nb))
+    if kind == "fastq":
+        assert leading_record_start is None
+        nrec = lib.fastq_parse(*head, *tail)
+    else:
+        lead = -1 if leading_record_start is None else leading_record_start
+        nrec = lib.fasta_parse_ctx(*head, lead,
+                                   1 if prev_line_is_header else 0, *tail)
     if nrec < 0:
         raise ValueError(
             f"native {kind} parse failed: {_ERRORS.get(nrec, nrec)}")
@@ -181,9 +195,11 @@ def fastq_parse(data, alphabet, file_offset=0, file_id=0, seq_index_base=0,
 
 
 def fasta_parse(data, alphabet, file_offset=0, file_id=0, seq_index_base=0,
-                reuse=False):
+                reuse=False, leading_record_start=None,
+                prev_line_is_header=False):
     return _parse("fasta", data, alphabet, file_offset, file_id,
-                  seq_index_base, reuse)
+                  seq_index_base, reuse, leading_record_start,
+                  prev_line_is_header)
 
 
 def find_record_start(data: np.ndarray, at_parent_start: bool) -> int:

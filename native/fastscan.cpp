@@ -119,17 +119,34 @@ int64_t fastq_parse(const uint8_t* data, int64_t n, const uint8_t* from_ascii,
 // whose previous visible line is not a header.  Blank lines are invisible
 // (they neither break a header run nor contribute sequence).
 // Same output layout as fastq_parse; quals are zero-filled.
-int64_t fasta_parse(const uint8_t* data, int64_t n, const uint8_t* from_ascii,
-                    int64_t file_offset, uint64_t* record_start,
-                    int64_t nrec_cap, uint8_t* codes, uint8_t* quals,
-                    int32_t* seg_id, uint32_t* offset_in_record,
-                    uint64_t* global_pos, int64_t nbase_cap,
-                    int64_t* out_nbases) {
+//
+// Block-parallel context (the numpy parser's leading_record_start /
+// prev_line_is_header contract, io/fasta.py parse_fasta): when a block
+// slice begins mid-record, `leading_record_start` is the ABSOLUTE file
+// position of the containing record's header-run start (-1 = the block
+// begins at a record header) and leading sequence lines belong to that
+// record; `prev_line_is_header` says whether the line just before the
+// slice is a header line, so a header run spanning the slice start does
+// not open a second record.
+int64_t fasta_parse_ctx(const uint8_t* data, int64_t n,
+                        const uint8_t* from_ascii, int64_t file_offset,
+                        int64_t leading_record_start,
+                        int32_t prev_line_is_header, uint64_t* record_start,
+                        int64_t nrec_cap, uint8_t* codes, uint8_t* quals,
+                        int32_t* seg_id, uint32_t* offset_in_record,
+                        uint64_t* global_pos, int64_t nbase_cap,
+                        int64_t* out_nbases) {
   const uint8_t* p = data;
   const uint8_t* end = data + n;
   int64_t nrec = 0;
   int64_t nb = 0;
-  bool prev_hdr = false;  // was the previous visible line a header line?
+  if (leading_record_start >= 0) {
+    if (nrec_cap < 1) return FS_ERR_CAPACITY;
+    record_start[0] = static_cast<uint64_t>(leading_record_start);
+    nrec = 1;
+  }
+  // was the previous visible line a header line?
+  bool prev_hdr = prev_line_is_header != 0;
   while (p < end) {
     while (p < end && (*p == '\n' || *p == '\r')) ++p;
     if (p >= end) break;
@@ -165,6 +182,18 @@ int64_t fasta_parse(const uint8_t* data, int64_t n, const uint8_t* from_ascii,
   }
   *out_nbases = nb;
   return nrec;
+}
+
+// Back-compatible entry: block begins at a record header.
+int64_t fasta_parse(const uint8_t* data, int64_t n, const uint8_t* from_ascii,
+                    int64_t file_offset, uint64_t* record_start,
+                    int64_t nrec_cap, uint8_t* codes, uint8_t* quals,
+                    int32_t* seg_id, uint32_t* offset_in_record,
+                    uint64_t* global_pos, int64_t nbase_cap,
+                    int64_t* out_nbases) {
+  return fasta_parse_ctx(data, n, from_ascii, file_offset, -1, 0,
+                         record_start, nrec_cap, codes, quals, seg_id,
+                         offset_in_record, global_pos, nbase_cap, out_nbases);
 }
 
 // Locate the first FASTQ record start in a mid-file block — the 4-line

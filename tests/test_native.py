@@ -96,3 +96,36 @@ def test_native_fastq_base_capacity():
     ref = parse_fastq(data, DNA)
     np.testing.assert_array_equal(nat.codes, ref.codes)
     np.testing.assert_array_equal(nat.seg_id, ref.seg_id)
+
+
+def test_native_fasta_ctx_matches_numpy(ref_data_dir):
+    """fasta_parse_ctx (mid-record block context) == numpy parse_fasta for
+    every slice start/leading/prev-header combination the block reader
+    produces."""
+    data = np.fromfile(ref_data_dir / "test.medium.fasta", np.uint8)
+    # slice at line boundaries inside the file, with true leading context
+    nl = np.flatnonzero(data == 10)
+    rng = np.random.default_rng(3)
+    hdr_starts = np.flatnonzero(
+        ((data == ord(">")) | (data == ord(";")))
+        & np.concatenate([[True], data[:-1] == 10]))
+    for cut in rng.choice(nl[:-2], size=12, replace=False):
+        ps = int(cut) + 1  # line start
+        hidx = int(np.searchsorted(hdr_starts, ps, side="right")) - 1
+        lead = int(hdr_starts[hidx])
+        leading = None if lead >= ps else lead
+        prev_hdr = data[int(nl[np.searchsorted(nl, ps - 1) - 1]) + 1] in (
+            ord(">"), ord(";")) if ps > 0 else False
+        blk = data[ps:ps + 4096]
+        nat = native.fasta_parse(blk, DNA, file_offset=ps,
+                                 seq_index_base=max(hidx, 0),
+                                 leading_record_start=leading,
+                                 prev_line_is_header=bool(prev_hdr))
+        ref = parse_fasta(blk, DNA, file_offset=ps,
+                          seq_index_base=max(hidx, 0),
+                          leading_record_start=leading,
+                          prev_line_is_header=bool(prev_hdr))
+        for col in COLUMNS:
+            np.testing.assert_array_equal(
+                getattr(nat, col), getattr(ref, col),
+                err_msg=f"cut={ps}:{col}")

@@ -24,10 +24,28 @@ def test_compiled_kernels_and_index_on_tpu():
     env["XLA_FLAGS"] = " ".join(
         f for f in env.get("XLA_FLAGS", "").split()
         if "host_platform_device_count" not in f)
-    proc = subprocess.run(
-        [sys.executable, str(HERE / "tpu_driver.py")],
-        env=env, cwd=str(HERE.parent), timeout=900,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    # Cheap pre-probe: a hung device tunnel blocks inside C (signals
+    # cannot interrupt it), so bound backend discovery from OUTSIDE
+    # before committing to the long driver run.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices())"],
+            env=env, cwd=str(HERE.parent), timeout=120,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU backend discovery unresponsive (tunnel down?)")
+    if probe.returncode != 0 or "Tpu" not in probe.stdout.replace(
+            "TPU", "Tpu"):
+        pytest.skip(f"no TPU attached: {probe.stdout[-300:]}")
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(HERE / "tpu_driver.py")],
+            env=env, cwd=str(HERE.parent), timeout=900,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    except subprocess.TimeoutExpired as e:
+        pytest.skip(f"TPU driver unresponsive (tunnel down?): "
+                    f"{(e.stdout or b'')[-500:]}")
     if proc.returncode == 42:
         pytest.skip(f"no TPU attached: {proc.stdout[-500:]}")
     assert proc.returncode == 0, proc.stdout[-4000:]

@@ -15,6 +15,20 @@ import numpy as np
 
 
 def main():
+    # A hung device tunnel must read as "no TPU" (skip), not a stalled
+    # suite: backend discovery gets a hard alarm.
+    import signal
+
+    def _stuck(signum, frame):
+        print("TPU backend init unresponsive (tunnel down?)",
+              file=sys.stderr)
+        sys.stderr.flush()
+        import os
+        os._exit(42)
+
+    signal.signal(signal.SIGALRM, _stuck)
+    signal.alarm(120)
+
     import jax
     import jax.numpy as jnp
 
@@ -23,6 +37,7 @@ def main():
     except Exception as e:  # no backend at all
         print(f"no devices: {e}", file=sys.stderr)
         return 42
+    signal.alarm(0)
     if jax.default_backend() != "tpu":
         print(f"default backend is {jax.default_backend()!r}, not tpu",
               file=sys.stderr)
