@@ -102,11 +102,14 @@ def _try_load():
         fn = getattr(lib, name)
         fn.argtypes = sig
         fn.restype = ctypes.c_int64
-    # fasta_parse_ctx inserts (leading_record_start, prev_line_is_header)
-    # after file_offset
-    lib.fasta_parse_ctx.argtypes = (
-        sig[:4] + [ctypes.c_int64, ctypes.c_int32] + sig[4:])
-    lib.fasta_parse_ctx.restype = ctypes.c_int64
+    # _mt entries insert nthreads (and for FASTA the block context
+    # leading_record_start / prev_line_is_header) after file_offset
+    lib.fastq_parse_mt.argtypes = sig[:4] + [ctypes.c_int32] + sig[4:]
+    lib.fastq_parse_mt.restype = ctypes.c_int64
+    lib.fasta_parse_mt.argtypes = (
+        sig[:4] + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+        + sig[4:])
+    lib.fasta_parse_mt.restype = ctypes.c_int64
     lib.fastq_find_record_start.argtypes = [u8p, ctypes.c_int64,
                                             ctypes.c_int32]
     lib.fastq_find_record_start.restype = ctypes.c_int64
@@ -116,6 +119,16 @@ def _try_load():
 
 def available() -> bool:
     return _try_load() is not None
+
+
+def _parse_threads(nbytes: int) -> int:
+    """Thread count for a parse: all cores on large blocks (ranges split
+    at record boundaries, two-pass count-then-fill — bit-identical to the
+    serial walk); the C side falls back to serial below 4MB."""
+    import os
+    if nbytes < (4 << 20):
+        return 1
+    return max(1, min(8, os.cpu_count() or 1))
 
 
 def _as_ptr(a: np.ndarray, ctype):
@@ -152,13 +165,15 @@ def _parse(kind: str, data: np.ndarray, alphabet: Alphabet,
             _as_ptr(codes, ctypes.c_uint8), _as_ptr(quals, ctypes.c_uint8),
             _as_ptr(seg, ctypes.c_int32), _as_ptr(offs, ctypes.c_uint32),
             _as_ptr(gpos, ctypes.c_uint64), nbase_cap, ctypes.byref(nb))
+    nthreads = _parse_threads(n)
     if kind == "fastq":
         assert leading_record_start is None
-        nrec = lib.fastq_parse(*head, *tail)
+        nrec = lib.fastq_parse_mt(*head, nthreads, *tail)
     else:
         lead = -1 if leading_record_start is None else leading_record_start
-        nrec = lib.fasta_parse_ctx(*head, lead,
-                                   1 if prev_line_is_header else 0, *tail)
+        nrec = lib.fasta_parse_mt(*head, lead,
+                                  1 if prev_line_is_header else 0,
+                                  nthreads, *tail)
     if nrec < 0:
         raise ValueError(
             f"native {kind} parse failed: {_ERRORS.get(nrec, nrec)}")
