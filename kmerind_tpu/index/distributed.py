@@ -265,6 +265,24 @@ def make_multi_filter_step(mesh: Mesh, pred):
     ))
 
 
+def make_multi_scan_step(mesh: Mesh, pred):
+    """Jitted predicate scan over every local (key, id, quality) pair of a
+    MultiStore WITHOUT mutating — the multimap count_if/find_if(pred)
+    path (kmer_index.hpp:170-186 applied to the multimap).  pred as in
+    make_multi_filter_step.  Returns mask[p, cap] aligned with store rows."""
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        live = jnp.arange(store.capacity) < store.size
+        return (pred(store.keys, store.val_hi, store.val_lo,
+                     store.val_q) & live)[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=P(axes_of(mesh)),
+    ))
+
+
 def make_count_filter_step(mesh: Mesh, pred):
     """Jitted predicate filter over every local entry of a CountStore —
     the erase_if/filter(pred) path (kmer_index.hpp:192, densehash filter).

@@ -297,3 +297,49 @@ def test_query_exchange_capacity_scales_inverse_p(ref_data_dir):
     # started at ~mq/p (pow2-rounded with fill headroom); the retry loop may
     # double it a bounded number of times, but it stays well under mq
     assert bucket_cap < mq, (mq, bucket_cap)
+
+
+def test_position_explicit_insert_and_predicates(ref_data_dir):
+    """PositionIndex.insert of explicit (kmer, id) pairs + count_if/find_if
+    (the generic Index::insert/count_if/find_if surface, kmer_index.hpp:
+    157-201, applied to the multimap)."""
+    import jax.numpy as jnp
+    from kmerind_tpu import DNA, KmerSpec
+    from kmerind_tpu.index.api import PositionIndex
+    from kmerind_tpu.parallel.mesh import make_mesh
+
+    spec = KmerSpec(9, DNA)
+    idx = PositionIndex(spec, mesh=make_mesh(4))  # single-strand default
+    kmers = ["ACGTACGTA", "ACGTACGTA", "CCCCCCCCC", "GGGGGGGGG"]
+    ids = np.array([11, 22, 33, 44], np.uint64)
+    idx.insert(kmers, ids)
+    d = idx.to_dict()
+    acgt = spec.to_int(spec.pack_codes(DNA.encode("ACGTACGTA")))
+    cccc = spec.to_int(spec.pack_codes(DNA.encode("CCCCCCCCC")))
+    gggg = spec.to_int(spec.pack_codes(DNA.encode("GGGGGGGGG")))
+    assert sorted(d[acgt]) == [11, 22]
+    assert d[cccc] == [33] and d[gggg] == [44]
+
+    # canonical preset folds GGGG... into CCCC... on explicit insert too
+    cidx = PositionIndex(spec, mesh=make_mesh(4), canonical=True)
+    cidx.insert(kmers, ids)
+    dc = cidx.to_dict()
+    assert sorted(dc[cccc]) == [33, 44] and gggg not in dc
+
+    # count_if with kmers: zero out queries whose multiplicity != 2
+    got = idx.count_if(lambda w, c: c == 2, kmers=["ACGTACGTA", "CCCCCCCCC"])
+    np.testing.assert_array_equal(got, [2, 0])  # CCCC multiplicity is 1
+    got = idx.count_if(lambda w, c: c > 2, kmers=["ACGTACGTA"])
+    np.testing.assert_array_equal(got, [0])
+
+    # full-scan count_if over pair columns: pairs with an odd id
+    pairs = idx.count_if(lambda k, hi, lo, q: (lo & 1) == 1)
+    assert dict(pairs) == {acgt: 1, cccc: 1}  # ids 11 and 33 are odd
+
+    # find_if with kmers: CCCC fails the pred, its pairs are masked out
+    ids_out, mask = idx.find_if(lambda w, c: c == 2,
+                                kmers=["ACGTACGTA", "CCCCCCCCC"])
+    assert mask.sum() == 2
+    assert sorted(ids_out[0][mask[0]].tolist()) == [11, 22]
+    ids_out, mask = idx.find_if(lambda w, c: c > 5, kmers=["ACGTACGTA"])
+    assert mask.sum() == 0

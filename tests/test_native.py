@@ -129,3 +129,36 @@ def test_native_fasta_ctx_matches_numpy(ref_data_dir):
             np.testing.assert_array_equal(
                 getattr(nat, col), getattr(ref, col),
                 err_msg=f"cut={ps}:{col}")
+
+
+@pytest.mark.parametrize("kind", ["fastq", "fasta"])
+def test_native_mt_matches_numpy_adversarial(kind):
+    """The multi-threaded parse (>4MB triggers range splitting at record
+    boundaries) must equal the numpy parser bit-for-bit on adversarial
+    corpora: quality lines starting with '@'/'+', header runs, CRLF,
+    blank lines, tiny and huge records straddling the cut points."""
+    rng = np.random.default_rng(11)
+    parts = []
+    total = 0
+    while total < (5 << 20):  # past the 4MB MT gate
+        ln = int(rng.choice([1, 3, 17, 80, 250, 5000, 200_000]))
+        seq = "".join(rng.choice(list("ACGT"), size=ln))
+        if kind == "fastq":
+            qual = "".join(rng.choice(list("!#5I~@+"), size=ln))
+            rec = f"@r{total}\n{seq}\n+\n{qual}\n"
+        else:
+            nl = "\r\n" if rng.random() < 0.2 else "\n"
+            lines = nl.join(seq[j:j + 70] for j in range(0, ln, 70))
+            hdr = f">r{total}\n" + (f";comment\n" if rng.random() < 0.3
+                                    else "")
+            rec = hdr + lines + nl + ("\n" if rng.random() < 0.2 else "")
+        parts.append(rec)
+        total += len(rec)
+    data = np.frombuffer("".join(parts).encode(), np.uint8)
+    nat = (native.fastq_parse if kind == "fastq" else native.fasta_parse)(
+        data, DNA, file_offset=13, file_id=2)
+    ref = (parse_fastq if kind == "fastq" else parse_fasta)(
+        data, DNA, file_offset=13, file_id=2)
+    for col in COLUMNS:
+        np.testing.assert_array_equal(
+            getattr(nat, col), getattr(ref, col), err_msg=f"{kind}:{col}")
