@@ -94,6 +94,22 @@ def main():
     args = ap.parse_args()
     quiet = args.json_only
 
+    # A hung device tunnel blocks inside C where signals can't interrupt;
+    # probe backend discovery from a bounded subprocess so a dead tunnel
+    # yields a clear failure instead of a silent stall.
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=180, capture_output=True)
+        ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print("device backend unresponsive (tunnel down?) — no measurement",
+              file=sys.stderr)
+        sys.exit(3)
+
     import jax
     import jax.numpy as jnp
 

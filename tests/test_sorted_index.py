@@ -180,3 +180,29 @@ def test_sorted_count_matches_hash_index(ref_data_dir):
     hidx = CountIndex(spec, mesh=_mesh(8))
     hidx.build(path)
     assert sidx.to_dict() == hidx.to_dict()
+
+
+def test_sorted_position_explicit_insert_and_predicates():
+    """SortedPositionIndex.insert + count_if/find_if mirror the hash
+    multimap surface (sorted_multimap, distributed_sorted_map.hpp:2333)."""
+    import jax.numpy as jnp
+    spec = KmerSpec(9, DNA)
+    idx = SortedPositionIndex(spec, mesh=make_mesh(4))
+    kmers = ["ACGTACGTA", "ACGTACGTA", "CCCCCCCCC", "GGGGGGGGG"]
+    ids = np.array([11, 22, 33, 44], np.uint64)
+    idx.insert(kmers, ids)
+    d = idx.to_dict()
+    acgt = spec.to_int(spec.pack_codes(DNA.encode("ACGTACGTA")))
+    cccc = spec.to_int(spec.pack_codes(DNA.encode("CCCCCCCCC")))
+    gggg = spec.to_int(spec.pack_codes(DNA.encode("GGGGGGGGG")))
+    assert sorted(d[acgt]) == [11, 22]
+    assert d[cccc] == [33] and d[gggg] == [44]
+
+    got = idx.count_if(lambda w, c: c == 2, kmers=["ACGTACGTA", "CCCCCCCCC"])
+    np.testing.assert_array_equal(got, [2, 0])
+    pairs = idx.count_if(lambda k, hi, lo, q: (lo & 1) == 1)
+    assert dict(pairs) == {acgt: 1, cccc: 1}
+    ids_out, mask = idx.find_if(lambda w, c: c == 2,
+                                kmers=["ACGTACGTA", "CCCCCCCCC"])
+    assert mask.sum() == 2
+    assert sorted(ids_out[0][mask[0]].tolist()) == [11, 22]
