@@ -10,5 +10,18 @@ Two distribution strategies, mirroring the reference's container families:
 """
 
 from . import store
+from .api import (BimoleculeCountIndex, CountIndex, PositionIndex,
+                  PositionQualityIndex)
+from .sorted_api import (SortedCountIndex, SortedPositionIndex,
+                         SortedPositionQualityIndex)
 
-__all__ = ["store"]
+__all__ = [
+    "store",
+    "CountIndex",
+    "BimoleculeCountIndex",
+    "PositionIndex",
+    "PositionQualityIndex",
+    "SortedCountIndex",
+    "SortedPositionIndex",
+    "SortedPositionQualityIndex",
+]
