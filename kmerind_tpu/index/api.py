@@ -1091,7 +1091,76 @@ class BimoleculeCountIndex(CountIndex):
         return idx
 
 
-class PositionIndex(_IndexBase):
+class _MultimapSurfaceMixin:
+    """The generic Index surface (kmer_index.hpp:157-201) applied to the
+    multimaps — shared by the hash-partitioned PositionIndex and the
+    range-partitioned SortedPositionIndex (both store MultiStore pytrees
+    and expose _to_words/_maybe_canonicalize_queries/_insert_pairs/
+    count/find/_fetch)."""
+
+    def insert(self, kmers, ids, quals=None):
+        """Insert explicit (kmer, position-id) pairs — the multimap insert
+        of (key, T) tuples (densehash_multimap insert,
+        distributed_densehash_map.hpp:2067+; sorted_multimap,
+        distributed_sorted_map.hpp:2333+).  ids: uint64 position ids
+        (ShortSequence/LongSequenceKmerId encodings or arbitrary 64-bit
+        payloads); quals: optional float32 per pair."""
+        words = self._to_words(kmers)
+        ids = np.asarray(ids, dtype=np.uint64).reshape(-1)
+        if ids.shape[0] != words.shape[0]:
+            raise ValueError("kmers and ids length mismatch")
+        q = (np.zeros(ids.shape[0], np.float32) if quals is None
+             else np.asarray(quals, np.float32).reshape(-1))
+        return self._insert_pairs(
+            words, (ids >> np.uint64(32)).astype(np.uint32),
+            (ids & np.uint64(0xFFFFFFFF)).astype(np.uint32), q)
+
+    def count_if(self, pred, kmers=None):
+        """Without kmers: sorted [(kmer_int, n_matching_pairs)] over the
+        whole multimap, keys with >= 1 pair satisfying pred
+        (count_if(pred), kmer_index.hpp:181; pred over the
+        (keys, id_hi, id_lo, qual) pair columns as in erase_if).  With
+        kmers: per-query multiplicities, zeroed where pred(words, counts)
+        fails (count_if(query, pred), kmer_index.hpp:175)."""
+        if kmers is None:
+            self._flush()
+            key = ("scan_if", pred, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_multi_scan_step(
+                    self.mesh, pred)
+            mask = self._fetch(self._step_cache[key](self.store))
+            keys = self._fetch(self.store.keys)
+            out: dict = {}
+            for p in range(self.nparts):
+                idxs = np.flatnonzero(mask[p])
+                if idxs.size == 0:
+                    continue
+                u, c = np.unique(self.spec.to_ints(keys[p, idxs]),
+                                 return_counts=True)
+                for v, m in zip(u.tolist(), c.tolist()):
+                    out[v] = out.get(v, 0) + m
+            return sorted(out.items())
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        counts = self.count(words)
+        import jax.numpy as _jnp
+        keep = np.asarray(pred(_jnp.asarray(words), _jnp.asarray(counts)))
+        return np.where(keep, counts, 0)
+
+    def find_if(self, pred, kmers=None, max_per_query: int = 64):
+        """find restricted by pred (find_if, kmer_index.hpp:157-170).
+        Without kmers: count_if(pred).  With kmers: (ids, mask) with
+        queries failing pred(words, counts) masked out entirely."""
+        if kmers is None:
+            return self.count_if(pred)
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        ids, mask = self.find(words, max_per_query=max_per_query)
+        counts = mask.sum(axis=1).astype(np.int32)
+        import jax.numpy as _jnp
+        keep = np.asarray(pred(_jnp.asarray(words), _jnp.asarray(counts)))
+        return ids, mask & keep[:, None]
+
+
+class PositionIndex(_MultimapSurfaceMixin, _IndexBase):
     """Distributed k-mer → positions multimap (PositionIndex preset,
     kmer_index.hpp:399-404; densehash_multimap semantics).
 
@@ -1394,66 +1463,6 @@ class PositionIndex(_IndexBase):
         finally:
             idx.canonical = canonical
         return idx
-
-    def insert(self, kmers, ids, quals=None):
-        """Insert explicit (kmer, position-id) pairs — the multimap insert
-        of (key, T) tuples (densehash_multimap insert,
-        distributed_densehash_map.hpp:2067+; Index::insert,
-        kmer_index.hpp:201).  ids: uint64 position ids (ShortSequence/
-        LongSequenceKmerId encodings or arbitrary 64-bit payloads);
-        quals: optional float32 per pair (PositionQualityIndex)."""
-        self._flush()
-        words = self._to_words(kmers)
-        ids = np.asarray(ids, dtype=np.uint64).reshape(-1)
-        if ids.shape[0] != words.shape[0]:
-            raise ValueError("kmers and ids length mismatch")
-        q = (np.zeros(ids.shape[0], np.float32) if quals is None
-             else np.asarray(quals, np.float32).reshape(-1))
-        return self._insert_pairs(
-            words, (ids >> np.uint64(32)).astype(np.uint32),
-            (ids & np.uint64(0xFFFFFFFF)).astype(np.uint32), q)
-
-    def count_if(self, pred, kmers=None):
-        """Without kmers: sorted [(kmer_int, n_matching_pairs)] over the
-        whole multimap, keys with >= 1 pair satisfying pred
-        (count_if(pred), kmer_index.hpp:181; pred over pair columns as in
-        erase_if).  With kmers: per-query multiplicities, zeroed where
-        pred(words, counts) fails (count_if(query, pred),
-        kmer_index.hpp:175)."""
-        if kmers is None:
-            self._flush()
-            key = ("scan_if", pred, self.capacity)
-            if key not in self._step_cache:
-                self._step_cache[key] = dx.make_multi_scan_step(
-                    self.mesh, pred)
-            mask = self._fetch(self._step_cache[key](self.store))
-            keys = self._fetch(self.store.keys)
-            out: dict = {}
-            for p in range(self.nparts):
-                idxs = np.flatnonzero(mask[p])
-                if idxs.size == 0:
-                    continue
-                for v in self.spec.to_ints(keys[p, idxs]).tolist():
-                    out[v] = out.get(v, 0) + 1
-            return sorted(out.items())
-        words = self._maybe_canonicalize_queries(self._to_words(kmers))
-        counts = self.count(words)
-        import jax.numpy as _jnp
-        keep = np.asarray(pred(_jnp.asarray(words), _jnp.asarray(counts)))
-        return np.where(keep, counts, 0)
-
-    def find_if(self, pred, kmers=None, max_per_query: int = 64):
-        """find restricted by pred (find_if, kmer_index.hpp:157-170).
-        Without kmers: count_if(pred).  With kmers: (ids, mask) with
-        queries failing pred(words, counts) masked out entirely."""
-        if kmers is None:
-            return self.count_if(pred)
-        words = self._maybe_canonicalize_queries(self._to_words(kmers))
-        ids, mask = self.find(words, max_per_query=max_per_query)
-        counts = mask.sum(axis=1).astype(np.int32)
-        import jax.numpy as _jnp
-        keep = np.asarray(pred(_jnp.asarray(words), _jnp.asarray(counts)))
-        return ids, mask & keep[:, None]
 
     def _insert_pairs(self, words, val_hi, val_lo, val_q):
         """Insert explicit (key, id, quality) tuples through the

@@ -35,7 +35,7 @@ from ..utils.timers import PhaseTimer
 from . import distributed as dx
 from . import sorted_dist as sx
 from . import store as st
-from .api import _IndexBase, _next_pow2
+from .api import _IndexBase, _MultimapSurfaceMixin, _next_pow2
 
 __all__ = ["SortedCountIndex", "SortedPositionIndex",
            "SortedPositionQualityIndex"]
@@ -365,7 +365,7 @@ class SortedCountIndex(_SortedBase):
         return idx
 
 
-class SortedPositionIndex(_SortedBase):
+class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
     """Distributed k-mer → position-id multimap, range-partitioned
     (sorted_multimap, distributed_sorted_map.hpp:2333)."""
 
@@ -494,54 +494,6 @@ class SortedPositionIndex(_SortedBase):
 
     def get_multiplicity(self, kmers) -> np.ndarray:
         return self.count(kmers)
-
-    def insert(self, kmers, ids, quals=None):
-        """Insert explicit (kmer, position-id) pairs — sorted_multimap
-        insert (distributed_sorted_map.hpp:2333+; appended locally,
-        samplesorted on flush)."""
-        words = self._to_words(kmers)
-        ids = np.asarray(ids, dtype=np.uint64).reshape(-1)
-        if ids.shape[0] != words.shape[0]:
-            raise ValueError("kmers and ids length mismatch")
-        q = (np.zeros(ids.shape[0], np.float32) if quals is None
-             else np.asarray(quals, np.float32).reshape(-1))
-        return self._insert_pairs(
-            words, (ids >> np.uint64(32)).astype(np.uint32),
-            (ids & np.uint64(0xFFFFFFFF)).astype(np.uint32), q)
-
-    def count_if(self, pred, kmers=None):
-        """Same contract as the hash PositionIndex.count_if (pair-column
-        predicate for full scans, (words, multiplicity) for queries)."""
-        if kmers is None:
-            self._flush()
-            key = ("scan_if", pred, self.capacity)
-            if key not in self._step_cache:
-                self._step_cache[key] = dx.make_multi_scan_step(
-                    self.mesh, pred)
-            mask = np.asarray(self._step_cache[key](self.store))
-            keys = np.asarray(self.store.keys)
-            out: dict = {}
-            for p in range(self.nparts):
-                idxs = np.flatnonzero(mask[p])
-                if idxs.size == 0:
-                    continue
-                for v in self.spec.to_ints(keys[p, idxs]).tolist():
-                    out[v] = out.get(v, 0) + 1
-            return sorted(out.items())
-        words = self._maybe_canonicalize_queries(self._to_words(kmers))
-        counts = self.count(words)
-        keep = np.asarray(pred(jnp.asarray(words), jnp.asarray(counts)))
-        return np.where(keep, counts, 0)
-
-    def find_if(self, pred, kmers=None, max_per_query: int = 64):
-        """Same contract as the hash PositionIndex.find_if."""
-        if kmers is None:
-            return self.count_if(pred)
-        words = self._maybe_canonicalize_queries(self._to_words(kmers))
-        ids, mask = self.find(words, max_per_query=max_per_query)
-        counts = mask.sum(axis=1).astype(np.int32)
-        keep = np.asarray(pred(jnp.asarray(words), jnp.asarray(counts)))
-        return ids, mask & keep[:, None]
 
     def unique_size(self) -> int:
         self._flush()

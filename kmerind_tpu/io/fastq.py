@@ -103,14 +103,16 @@ def parse_fastq_bytes(data: np.ndarray):
     starts, ends = _line_table(data)
     nlines = starts.shape[0]
     if nlines % 4 != 0:
-        raise ValueError(f"FASTQ block has {nlines} lines, not a multiple of 4")
+        # empty sequence/quality lines ('@r\n\n+\n\n') are dropped by the
+        # fast visible-line table, collapsing the 4-line cycle — re-walk
+        # with the exact record state machine (native/reference semantics)
+        return _parse_fastq_bytes_exact(data)
     starts4 = starts.reshape(-1, 4)
     ends4 = ends.reshape(-1, 4)
     if nlines and not np.all(data[starts4[:, 0]] == ord("@")):
-        bad = int(np.flatnonzero(data[starts4[:, 0]] != ord("@"))[0])
-        raise ValueError(f"FASTQ record {bad} does not start with '@'")
+        return _parse_fastq_bytes_exact(data)
     if nlines and not np.all(data[starts4[:, 2]] == ord("+")):
-        raise ValueError("FASTQ record separator line does not start with '+'")
+        return _parse_fastq_bytes_exact(data)
     seq_len = ends4[:, 1] - starts4[:, 1]
     qual_len = ends4[:, 3] - starts4[:, 3]
     if not np.array_equal(seq_len, qual_len):
@@ -123,6 +125,64 @@ def parse_fastq_bytes(data: np.ndarray):
         "seq_start": starts4[:, 1],
         "seq_len": seq_len,
         "qual_start": starts4[:, 3],
+    }
+
+
+def _parse_fastq_bytes_exact(data: np.ndarray):
+    """Sequential 4-line record walk, the exact semantics of the native
+    scanner (fastscan.cpp fastq_range) and the reference's get_next_record
+    (fastq_loader.hpp:389-490): blank lines skip BETWEEN records, empty
+    sequence/quality lines are legal record fields.  Fallback for inputs
+    the vectorized visible-line table cannot frame."""
+    buf = data.tobytes()
+    n = len(buf)
+    rs, ss, sl, qs = [], [], [], []
+    p = 0
+
+    def line(p):
+        e = buf.find(b"\n", p)
+        raw_end = n if e < 0 else e
+        c = raw_end
+        while c > p and buf[c - 1] == 0x0D:
+            c -= 1
+        return c, (raw_end + 1 if e >= 0 else n), raw_end < n
+
+    while p < n:
+        while p < n and buf[p] in (0x0A, 0x0D):
+            p += 1
+        if p >= n:
+            break
+        rec = p
+        if buf[p] != ord("@"):
+            raise ValueError(f"FASTQ record {len(rs)} does not start with '@'")
+        _, p, had = line(p)
+        if not had:
+            raise ValueError("truncated FASTQ record (header)")
+        seq = p
+        seq_end, p, had = line(p)
+        if not had:
+            raise ValueError("truncated FASTQ record (sequence)")
+        if p >= n or buf[p] != ord("+"):
+            raise ValueError("FASTQ record separator line does not start "
+                             "with '+'")
+        _, p, had = line(p)
+        if not had:
+            raise ValueError("truncated FASTQ record (separator)")
+        qual = p
+        qual_end, p, _ = line(p)
+        if qual_end - qual != seq_end - seq:
+            raise ValueError(
+                f"FASTQ record {len(rs)}: sequence length {seq_end - seq} "
+                f"!= quality length {qual_end - qual}")
+        rs.append(rec)
+        ss.append(seq)
+        sl.append(seq_end - seq)
+        qs.append(qual)
+    return {
+        "record_start": np.asarray(rs, np.int64),
+        "seq_start": np.asarray(ss, np.int64),
+        "seq_len": np.asarray(sl, np.int64),
+        "qual_start": np.asarray(qs, np.int64),
     }
 
 

@@ -292,7 +292,8 @@ int64_t fastq_parse_mt(const uint8_t* data, int64_t n,
     int64_t cut = n * t / T;
     if (cut <= bounds.back()) continue;
     int64_t b = cut + fastq_find_start(data + cut, n - cut, 0);
-    if (b > bounds.back() && b < n) bounds.push_back(b);
+    if (b >= n) break;  // no further record start exists
+    if (b > bounds.back()) bounds.push_back(b);
   }
   bounds.push_back(n);
   T = static_cast<int64_t>(bounds.size()) - 1;
@@ -307,14 +308,19 @@ int64_t fastq_parse_mt(const uint8_t* data, int64_t n,
                        true, rb, bb, record_start, nrec_cap, codes, quals,
                        seg_id, offset_in_record, global_pos, nbase_cap);
   };
-  if (T == 1) {
-    RangeOut r = fill_fn(0, n, 0, 0);
-    if (r.err) return r.err;
-    *out_nbases = r.nb;
-    return r.nrec;
+  if (T > 1) {
+    int64_t r = parse_mt(T, bounds, count_fn, fill_fn, nrec_cap, nbase_cap,
+                         out_nbases);
+    // A pathological record mix (e.g. empty sequence lines collapsing the
+    // 4-line cycle) can defeat the mid-block boundary heuristic and fail
+    // a range that the serial walk accepts — fall back rather than reject
+    // input whose validity would otherwise depend on the thread count.
+    if (r >= 0 || r == FS_ERR_CAPACITY) return r;
   }
-  return parse_mt(T, bounds, count_fn, fill_fn, nrec_cap, nbase_cap,
-                  out_nbases);
+  RangeOut r = fill_fn(0, n, 0, 0);
+  if (r.err) return r.err;
+  *out_nbases = r.nb;
+  return r.nrec;
 }
 
 // Back-compatible serial entry.
@@ -370,7 +376,8 @@ int64_t fasta_parse_mt(const uint8_t* data, int64_t n,
     int64_t cut = n * t / T;
     if (cut <= bounds.back()) continue;
     int64_t b = fasta_find_start(data, n, cut);
-    if (b > bounds.back() && b < n) bounds.push_back(b);
+    if (b >= n) break;  // monotone in cut: later cuts find nothing either
+    if (b > bounds.back()) bounds.push_back(b);
   }
   bounds.push_back(n);
   T = static_cast<int64_t>(bounds.size()) - 1;

@@ -119,7 +119,10 @@ def test_parse_fastq_crlf_and_no_trailing_newline():
 
 
 def test_parse_fastq_malformed():
-    with pytest.raises(ValueError, match="multiple of 4"):
+    # truncated after the '+' line: the quality line is empty, which the
+    # exact 4-line walk reports as a length mismatch (like the native
+    # scanner's FS_ERR_LEN_MISMATCH for the same bytes)
+    with pytest.raises(ValueError, match="quality"):
         parse_fastq(_bytes("@r\nACGT\n+\n"), DNA)
     with pytest.raises(ValueError, match="'@'"):
         parse_fastq(_bytes("r\nACGT\n+\nIIII\n"), DNA)

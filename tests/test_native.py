@@ -162,3 +162,31 @@ def test_native_mt_matches_numpy_adversarial(kind):
     for col in COLUMNS:
         np.testing.assert_array_equal(
             getattr(nat, col), getattr(ref, col), err_msg=f"{kind}:{col}")
+
+
+def test_native_mt_empty_sequence_records_fallback():
+    """Empty-sequence records ('@r\\n\\n+\\n\\n') collapse the 4-line cycle
+    and can defeat the MT boundary heuristic; the parser must fall back to
+    the serial walk rather than reject input whose validity would depend
+    on the thread count (>4MB triggers MT)."""
+    rng = np.random.default_rng(5)
+    recs = []
+    total = 0
+    i = 0
+    while total < (5 << 20):
+        if i % 3 == 0:
+            rec = f"@e{i}\n\n+\n\n"  # empty sequence + empty quality
+        else:
+            ln = int(rng.integers(1, 120))
+            seq = "".join(rng.choice(list("ACGT"), size=ln))
+            qual = "".join(rng.choice(list("@+I#!"), size=ln))
+            rec = f"@r{i}\n{seq}\n+\n{qual}\n"
+        recs.append(rec)
+        total += len(rec)
+        i += 1
+    data = np.frombuffer("".join(recs).encode(), np.uint8)
+    nat = native.fastq_parse(data, DNA)
+    ref = parse_fastq(data, DNA)
+    for col in COLUMNS:
+        np.testing.assert_array_equal(
+            getattr(nat, col), getattr(ref, col), err_msg=col)

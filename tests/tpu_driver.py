@@ -15,19 +15,21 @@ import numpy as np
 
 
 def main():
-    # A hung device tunnel must read as "no TPU" (skip), not a stalled
-    # suite: backend discovery gets a hard alarm.
-    import signal
-
-    def _stuck(signum, frame):
+    # A hung device tunnel blocks inside PJRT C++ where signals cannot
+    # interrupt, so bound backend discovery from a subprocess (same
+    # pattern as bench.py / test_tpu.py) before importing jax here.
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=120, capture_output=True)
+        if probe.returncode != 0:
+            print(f"no devices: {probe.stderr[-300:]}", file=sys.stderr)
+            return 42
+    except subprocess.TimeoutExpired:
         print("TPU backend init unresponsive (tunnel down?)",
               file=sys.stderr)
-        sys.stderr.flush()
-        import os
-        os._exit(42)
-
-    signal.signal(signal.SIGALRM, _stuck)
-    signal.alarm(120)
+        return 42
 
     import jax
     import jax.numpy as jnp
@@ -37,7 +39,6 @@ def main():
     except Exception as e:  # no backend at all
         print(f"no devices: {e}", file=sys.stderr)
         return 42
-    signal.alarm(0)
     if jax.default_backend() != "tpu":
         print(f"default backend is {jax.default_backend()!r}, not tpu",
               file=sys.stderr)
