@@ -64,6 +64,25 @@ def test_stream_sorted_index(tmp_path):
     assert streamed.to_dict() == whole.to_dict()
 
 
+def test_stream_bimolecule(tmp_path):
+    from kmerind_tpu.index.api import BimoleculeCountIndex
+    path = _write_corpus(tmp_path, "fastq", n_records=120)
+    spec = KmerSpec(21, DNA)
+    whole = BimoleculeCountIndex(spec).build(path)
+    streamed = BimoleculeCountIndex(spec).build_stream(path, block_bytes=1024)
+    assert streamed.to_dict() == whole.to_dict()
+
+
+def test_stream_position_quality(tmp_path):
+    from kmerind_tpu.index.api import PositionQualityIndex
+    path = _write_corpus(tmp_path, "fastq", n_records=120)
+    spec = KmerSpec(15, DNA)
+    whole = PositionQualityIndex(spec).build(path)
+    streamed = PositionQualityIndex(spec).build_stream(path,
+                                                       block_bytes=1024)
+    assert streamed.to_dict() == whole.to_dict()
+
+
 def test_stream_debruijn_fastq(tmp_path):
     path = _write_corpus(tmp_path, "fastq", n_records=80)
     spec = KmerSpec(21, DNA)
