@@ -119,7 +119,8 @@ class DeBruijnGraph(_IndexBase):
             # edge bytes need 1 base of left context and the k-th base on
             # the right, beyond the k-1 window halo
             return self._batch_to_stacked(
-                batch, id_kind=None, halo=self.spec.k, halo_left=1)[0]
+                batch, id_kind=None, halo=self.spec.k, halo_left=1,
+                need_qual=False)[0]
 
     def _insert_one_chunk(self, batch: ReadBatch):
         return self._insert_cols(self._marshal_chunk(batch))

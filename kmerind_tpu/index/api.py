@@ -123,9 +123,28 @@ class _IndexBase:
         less = np.asarray(packing.lex_less(jnp.asarray(rc), jnp.asarray(words)))
         return np.where(less[:, None], rc, words)
 
+    def _zero_col(self, shape, dtype):
+        """Cached device-resident zero column: families whose ingest steps
+        take (but ignore) id/quality columns reuse ONE transferred zero
+        buffer instead of allocating + shipping zeros per chunk."""
+        key = ("zero", shape, np.dtype(dtype).str)
+        cache = getattr(self, "_zeros_cache", None)
+        if cache is None:
+            cache = self._zeros_cache = {}
+        if key not in cache:
+            cache[key] = self._put_global(np.zeros(shape, dtype),
+                                          self.nparts)
+        return cache[key]
+
     def _batch_to_stacked(self, batch: ReadBatch, id_kind,
-                          halo: int | None = None, halo_left: int = 0):
+                          halo: int | None = None, halo_left: int = 0,
+                          need_qual: bool = True):
         """ReadBatch -> per-base stacked arrays [p, L] on the mesh.
+
+        id/quality columns are real data only when the family consumes
+        them (id_kind set / need_qual) — otherwise they alias a cached
+        zero buffer, which for count-family builds removes 12 of the 18
+        marshalled+transferred bytes per base.
 
         Multi-process: `batch` is THIS process's file block
         (`parallel.multihost.host_block_batch`); it is split over the
@@ -145,18 +164,28 @@ class _IndexBase:
             shards = [s.pad_to(pad_to) for s in shards]
         cols = {}
         names = ["codes", "valid", "owned", "seg_id"]
+        # NOTE: the stack COPY below is load-bearing with reuse=True
+        # batches: device_put may transfer asynchronously while the parser
+        # ring overwrites the source views, so columns must not alias ring
+        # memory when handed to the device.
         for name in names:
             stacked = np.stack([getattr(s, name) for s in shards])
             cols[name] = self._put_global(stacked, p)
         if id_kind is None:
-            ids = np.zeros((n_local_shards, pad_to), np.uint64)
+            cols["id_hi"] = self._zero_col((n_local_shards, pad_to),
+                                           np.uint32)
+            cols["id_lo"] = cols["id_hi"]
         else:
             ids = np.stack([s.ids(id_kind) for s in shards])
-        cols["id_hi"] = self._put_global(
-            (ids >> np.uint64(32)).astype(np.uint32), p)
-        cols["id_lo"] = self._put_global(ids.astype(np.uint32), p)
-        quals = np.stack([s.qual for s in shards])
-        cols["qual"] = self._put_global(quals, p)
+            cols["id_hi"] = self._put_global(
+                (ids >> np.uint64(32)).astype(np.uint32), p)
+            cols["id_lo"] = self._put_global(ids.astype(np.uint32), p)
+        if need_qual:
+            quals = np.stack([s.qual for s in shards])
+            cols["qual"] = self._put_global(quals, p)
+        else:
+            cols["qual"] = self._zero_col((n_local_shards, pad_to),
+                                          np.uint8)
         return cols, owned
 
     def _bucket_capacity(self, n_per_shard: int) -> int:
@@ -543,7 +572,8 @@ class CountIndex(_IndexBase):
 
     def _marshal_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
-            return self._batch_to_stacked(batch, id_kind=None)[0]
+            return self._batch_to_stacked(batch, id_kind=None,
+                                          need_qual=False)[0]
 
     def _insert_one_chunk(self, batch: ReadBatch):
         return self._insert_cols(self._marshal_chunk(batch))
@@ -887,7 +917,8 @@ class BimoleculeCountIndex(CountIndex):
 
     def _marshal_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
-            return self._batch_to_stacked(batch, id_kind="long")[0]
+            return self._batch_to_stacked(batch, id_kind="long",
+                                          need_qual=False)[0]
 
     def _insert_cols(self, cols):
         n_local = cols["codes"].shape[1]
@@ -1248,7 +1279,9 @@ class PositionIndex(_MultimapSurfaceMixin, _IndexBase):
 
     def _marshal_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
-            return self._batch_to_stacked(batch, id_kind=self.id_kind)[0]
+            return self._batch_to_stacked(
+                batch, id_kind=self.id_kind,
+                need_qual=self.with_quality)[0]
 
     def _insert_one_chunk(self, batch: ReadBatch):
         return self._insert_cols(self._marshal_chunk(batch))

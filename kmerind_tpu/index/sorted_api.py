@@ -121,7 +121,8 @@ class SortedCountIndex(_SortedBase):
 
     def _marshal_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
-            return self._batch_to_stacked(batch, id_kind=None)[0]
+            return self._batch_to_stacked(batch, id_kind=None,
+                                          need_qual=False)[0]
 
     def _insert_one_chunk(self, batch: ReadBatch):
         return self._insert_cols(self._marshal_chunk(batch))
@@ -405,7 +406,9 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
 
     def _marshal_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
-            return self._batch_to_stacked(batch, id_kind=self.id_kind)[0]
+            return self._batch_to_stacked(
+                batch, id_kind=self.id_kind,
+                need_qual=self.with_quality)[0]
 
     def _insert_one_chunk(self, batch: ReadBatch):
         return self._insert_cols(self._marshal_chunk(batch))
