@@ -749,6 +749,11 @@ class CountIndex(_IndexBase):
         """Counts per key (multiplicity of a counting map's entries)."""
         return self.count(kmers)
 
+    def exists(self, kmers) -> np.ndarray:
+        """bool[m] membership per query (the plain KmerIndex/exists view
+        of a unique-key map, kmer_index.hpp:399)."""
+        return self.count(kmers) > 0
+
     def insert_counts(self, kmers, counts) -> "CountIndex":
         """Insert (kmer, count) pairs — the reference counting map's
         second input flavor (counting_densehash_map insert of

@@ -294,6 +294,10 @@ class SortedCountIndex(_SortedBase):
     def get_multiplicity(self, kmers) -> np.ndarray:
         return self.count(kmers)
 
+    def exists(self, kmers) -> np.ndarray:
+        """bool[m] membership per query (plain KmerIndex view)."""
+        return self.count(kmers) > 0
+
     # -- range scan: the capability hash distribution cannot offer ------
     def items_in_range(self, lo_kmer, hi_kmer):
         """All (kmer_int, count) with lo <= kmer < hi — a LOCAL slice on
