@@ -70,6 +70,52 @@ def main(argv=None):
             w, (), v, sentinel_ok=spec.sentinel_safe)))[2], words, valid)
     bench("revcomp_packed", lambda w: bitops.revcomp(w, spec), words)
     bench("reverse_packed", lambda w: bitops.reverse(w, spec), words)
+
+    # local store point lookups — the BenchmarkHashTables / hash_vs_sort
+    # analog: binary search vs the gather-free sort-merge join over the
+    # same sorted store (the two auto-selected local-lookup strategies)
+    from ..index import store as st
+    from ..ops import sortops as so
+    s_words, _, s_valid = jax.jit(
+        lambda w, v: so.sort_rows(w, (), v,
+                                  sentinel_ok=spec.sentinel_safe))(
+        words, valid)
+    uniq, cnts, nuniq = jax.jit(so.unique_counts)(s_words, s_valid)
+    cstore = st.CountStore(keys=uniq, counts=cnts.astype(jnp.int32),
+                           size=nuniq)
+    q = words[: max(1, n // 4)]
+    bench("count_lookup_bsearch",
+          lambda k, s_, q_: jnp.where(
+              so.rows_equal_at(k, so.lower_bound(k, s_, q_), q_, s_), 1, 0),
+          cstore.keys, cstore.size, q)
+    bench("count_lookup_join",
+          lambda k, s_, c_, q_: so.lookup_join(k, s_, c_, q_),
+          cstore.keys, cstore.size, cstore.counts, q)
+
+    # host parse rate — the BenchmarkFileLoader analog (native scanner on
+    # synthesized FASTQ bytes, multi-threaded ring path)
+    from ..io import native as _nat
+    if _nat.available():
+        rng = np.random.default_rng(7)
+        recs = []
+        for i in range(max(1, n // 250)):
+            seq = "".join(rng.choice(list("ACGT"), size=250))
+            qual = "".join(chr(33 + int(x)) for x in
+                           rng.integers(0, 40, 250))
+            recs.append(f"@r{i}\n{seq}\n+\n{qual}\n")
+        data = np.frombuffer("".join(recs).encode(), np.uint8)
+        from ..alphabets import DNA as _DNA
+        _nat.fastq_parse(data, _DNA, reuse=True)  # warm ring
+        _nat.fastq_parse(data, _DNA, reuse=True)
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            _nat.fastq_parse(data, _DNA, reuse=True)
+            ts.append(time.perf_counter() - t0)
+        results.append({"op": "fastq_parse_native",
+                        "ms": round(min(ts) * 1e3, 2),
+                        "items_per_s": round(data.shape[0] / min(ts), 0)})
+        print(json.dumps(results[-1]), flush=True)
     return results
 
 
