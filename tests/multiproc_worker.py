@@ -53,10 +53,17 @@ assert jax.process_count() == nproc
 assert len(jax.devices()) == nproc * dpp
 
 spec = KmerSpec(21, DNA)
-mesh = global_mesh()
+if kind == "count2d":
+    # hosts x chips (dcn, ici) mesh: ownership = (process, local chip),
+    # the reference's two-level hashing (kmer_hash.hpp:24-54) under REAL
+    # multi-process execution
+    from kmerind_tpu.parallel.mesh import make_mesh_2d
+    mesh = make_mesh_2d()
+else:
+    mesh = global_mesh()
 timer = PhaseTimer()
 
-if kind in ("count", "fasta_count"):
+if kind in ("count", "count2d", "fasta_count"):
     idx = CountIndex(spec, mesh=mesh, canonical=True, timer=timer)
 else:
     idx = PositionIndex(spec, mesh=mesh, id_kind="short", timer=timer)

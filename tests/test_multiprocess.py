@@ -63,6 +63,21 @@ def test_multiprocess_count_index(ref_data_dir, tmp_path, nproc, dpp):
     assert "insert" in res["timer_phases"]
 
 
+def test_multiprocess_count_index_2d_mesh(ref_data_dir, tmp_path):
+    """2 processes x 2 local devices on the 2-D (dcn, ici) mesh — the
+    two-level hashing layout under real multi-process execution; index
+    contents must be placement-independent."""
+    path = ref_data_dir / "test.small.fastq"
+    res = _run_workers(2, 2, path, "count2d", tmp_path)
+    seqs = [r[1] for r in py_parse_fastq(path.read_text())]
+    from kmerind_tpu import DNA
+    expect = oracle.count_index(seqs, 21, DNA, canonical=True)
+    got = {int(k): v for k, v in res["contents"].items()}
+    assert got == dict(expect)
+    want_counts = [expect[int(v)] for v in res["queried"]]
+    assert res["counts"] == want_counts
+
+
 def test_multiprocess_fasta_count_index(ref_data_dir, tmp_path):
     """FASTA per-process block reads: each worker scans only ITS block for
     record starts (O(block)), learns its leading-record context from the
