@@ -130,7 +130,13 @@ def read_file(
 
 
 def _find_boundary(path, total: int, pos: int, finder) -> int:
-    """Absolute offset of the first record start at-or-after byte `pos`."""
+    """Absolute offset of the first record start at-or-after byte `pos`.
+
+    The scan starts one byte EARLY: the finder assumes an arbitrary
+    mid-line offset and skips the partial first line, which would skip a
+    record starting exactly AT `pos` — including data[pos-1] (the '\\n'
+    that precedes any line start) makes that record's line start visible,
+    so records landing precisely on block boundaries are never lost."""
     if pos == 0:
         return 0
     if pos >= total:
@@ -138,10 +144,10 @@ def _find_boundary(path, total: int, pos: int, finder) -> int:
     slack = _SLACK
     while True:
         hi = min(pos + slack, total)
-        data = read_bytes(path, pos, hi)
-        off = finder(data, pos == 0)
+        data = read_bytes(path, pos - 1, hi)
+        off = finder(data, False)
         if off < data.shape[0]:
-            return pos + off
+            return pos - 1 + off
         if hi == total:
             return total
         slack *= 4

@@ -108,3 +108,57 @@ def test_all_at_plus_quality_block_union(tmp_path):
             starts.extend(
                 read_fastq_block(p, DNA, part, nparts).record_start.tolist())
         assert sorted(starts) == whole.record_start.tolist(), f"np={nparts}"
+
+
+def test_record_start_exactly_on_block_boundary(tmp_path):
+    """A record starting precisely AT a block boundary must be owned by
+    exactly one block: the boundary finder scans from pos-1 so the
+    preceding newline proves the line start (regression: records landing
+    on boundaries were skipped by BOTH neighbors)."""
+    from kmerind_tpu.io.files import read_file, read_fastq_block
+
+    # engineer records of exactly 32 bytes so every 32-aligned block
+    # boundary coincides with a record start
+    recs = []
+    for i in range(64):
+        seq = "ACGTACGT"          # 8
+        qual = "@+II#!I~"         # 8  (adversarial first chars)
+        recs.append(f"@r{i:03d}\n{seq}\n+\n{qual}\n")  # 7+9+2+9 = 27? 
+    text = "".join(recs)
+    path = tmp_path / "aligned.fastq"
+    path.write_text(text)
+    total = len(text)
+    rec_len = len(recs[0])
+    whole = read_file(str(path), DNA, engine="numpy")
+    # sweep block counts so boundaries land on many byte offsets,
+    # including exact record starts (total % rec_len == 0 cases)
+    for nblocks in (2, 4, 8, 16, total // rec_len, 64, 99):
+        got = []
+        for p in range(nblocks):
+            got.extend(read_fastq_block(
+                str(path), DNA, p, nblocks).record_start.tolist())
+        assert sorted(got) == sorted(whole.record_start.tolist()), nblocks
+
+
+def test_fuzz_streaming_tiny_blocks(tmp_path):
+    """Randomized streamed-vs-whole equality at block sizes SMALLER than
+    a record (regression: the boundary off-by-one surfaced only when many
+    boundaries fell inside/at records)."""
+    from kmerind_tpu.index.api import CountIndex, PositionIndex
+    from kmerind_tpu.parallel.mesh import make_mesh
+    from kmerind_tpu import KmerSpec
+
+    rng = np.random.default_rng(7474)
+    path = tmp_path / "tiny.fastq"
+    with open(path, "w") as f:
+        for i in range(80):
+            L = int(rng.integers(1, 300))
+            seq = "".join(rng.choice(list("ACGT"), size=L))
+            qual = "".join(rng.choice(list("!@+I#"), size=L))
+            f.write(f"@r{i}\n{seq}\n+\n{qual}\n")
+    for cls, k in ((CountIndex, 21), (PositionIndex, 15)):
+        spec = KmerSpec(k, DNA)
+        whole = cls(spec, mesh=make_mesh(2)).build(str(path))
+        streamed = cls(spec, mesh=make_mesh(2)).build_stream(
+            str(path), block_bytes=256)
+        assert streamed.to_dict() == whole.to_dict(), cls.__name__
