@@ -160,3 +160,19 @@ def test_position_quality_index_e2e(ref_data_dir):
     pairs = sorted(zip(ids[0][mask[0]].tolist(),
                        quals[0][mask[0]].tolist()))
     assert [p[0] for p in pairs] == [e[0] for e in expect[some]]
+
+
+def test_position_quality_explicit_insert():
+    """PositionQualityIndex.insert carries per-pair float quality through
+    the distributed path (pair<IdType, float> payloads,
+    kmer_index.hpp:406)."""
+    from kmerind_tpu.index.api import PositionQualityIndex
+    from kmerind_tpu.parallel.mesh import make_mesh
+
+    spec = KmerSpec(9, DNA)
+    idx = PositionQualityIndex(spec, mesh=make_mesh(2))
+    idx.insert(["ACGTACGTA", "ACGTACGTA"], np.array([5, 9], np.uint64),
+               quals=np.array([-0.25, -1.5], np.float32))
+    d = idx.to_dict()
+    key = spec.to_int(spec.pack_codes(DNA.encode("ACGTACGTA")))
+    assert sorted(d[key]) == [(5, -0.25), (9, -1.5)]
