@@ -64,6 +64,16 @@ def test_stream_sorted_index(tmp_path):
     assert streamed.to_dict() == whole.to_dict()
 
 
+def test_stream_sorted_position_index(tmp_path):
+    from kmerind_tpu.index.sorted_api import SortedPositionIndex
+    path = _write_corpus(tmp_path, "fastq", n_records=120)
+    spec = KmerSpec(15, DNA)
+    whole = SortedPositionIndex(spec).build(path)
+    streamed = SortedPositionIndex(spec).build_stream(path,
+                                                      block_bytes=1024)
+    assert streamed.to_dict() == whole.to_dict()
+
+
 def test_stream_bimolecule(tmp_path):
     from kmerind_tpu.index.api import BimoleculeCountIndex
     path = _write_corpus(tmp_path, "fastq", n_records=120)
