@@ -38,7 +38,7 @@ def main(argv=None):
 
     results = []
 
-    def bench(name, f, *a):
+    def bench(name, f, *a, items=None):
         g = jax.jit(f)
         out = g(*a)
         jax.tree.map(lambda x: x.block_until_ready(), out)
@@ -50,7 +50,7 @@ def main(argv=None):
             leaf = jax.tree.leaves(out)[0]
             _ = np.asarray(leaf.reshape(-1)[0])
             ts.append(time.perf_counter() - t0)
-        rate = n / min(ts)
+        rate = (n if items is None else items) / min(ts)
         results.append({"op": name, "ms": round(min(ts) * 1e3, 2),
                         "items_per_s": round(rate, 0)})
         print(json.dumps(results[-1]), flush=True)
@@ -87,10 +87,10 @@ def main(argv=None):
     bench("count_lookup_bsearch",
           lambda k, s_, q_: jnp.where(
               so.rows_equal_at(k, so.lower_bound(k, s_, q_), q_, s_), 1, 0),
-          cstore.keys, cstore.size, q)
+          cstore.keys, cstore.size, q, items=q.shape[0])
     bench("count_lookup_join",
           lambda k, s_, c_, q_: so.lookup_join(k, s_, c_, q_),
-          cstore.keys, cstore.size, cstore.counts, q)
+          cstore.keys, cstore.size, cstore.counts, q, items=q.shape[0])
 
     # host parse rate — the BenchmarkFileLoader analog (native scanner on
     # synthesized FASTQ bytes, multi-threaded ring path)
@@ -114,7 +114,7 @@ def main(argv=None):
             ts.append(time.perf_counter() - t0)
         results.append({"op": "fastq_parse_native",
                         "ms": round(min(ts) * 1e3, 2),
-                        "items_per_s": round(data.shape[0] / min(ts), 0)})
+                        "bytes_per_s": round(data.shape[0] / min(ts), 0)})
         print(json.dumps(results[-1]), flush=True)
     return results
 

@@ -120,7 +120,7 @@ class DeBruijnGraph(_IndexBase):
             # the right, beyond the k-1 window halo
             return self._batch_to_stacked(
                 batch, id_kind=None, halo=self.spec.k, halo_left=1,
-                need_qual=False)[0]
+                need_ids=False, need_qual=False)[0]
 
     def _insert_one_chunk(self, batch: ReadBatch):
         return self._insert_cols(self._marshal_chunk(batch))

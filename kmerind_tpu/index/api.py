@@ -138,13 +138,17 @@ class _IndexBase:
 
     def _batch_to_stacked(self, batch: ReadBatch, id_kind,
                           halo: int | None = None, halo_left: int = 0,
-                          need_qual: bool = True):
+                          need_ids: bool = True, need_qual: bool = True,
+                          real_qual: bool = True):
         """ReadBatch -> per-base stacked arrays [p, L] on the mesh.
 
-        id/quality columns are real data only when the family consumes
-        them (id_kind set / need_qual) — otherwise they alias a cached
-        zero buffer, which for count-family builds removes 12 of the 18
-        marshalled+transferred bytes per base.
+        Families declare which columns their ingest step takes: id/qual
+        columns are OMITTED when unused (need_ids/need_qual False — the
+        count/de Bruijn families), and a step that takes-but-ignores
+        quality (real_qual False: PositionIndex without the quality
+        variant) gets a cached device-resident zero buffer instead of a
+        fresh marshal+transfer.  For count-family builds this removes 12
+        of the 18 marshalled+transferred bytes per base.
 
         Multi-process: `batch` is THIS process's file block
         (`parallel.multihost.host_block_batch`); it is split over the
@@ -171,21 +175,23 @@ class _IndexBase:
         for name in names:
             stacked = np.stack([getattr(s, name) for s in shards])
             cols[name] = self._put_global(stacked, p)
-        if id_kind is None:
-            cols["id_hi"] = self._zero_col((n_local_shards, pad_to),
-                                           np.uint32)
-            cols["id_lo"] = cols["id_hi"]
-        else:
-            ids = np.stack([s.ids(id_kind) for s in shards])
-            cols["id_hi"] = self._put_global(
-                (ids >> np.uint64(32)).astype(np.uint32), p)
-            cols["id_lo"] = self._put_global(ids.astype(np.uint32), p)
+        if need_ids:
+            if id_kind is None:
+                cols["id_hi"] = self._zero_col((n_local_shards, pad_to),
+                                               np.uint32)
+                cols["id_lo"] = cols["id_hi"]
+            else:
+                ids = np.stack([s.ids(id_kind) for s in shards])
+                cols["id_hi"] = self._put_global(
+                    (ids >> np.uint64(32)).astype(np.uint32), p)
+                cols["id_lo"] = self._put_global(ids.astype(np.uint32), p)
         if need_qual:
-            quals = np.stack([s.qual for s in shards])
-            cols["qual"] = self._put_global(quals, p)
-        else:
-            cols["qual"] = self._zero_col((n_local_shards, pad_to),
-                                          np.uint8)
+            if real_qual:
+                quals = np.stack([s.qual for s in shards])
+                cols["qual"] = self._put_global(quals, p)
+            else:
+                cols["qual"] = self._zero_col((n_local_shards, pad_to),
+                                              np.uint8)
         return cols, owned
 
     def _bucket_capacity(self, n_per_shard: int) -> int:
@@ -382,6 +388,11 @@ class _IndexBase:
         self.insert_batch(batch)
         return self
 
+    def exists(self, kmers) -> np.ndarray:
+        """bool[m] membership per query (the plain KmerIndex/exists view,
+        kmer_index.hpp:399) — available on every family with count()."""
+        return self.count(kmers) > 0
+
     def build_posix(self, path, fmt: str | None = None, file_id: int = 0):
         """Alias of build (the reference exposes per-reader entry points
         build_posix/build_mmap/build_mpiio, kmer_index.hpp:332-394; one
@@ -573,6 +584,7 @@ class CountIndex(_IndexBase):
     def _marshal_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
             return self._batch_to_stacked(batch, id_kind=None,
+                                          need_ids=False,
                                           need_qual=False)[0]
 
     def _insert_one_chunk(self, batch: ReadBatch):
@@ -748,11 +760,6 @@ class CountIndex(_IndexBase):
     def get_multiplicity(self, kmers) -> np.ndarray:
         """Counts per key (multiplicity of a counting map's entries)."""
         return self.count(kmers)
-
-    def exists(self, kmers) -> np.ndarray:
-        """bool[m] membership per query (the plain KmerIndex/exists view
-        of a unique-key map, kmer_index.hpp:399)."""
-        return self.count(kmers) > 0
 
     def insert_counts(self, kmers, counts) -> "CountIndex":
         """Insert (kmer, count) pairs — the reference counting map's
@@ -1177,7 +1184,7 @@ class _MultimapSurfaceMixin:
                     out[v] = out.get(v, 0) + m
             return sorted(out.items())
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
-        counts = self.count(words)
+        counts = self._count_words(words)
         import jax.numpy as _jnp
         keep = np.asarray(pred(_jnp.asarray(words), _jnp.asarray(counts)))
         return np.where(keep, counts, 0)
@@ -1189,7 +1196,7 @@ class _MultimapSurfaceMixin:
         if kmers is None:
             return self.count_if(pred)
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
-        ids, mask = self.find(words, max_per_query=max_per_query)
+        ids, mask = self._find_words(words, max_per_query)
         counts = mask.sum(axis=1).astype(np.int32)
         import jax.numpy as _jnp
         keep = np.asarray(pred(_jnp.asarray(words), _jnp.asarray(counts)))
@@ -1286,7 +1293,7 @@ class PositionIndex(_MultimapSurfaceMixin, _IndexBase):
         with self.timer.phase("extract"):
             return self._batch_to_stacked(
                 batch, id_kind=self.id_kind,
-                need_qual=self.with_quality)[0]
+                real_qual=self.with_quality)[0]
 
     def _insert_one_chunk(self, batch: ReadBatch):
         return self._insert_cols(self._marshal_chunk(batch))
@@ -1336,8 +1343,13 @@ class PositionIndex(_MultimapSurfaceMixin, _IndexBase):
 
     def count(self, kmers) -> np.ndarray:
         """Multiplicity per query (get_multiplicity / count on multimap)."""
+        return self._count_words(
+            self._maybe_canonicalize_queries(self._to_words(kmers)))
+
+    def _count_words(self, words: np.ndarray) -> np.ndarray:
+        """count() for already-canonicalized word rows (the mixin
+        predicate paths canonicalize once and reuse)."""
         self._flush()
-        words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
         bucket_cap = self._bucket_capacity(mq)
@@ -1366,8 +1378,13 @@ class PositionIndex(_MultimapSurfaceMixin, _IndexBase):
         multiplicity) lets callers detect truncation: counts[i] >
         mask[i].sum() means query i lost pairs.
         """
+        return self._find_words(
+            self._maybe_canonicalize_queries(self._to_words(kmers)),
+            max_per_query, with_quality, grow_to_fit)
+
+    def _find_words(self, words, max_per_query, with_quality=False,
+                    grow_to_fit=True):
         self._flush()
-        words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
         bucket_cap = self._bucket_capacity(mq)

@@ -122,6 +122,7 @@ class SortedCountIndex(_SortedBase):
     def _marshal_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
             return self._batch_to_stacked(batch, id_kind=None,
+                                          need_ids=False,
                                           need_qual=False)[0]
 
     def _insert_one_chunk(self, batch: ReadBatch):
@@ -294,10 +295,6 @@ class SortedCountIndex(_SortedBase):
     def get_multiplicity(self, kmers) -> np.ndarray:
         return self.count(kmers)
 
-    def exists(self, kmers) -> np.ndarray:
-        """bool[m] membership per query (plain KmerIndex view)."""
-        return self.count(kmers) > 0
-
     # -- range scan: the capability hash distribution cannot offer ------
     def items_in_range(self, lo_kmer, hi_kmer):
         """All (kmer_int, count) with lo <= kmer < hi — a LOCAL slice on
@@ -412,7 +409,7 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
         with self.timer.phase("extract"):
             return self._batch_to_stacked(
                 batch, id_kind=self.id_kind,
-                need_qual=self.with_quality)[0]
+                real_qual=self.with_quality)[0]
 
     def _insert_one_chunk(self, batch: ReadBatch):
         return self._insert_cols(self._marshal_chunk(batch))
@@ -483,8 +480,11 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
 
     # -- queries -------------------------------------------------------
     def count(self, kmers) -> np.ndarray:
+        return self._count_words(
+            self._maybe_canonicalize_queries(self._to_words(kmers)))
+
+    def _count_words(self, words: np.ndarray) -> np.ndarray:
         self._flush()
-        words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
         bucket_cap = self._query_capacity(mq)
@@ -519,8 +519,13 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
              grow_to_fit: bool = True):
         """Same contract as the hash PositionIndex.find (incl. growth /
         truncation counts)."""
+        return self._find_words(
+            self._maybe_canonicalize_queries(self._to_words(kmers)),
+            max_per_query, with_quality, grow_to_fit)
+
+    def _find_words(self, words, max_per_query, with_quality=False,
+                    grow_to_fit=True):
         self._flush()
-        words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
         bucket_cap = self._query_capacity(mq)

@@ -292,7 +292,10 @@ int64_t fastq_parse_mt(const uint8_t* data, int64_t n,
     int64_t cut = n * t / T;
     if (cut <= bounds.back()) continue;
     int64_t b = cut + fastq_find_start(data + cut, n - cut, 0);
-    if (b >= n) break;  // no further record start exists
+    // the 4-line heuristic is NOT monotone (a pathological cluster can
+    // defeat one cut while later cuts land in clean regions) — keep
+    // probing instead of breaking
+    if (b >= n) continue;
     if (b > bounds.back()) bounds.push_back(b);
   }
   bounds.push_back(n);

@@ -117,13 +117,13 @@ def test_record_start_exactly_on_block_boundary(tmp_path):
     on boundaries were skipped by BOTH neighbors)."""
     from kmerind_tpu.io.files import read_file, read_fastq_block
 
-    # engineer records of exactly 32 bytes so every 32-aligned block
-    # boundary coincides with a record start
+    # fixed-size records (26 bytes each: 6+9+2+9) so block boundaries
+    # land exactly on record starts whenever nblocks divides total evenly
     recs = []
     for i in range(64):
-        seq = "ACGTACGT"          # 8
-        qual = "@+II#!I~"         # 8  (adversarial first chars)
-        recs.append(f"@r{i:03d}\n{seq}\n+\n{qual}\n")  # 7+9+2+9 = 27? 
+        seq = "ACGTACGT"          # 8 bases
+        qual = "@+II#!I~"         # adversarial first chars
+        recs.append(f"@r{i:03d}\n{seq}\n+\n{qual}\n")
     text = "".join(recs)
     path = tmp_path / "aligned.fastq"
     path.write_text(text)

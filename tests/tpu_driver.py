@@ -24,7 +24,9 @@ def main():
             [sys.executable, "-c", "import jax; jax.devices()"],
             timeout=120, capture_output=True)
         if probe.returncode != 0:
-            print(f"no devices: {probe.stderr[-300:]}", file=sys.stderr)
+            print("no devices: "
+                  + probe.stderr[-300:].decode(errors="replace"),
+                  file=sys.stderr)
             return 42
     except subprocess.TimeoutExpired:
         print("TPU backend init unresponsive (tunnel down?)",
