@@ -761,6 +761,20 @@ class CountIndex(_IndexBase):
         """Counts per key (multiplicity of a counting map's entries)."""
         return self.count(kmers)
 
+    def histogram(self, max_count: int = 255) -> np.ndarray:
+        """K-mer frequency spectrum: hist[c] = number of distinct k-mers
+        stored with count c, for c in [0, max_count]; counts above
+        max_count accumulate in the last bin.  Device-side (no host
+        gather) analog of the reference's utils/kmer_distribution.R
+        frequency histogram over index dumps."""
+        self._flush()
+        key = ("hist", max_count + 1, self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = dx.make_histogram_step(
+                self.mesh, max_count + 1)
+        return self._fetch(
+            self._step_cache[key](self.store)).astype(np.int64)
+
     def insert_counts(self, kmers, counts) -> "CountIndex":
         """Insert (kmer, count) pairs — the reference counting map's
         second input flavor (counting_densehash_map insert of

@@ -329,6 +329,28 @@ def make_count_scan_step(mesh: Mesh, pred):
     ))
 
 
+def make_histogram_step(mesh: Mesh, nbins: int):
+    """Jitted k-mer frequency spectrum: hist[c] = number of distinct
+    stored keys whose count is c, with counts >= nbins-1 accumulated in
+    the last bin.  Device-side analog of the reference's frequency
+    histogram tooling (utils/kmer_distribution.R over index dumps) — one
+    bincount per shard, psum across the mesh, no host gather of the
+    store.  Works on any store with `counts`/`size` leaves (CountStore,
+    BimolStore).  Returns int32[nbins], replicated."""
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        live = jnp.arange(store.capacity) < store.size
+        bins = jnp.clip(store.counts, 0, nbins - 1)
+        local = jnp.zeros((nbins,), jnp.int32).at[bins].add(
+            live.astype(jnp.int32))
+        return jax.lax.psum(local, axes_of(mesh))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),), out_specs=P(),
+    ))
+
+
 def make_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
                      capacity: int, hash_name: str):
     """Jitted: per-base columns -> (uniq_words[p, m, w], counts[p, m],

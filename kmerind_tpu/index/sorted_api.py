@@ -317,6 +317,17 @@ class SortedCountIndex(_SortedBase):
                     out.append((v, int(counts[p, i])))
         return sorted(out)
 
+    def histogram(self, max_count: int = 255) -> np.ndarray:
+        """K-mer frequency spectrum (see CountIndex.histogram) —
+        distribution-agnostic: the step only scans local stores."""
+        self._flush()
+        key = ("hist", max_count + 1, self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = dx.make_histogram_step(
+                self.mesh, max_count + 1)
+        return self._fetch(
+            self._step_cache[key](self.store)).astype(np.int64)
+
     # -- persistence / export ------------------------------------------
     def to_dict(self) -> dict[int, int]:
         self._flush()
