@@ -55,13 +55,25 @@ class QualityCodec:
         """float64[96]: q -> log2(P(base correct)) (DecodeLUT,
         quality_scores.hpp:113)."""
         lut = np.empty(96, dtype=np.float64)
+        one, ten = np.longdouble(1.0), np.longdouble(10.0)
         for q in range(96):
             if q < max(1, self.min_score) or q == 0:
                 lut[q] = _LOWEST
             elif q >= 94:
                 lut[q] = 0.0
             else:
-                lut[q] = np.log2(1.0 - np.exp2(q * np.log2(10.0) / -10.0))
+                # The reference's table literals were generated from
+                # std::log2(1.0L - std::exp2(qL * std::log2(10.0L) / -10.0L))
+                # printed with 17 fractional decimals and compiled back as
+                # double literals (quality_scores.hpp:110-113).  Replicate
+                # the full pipeline — x86 np.longdouble IS C long double,
+                # and the %.17f round-trip matters: for tiny entries (q=93)
+                # the decimal truncation changes many low bits.  Bit-exact
+                # vs the compiled reference (test_ref_parity).
+                v = np.log2(one - np.exp2(np.longdouble(q)
+                                          * np.log2(ten) / -ten))
+                lut[q] = float(np.format_float_positional(
+                    v, precision=17, unique=False, fractional=True))
         return lut
 
     @functools.cached_property
@@ -69,13 +81,20 @@ class QualityCodec:
         """float64[96]: rounding-boundary values for encode's upper_bound
         search (EncodeLUT, quality_scores.hpp:216)."""
         lut = np.empty(96, dtype=np.float64)
+        one, ten = np.longdouble(1.0), np.longdouble(10.0)
         for q in range(96):
             if q < max(1, self.min_score) or q == 0:
                 lut[q] = _LOWEST
             elif q >= 94:
                 lut[q] = np.finfo(np.float64).max
             else:
-                lut[q] = np.log2(1.0 - np.exp2((q - 0.5) * np.log2(10.0) / -10.0))
+                # (q - round_error=0.5L) in long double + the same %.17f
+                # decimal round-trip (quality_scores.hpp:213-215)
+                v = np.log2(one - np.exp2(
+                    (np.longdouble(q) - np.longdouble(0.5))
+                    * np.log2(ten) / -ten))
+                lut[q] = float(np.format_float_positional(
+                    v, precision=17, unique=False, fractional=True))
         return lut
 
     # -- scalar/batch host-side ------------------------------------------

@@ -1,0 +1,226 @@
+"""Bit-exact parity against the REFERENCE'S OWN COMPILED CODE.
+
+The full kmerind binaries cannot be built in this sandbox (empty
+mxx/sparsehash/gtest submodules, no MPI — see tests/make_golden.py), but
+the serial header-only core needs none of that.  tests/native_parity/
+ref_dump.cpp compiles /root/reference's actual kmer.hpp / alphabets.hpp /
+kmer_transform.hpp / quality_scores.hpp / ext/smhasher/MurmurHash3.cpp and
+dumps, for every window of every input sequence under 16 (alphabet, K,
+word-type) configs:
+
+  packed k-mer value, reverse, reverse_complement, lex_less, lex_greater,
+  xor_rev_comp   (as big-integer hex — layout-independent value compare),
+  MurmurHash3_x86_32 digests, and quality DecodeLUT entries (hexfloat).
+
+This test runs that binary and asserts bit-equality with this framework's
+KmerSpec packing, bitops.reverse/revcomp, packing.lex_less/greater,
+kmer_xor, ops.hashing.murmur3_32, and quality.QualityCodec LUTs.  The
+big-integer *value* is the right comparison object: both layouts define the
+k-mer's value as sum(code[i] << B*(k-1-i)) (kmer.hpp:78-100 vs
+kmer.KmerSpec docstring), so values must agree even though word layouts
+deliberately differ.
+
+Skips (never fails) when /root/reference or a C++ toolchain is absent.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from kmerind_tpu import alphabets as al
+from kmerind_tpu.kmer import KmerSpec
+from kmerind_tpu.ops import bitops, hashing, packing
+from kmerind_tpu import quality
+
+REF = pathlib.Path("/root/reference")
+HERE = pathlib.Path(__file__).resolve().parent
+
+pytestmark = pytest.mark.skipif(
+    not (REF / "src/common/kmer.hpp").exists() or shutil.which("g++") is None,
+    reason="reference sources or g++ unavailable",
+)
+
+# tag -> (k, alphabet).  Word type only affects the reference's internal
+# layout, not the value, so w64/w32/w16 variants all map to the same spec.
+CONFIGS = {
+    "DNA_k21_w64": (21, al.DNA),
+    "DNA_k21_w32": (21, al.DNA),
+    "DNA_k21_w16": (21, al.DNA),
+    "DNA_k31_w64": (31, al.DNA),
+    "DNA_k32_w64": (32, al.DNA),
+    "DNA_k33_w64": (33, al.DNA),
+    "DNA_k63_w64": (63, al.DNA),
+    "DNA_k5_w64": (5, al.DNA),
+    "RNA_k21_w64": (21, al.RNA),
+    "DNA6_k21_w64": (21, al.DNA6),
+    "RNA6_k10_w64": (10, al.RNA6),
+    "DNA16_k8_w64": (8, al.DNA16),
+    "DNA16_k15_w64": (15, al.DNA16),
+    "DNA16_k16_w64": (16, al.DNA16),
+    "IUPAC_k9_w64": (9, al.DNA_IUPAC),
+    "ASCII_k4_w64": (4, al.ASCII),
+}
+
+
+def _sequences() -> list[str]:
+    seqs = [
+        "ACGTACGTTAGCGATCGATCGGCTAAGCTCATGNACGTNNACGTAGGGCCCTTTAAACCGTGA"
+        "CGATCGTAGCTAGCTAGCATCGATCG",
+        "A" * 70,
+        "T" * 70,  # poly-T: the all-ones full-word key (sentinel hazard)
+        "ACACACACACACACACACACACACACACACACACACACACACACACACACACACACACACACACAC",
+        "acgtACGTnN-uU.xyz*acgtacgtacgtacgtacgtacgtacgtacgtacgtacgtacgtacgt",
+        "RYSWKMBDHVNACGTUryswkmbdhvn-ACGTACGTACGTACGTACGTACGTACGTACGTACGT",
+    ]
+    rng = np.random.RandomState(12345)
+    seqs.append("".join(rng.choice(list("ACGTN"), size=200)))
+    seqs.append("".join(rng.choice(list("ACGT"), size=150)))
+    # real reads from the reference's own fixtures
+    fq = REF / "test/data/test.small.fastq"
+    if fq.exists():
+        lines = fq.read_text().splitlines()
+        seqs.extend(lines[1:24:4])  # sequence line of the first 6 records
+    return seqs
+
+
+@pytest.fixture(scope="module")
+def ref_output(tmp_path_factory) -> dict:
+    build = tmp_path_factory.mktemp("refparity")
+    gen = build / "gen"
+    gen.mkdir()
+    # Minimal stand-ins for the CMake-generated config headers (macro names
+    # from src/config/*.hpp.in; values = NO_LOG / benchmarking off).
+    (gen / "bliss-logger_config.hpp").write_text(
+        "#ifndef LOGGER_CONFIG_H\n#define LOGGER_CONFIG_H\n"
+        "#define USE_LOGGER BLISS_LOGGING_NO_LOG\n"
+        "#define LOGGER_VERBOSITY BLISS_LOGGER_VERBOSITY_FATAL\n"
+        "#define BL_BENCHMARK 0\n#define BL_BENCHMARK_MEM 0\n"
+        "#define BL_BENCHMARK_TIME 0\n#endif\n")
+    (gen / "bliss-config.hpp").write_text(
+        "#ifndef CONFIG_H\n#define CONFIG_H\n"
+        '#define PROJ_SRC_DIR "/root/reference"\n'
+        '#define PROJ_BIN_DIR ""\n#define OMP_SHARE_DEFAULT\n'
+        "#define BLISS_UNUSED(x) do { (void)(x); } while(0)\n"
+        "#define BLISS_ALIGNED_ARRAY(name, count, alignsize) "
+        "name alignas(alignsize) [count]\n"
+        "#define BLISS_ALIGNED_VAR(name, alignsize) "
+        "name alignas(alignsize)\n#endif\n")
+    exe = build / "ref_dump"
+    subprocess.run(
+        ["g++", "-std=c++14", "-O1", "-march=native", f"-I{gen}",
+         f"-I{REF}/src", f"-I{REF}/ext", "-o", str(exe),
+         str(HERE / "native_parity/ref_dump.cpp"),
+         str(REF / "ext/smhasher/MurmurHash3.cpp")],
+        check=True, capture_output=True, text=True)
+    seqs = _sequences()
+    out = subprocess.run(
+        [str(exe)], input="\n".join(seqs) + "\n",
+        check=True, capture_output=True, text=True).stdout
+    windows: dict[str, list] = {}
+    murmur, qual = [], []
+    for line in out.splitlines():
+        f = line.split()
+        if f[0] == "K":
+            windows.setdefault(f[1], []).append(
+                (int(f[2]), [int(x, 16) for x in f[3:9]]))
+        elif f[0] == "P":
+            windows.setdefault(f[1], []).append((int(f[2]),
+                                                 [int(f[3], 16)]))
+        elif f[0] == "H":
+            murmur.append((int(f[1]), int(f[2]), int(f[3], 16)))
+        elif f[0] == "Q":
+            qual.append((f[1], f[2], int(f[3]), float.fromhex(f[4])))
+    return {"windows": windows, "murmur": murmur, "qual": qual,
+            "seqs": seqs}
+
+
+def _our_values(tag: str, seqs: list[str]) -> list[tuple[int, list[int]]]:
+    """(pos-within-concatenated-order, [kmer, rev, rc, lexless, lexgreater,
+    xor]) for every window, via THIS framework's ops."""
+    k, alph = CONFIGS[tag]
+    spec = KmerSpec(k, alph)
+    pack_only = tag.startswith(("IUPAC", "ASCII"))
+    out = []
+    for s in seqs:
+        if len(s) < k:
+            continue
+        codes = alph.encode(s)
+        rows = np.stack([np.atleast_1d(spec.pack_codes(codes[i:i + k]))
+                         for i in range(len(s) - k + 1)])
+        rows = rows.reshape(-1, spec.nwords)
+        vals = [spec.to_int(r) for r in rows]
+        if pack_only:
+            for i, v in enumerate(vals):
+                out.append((i, [v]))
+            continue
+        j = jnp.asarray(rows)
+        rev = np.asarray(bitops.reverse(j, spec))
+        rc = np.asarray(bitops.revcomp(j, spec))
+        # packing.lex_less is the row-wise a<b predicate; the reference's
+        # lex_less/lex_greater transforms are (x<y)?x:y and (x>y)?x:y.
+        less = np.asarray(packing.lex_less(j, jnp.asarray(rc)))[:, None]
+        canon = np.where(less, rows, rc)
+        canong = np.where(less, rc, rows)
+        xor = np.asarray(bitops.kmer_xor(j, jnp.asarray(rc)))
+        for i in range(rows.shape[0]):
+            out.append((i, [vals[i], spec.to_int(rev[i]), spec.to_int(rc[i]),
+                            spec.to_int(canon[i]), spec.to_int(canong[i]),
+                            spec.to_int(xor[i])]))
+    return out
+
+
+@pytest.mark.parametrize("tag", sorted(CONFIGS))
+def test_kmer_ops_bit_exact(ref_output, tag):
+    ref = ref_output["windows"].get(tag)
+    assert ref, f"reference produced no windows for {tag}"
+    ours = _our_values(tag, ref_output["seqs"])
+    assert len(ref) == len(ours)
+    names = ["kmer", "reverse", "revcomp", "lex_less", "lex_greater",
+             "xor_rev_comp"]
+    for (rp, rv), (op, ov) in zip(ref, ours):
+        assert rp == op
+        for name, a, b in zip(names, rv, ov):
+            assert a == b, (f"{tag} window {rp} {name}: "
+                            f"ref={a:#x} ours={b:#x}")
+
+
+def test_murmur3_x86_32_bit_exact(ref_output):
+    for nbytes, seed, want in ref_output["murmur"]:
+        buf = bytes((i * 131 + nbytes * 7 + 3) & 0xFF for i in range(nbytes))
+        words = np.frombuffer(buf, dtype="<u4")[None, :]
+        got = int(np.asarray(hashing.murmur3_32(jnp.asarray(words),
+                                                seed=seed))[0])
+        assert got == want, (nbytes, seed, hex(got), hex(want))
+
+
+def test_quality_luts_bit_exact(ref_output):
+    codecs = {"Illumina18": quality.ILLUMINA18,
+              "Illumina13": quality.ILLUMINA13,
+              "Illumina15": quality.ILLUMINA15}
+    n64 = n32 = 0
+    for preset, ctype, ascii_code, val in ref_output["qual"]:
+        codec = codecs[preset]
+        ours = float(codec.decode_lut[ascii_code - codec.min_input])
+        if ctype == "f64":
+            assert ours == val or (np.isinf(ours) and np.isinf(val)), (
+                preset, ascii_code, ours.hex(), val.hex())
+            n64 += 1
+        else:  # reference float LUT vs our float64 LUT narrowed to float32
+            if ours == float(np.finfo(np.float64).min):
+                # numeric_limits<OutT>::lowest() is type-specific
+                assert val == float(np.finfo(np.float32).min), (
+                    preset, ascii_code, val)
+            else:
+                ours32 = float(np.float32(ours))
+                assert ours32 == val or \
+                    abs(ours32 - val) <= abs(np.spacing(np.float32(val))), (
+                    preset, ascii_code, ours, val)
+            n32 += 1
+    assert n64 == 94 + 63 + 63 and n32 == 94
