@@ -90,13 +90,37 @@ def _sequences() -> list[str]:
     return seqs
 
 
-@pytest.fixture(scope="module")
-def ref_output(tmp_path_factory) -> dict:
-    build = tmp_path_factory.mktemp("refparity")
-    gen = build / "gen"
-    gen.mkdir()
-    # Minimal stand-ins for the CMake-generated config headers (macro names
-    # from src/config/*.hpp.in; values = NO_LOG / benchmarking off).
+_MXX_STUB = """\
+// Minimal stub standing in for the (empty-submodule) mxx header of the same
+// name.  Only what the reference's serial, USE_MPI-undefined code paths need
+// to parse; no MPI anywhere.
+#pragma once
+#include <cstddef>
+#ifndef KMERIND_TPU_STUB_MPI_DATATYPE
+#define KMERIND_TPU_STUB_MPI_DATATYPE
+typedef int MPI_Datatype;
+#endif
+namespace mxx {
+struct comm {
+  int rank() const { return 0; }
+  int size() const { return 1; }
+};
+template <typename T> struct datatype_builder {
+  static MPI_Datatype get_type() { return 0; }
+  static std::size_t num_basic_elements() { return 1; }
+};
+template <typename T, std::size_t N> struct datatype_contiguous {
+  static MPI_Datatype get_type() { return 0; }
+  static std::size_t num_basic_elements() { return N; }
+};
+}  // namespace mxx
+"""
+
+
+def _write_gen_headers(gen: pathlib.Path) -> None:
+    """Stand-ins for the CMake-generated config headers (macro names from
+    src/config/*.hpp.in; NO_LOG, benchmarking off, USE_MPI undefined) and
+    stub mxx headers for the unconditional #includes in the io loaders."""
     (gen / "bliss-logger_config.hpp").write_text(
         "#ifndef LOGGER_CONFIG_H\n#define LOGGER_CONFIG_H\n"
         "#define USE_LOGGER BLISS_LOGGING_NO_LOG\n"
@@ -112,13 +136,29 @@ def ref_output(tmp_path_factory) -> dict:
         "name alignas(alignsize) [count]\n"
         "#define BLISS_ALIGNED_VAR(name, alignsize) "
         "name alignas(alignsize)\n#endif\n")
-    exe = build / "ref_dump"
+    mxx = gen / "mxx"
+    mxx.mkdir(exist_ok=True)
+    for h in ("comm.hpp", "shift.hpp", "datatypes.hpp", "sort.hpp"):
+        (mxx / h).write_text(_MXX_STUB)
+
+
+def _compile(build: pathlib.Path, name: str, *extra_srcs: str) -> pathlib.Path:
+    gen = build / "gen"
+    gen.mkdir(exist_ok=True)
+    _write_gen_headers(gen)
+    exe = build / name
     subprocess.run(
         ["g++", "-std=c++14", "-O1", "-march=native", f"-I{gen}",
          f"-I{REF}/src", f"-I{REF}/ext", "-o", str(exe),
-         str(HERE / "native_parity/ref_dump.cpp"),
-         str(REF / "ext/smhasher/MurmurHash3.cpp")],
+         str(HERE / f"native_parity/{name}.cpp"), *extra_srcs],
         check=True, capture_output=True, text=True)
+    return exe
+
+
+@pytest.fixture(scope="module")
+def ref_output(tmp_path_factory) -> dict:
+    build = tmp_path_factory.mktemp("refparity")
+    exe = _compile(build, "ref_dump", str(REF / "ext/smhasher/MurmurHash3.cpp"))
     seqs = _sequences()
     out = subprocess.run(
         [str(exe)], input="\n".join(seqs) + "\n",
@@ -224,3 +264,112 @@ def test_quality_luts_bit_exact(ref_output):
                     preset, ascii_code, ours, val)
             n32 += 1
     assert n64 == 94 + 63 + 63 and n32 == 94
+
+
+# ---------------------------------------------------------------------------
+# Parser + quality-window parity: tests/native_parity/ref_parse.cpp drives
+# the reference's OWN SequentialFASTQParser / FASTAParser (serial paths, via
+# SequencesIterator) and QualityScoreGenerationIterator over real fixtures.
+# ---------------------------------------------------------------------------
+
+FASTQ_FIXTURES = ["test.small.fastq", "natural.fastq", "natural.withN.fastq",
+                  "test.unitiq1.fastq", "test.debruijn.small.fastq"]
+FASTA_FIXTURES = ["test.fasta", "test.medium.fasta", "natural.withN.fasta",
+                  "test.unitiqs.fasta", "test2.fasta"]
+
+
+@pytest.fixture(scope="module")
+def ref_parse_exe(tmp_path_factory) -> pathlib.Path:
+    return _compile(tmp_path_factory.mktemp("refparse"), "ref_parse")
+
+
+def _ref_records(exe, fmt: str, path: pathlib.Path):
+    out = subprocess.run([str(exe), fmt, str(path)], check=True,
+                         capture_output=True, text=True).stdout
+    recs, qwins = [], {}
+    for line in out.splitlines():
+        f = line.split(" ", 5 if line.startswith("R") else 1)
+        if f[0] == "R":
+            seq, qual = f[5].rsplit(" ", 1)
+            recs.append((int(f[2]), int(f[3]), seq, qual))
+        elif f[0] == "Q21":
+            rest = line.split()
+            qwins[int(rest[1])] = [float.fromhex(x) for x in rest[2:]]
+    return recs, qwins
+
+
+def _our_records(fmt: str, path: pathlib.Path, engine: str):
+    """(record_start, seq_global_offset, seq, qual) per record via this
+    framework's parsers, using the identity (ASCII) alphabet so codes are
+    the raw sequence bytes."""
+    from kmerind_tpu.io import files as iofiles
+    batch = iofiles.read_file(str(path), al.ASCII, fmt=fmt, engine=engine)
+    recs = []
+    quals = []
+    starts = np.asarray(batch.record_start, dtype=np.uint64)
+    seg = np.asarray(batch.seg_id)
+    codes = np.asarray(batch.codes, dtype=np.uint8)
+    offs = np.asarray(batch.offset_in_record, dtype=np.uint64)
+    qual = np.asarray(batch.qual, dtype=np.uint8)
+    for r in range(starts.shape[0]):
+        sel = seg == r
+        seq = codes[sel].tobytes().decode("latin1")
+        q = qual[sel].tobytes().decode("latin1") if fmt == "fastq" else "-"
+        first = int(starts[r] + offs[sel][0]) if sel.any() else int(starts[r])
+        recs.append((int(starts[r]), first, seq, q))
+        quals.append(qual[sel])
+    return recs, quals
+
+
+@pytest.mark.parametrize("fixture", FASTQ_FIXTURES)
+@pytest.mark.parametrize("engine", ["native", "numpy"])
+def test_fastq_parser_parity(ref_parse_exe, fixture, engine):
+    path = REF / "test/data" / fixture
+    if engine == "native":
+        from kmerind_tpu.io import native
+        if not native.available():
+            pytest.skip("native scanner not built")
+    ref, _ = _ref_records(ref_parse_exe, "fastq", path)
+    ours, _ = _our_records("fastq", path, engine)
+    assert len(ref) == len(ours)
+    for i, (r, o) in enumerate(zip(ref, ours)):
+        assert r == o, f"record {i}: ref={r[:2]}+... ours={o[:2]}+..."
+
+
+@pytest.mark.parametrize("fixture", FASTA_FIXTURES)
+@pytest.mark.parametrize("engine", ["native", "numpy"])
+def test_fasta_parser_parity(ref_parse_exe, fixture, engine):
+    path = REF / "test/data" / fixture
+    if engine == "native":
+        from kmerind_tpu.io import native
+        if not native.available():
+            pytest.skip("native scanner not built")
+    ref, _ = _ref_records(ref_parse_exe, "fasta", path)
+    ours, _ = _our_records("fasta", path, engine)
+    assert len(ref) == len(ours)
+    for i, (r, o) in enumerate(zip(ref, ours)):
+        assert r == o, f"record {i}: ref={r[:2]} ours={o[:2]}"
+
+
+@pytest.mark.parametrize("fixture", ["test.small.fastq", "natural.fastq"])
+def test_quality_window_parity(ref_parse_exe, fixture):
+    """quality.window_quality (float32, tree-summed) vs the reference's
+    QualityScoreGenerationIterator (double, serial circular sum): same
+    exact zeros (any incorrect base), everything else equal to float32
+    rounding of the same exp2-sum."""
+    path = REF / "test/data" / fixture
+    ref, qwins = _ref_records(ref_parse_exe, "fastq", path)
+    ours, quals = _our_records("fastq", path, "numpy")
+    checked = 0
+    for (start, _o, _s, _q), q in zip(ours, quals):
+        if start not in qwins:
+            continue
+        want = np.array(qwins[start], dtype=np.float64)
+        nw = want.shape[0]
+        got = np.asarray(quality.window_quality(jnp.asarray(q), 21))[:nw]
+        zero = want == 0.0
+        assert np.array_equal(got == 0.0, zero)
+        np.testing.assert_allclose(got[~zero], want[~zero].astype(np.float32),
+                                   rtol=2e-5)
+        checked += nw
+    assert checked > 50
