@@ -88,14 +88,40 @@ static void run_fasta(const std::string &data) {
   }
 }
 
+// Drive the reference's serial `find_first_record` (the `@..+` 4-line
+// boundary heuristic, fastq_loader.hpp:269-358) at arbitrary split offsets
+// read from stdin.  Prints "F <pos> <found>" or "F <pos> THROW" (the
+// reference throws logic_error when no marker pattern fits the block).
+static void run_findfirst(const std::string &data) {
+  const char *d = data.data();
+  RangeT whole(0, data.size());
+  bliss::io::SequentialFASTQParser<const char *> parser;
+  std::string line;
+  while (std::getline(std::cin, line)) {
+    if (line.empty()) continue;
+    size_t pos = std::stoull(line);
+    RangeT search(pos, data.size());
+    try {
+      size_t r = parser.find_first_record(d, whole, whole, search);
+      std::printf("F %zu %zu\n", pos, r);
+    } catch (...) {
+      std::printf("F %zu THROW\n", pos);
+    }
+  }
+}
+
 int main(int argc, char **argv) {
   if (argc < 3) {
-    std::fprintf(stderr, "usage: %s (fastq|fasta) <path>\n", argv[0]);
+    std::fprintf(stderr, "usage: %s (fastq|fasta|findfirst) <path>\n",
+                 argv[0]);
     return 2;
   }
   std::string data = slurp(argv[2]);
-  if (std::string(argv[1]) == "fastq")
+  std::string mode(argv[1]);
+  if (mode == "fastq")
     run_fastq(data);
+  else if (mode == "findfirst")
+    run_findfirst(data);
   else
     run_fasta(data);
   return 0;

@@ -351,6 +351,61 @@ def test_fasta_parser_parity(ref_parse_exe, fixture, engine):
         assert r == o, f"record {i}: ref={r[:2]} ours={o[:2]}"
 
 
+def _adversarial_fastq() -> bytes:
+    """Records whose quality lines start with '@' / '+' — the inputs the
+    4-line `@..+` heuristic exists to disambiguate."""
+    rng = np.random.RandomState(7)
+    out = []
+    for i in range(40):
+        n = int(rng.randint(8, 60))
+        seq = "".join(rng.choice(list("ACGTN"), size=n))
+        lead = "@+I"[i % 3]
+        qual = lead + "".join(chr(int(c)) for c in rng.randint(33, 74,
+                                                               size=n - 1))
+        out.append(f"@read_{i} desc\n{seq}\n+\n{qual}\n")
+    return "".join(out).encode()
+
+
+@pytest.mark.parametrize("source", ["test.small.fastq", "adversarial"])
+def test_find_first_record_parity(ref_parse_exe, tmp_path, source):
+    """Our find_record_start vs the reference's compiled find_first_record
+    at EVERY split offset.  Reference semantics: a record starting exactly
+    at the search start is NOT found unless the search starts at file start
+    (it belongs to the left neighbor via the prefix shift); a block whose
+    lines fit no marker pattern throws — ours returns len(data) there."""
+    from kmerind_tpu.io import fastq as iofastq
+    if source == "adversarial":
+        path = tmp_path / "adv.fastq"
+        path.write_bytes(_adversarial_fastq())
+    else:
+        path = REF / "test/data" / source
+    data = np.frombuffer(path.read_bytes(), dtype=np.uint8)
+    n = data.shape[0]
+    positions = list(range(n + 1))
+    out = subprocess.run(
+        [str(ref_parse_exe), "findfirst", str(path)],
+        input="\n".join(str(p) for p in positions) + "\n",
+        check=True, capture_output=True, text=True).stdout
+    results = {}
+    for line in out.splitlines():
+        _, pos, r = line.split()
+        results[int(pos)] = None if r == "THROW" else int(r)
+    assert len(results) == len(positions)
+    n_throw = 0
+    for pos in positions:
+        rel = iofastq.find_record_start(data[pos:], at_parent_start=(pos == 0))
+        want = results[pos]
+        if want is None:
+            assert rel == n - pos, f"pos {pos}: ref threw, ours {rel}"
+            n_throw += 1
+        else:
+            assert pos + rel == want, (f"pos {pos}: ref {want} "
+                                       f"ours {pos + rel}")
+    # the tail of the file can legitimately fit no pattern; the bulk must
+    # have been real comparisons
+    assert n_throw < n // 4
+
+
 @pytest.mark.parametrize("fixture", ["test.small.fastq", "natural.fastq"])
 def test_quality_window_parity(ref_parse_exe, fixture):
     """quality.window_quality (float32, tree-summed) vs the reference's
