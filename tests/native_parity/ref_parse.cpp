@@ -20,10 +20,15 @@
 #include <string>
 #include <vector>
 
+#include <map>
+
+#include "common/kmer.hpp"
+#include "common/kmer_transform.hpp"
 #include "index/quality_score_iterator.hpp"
 #include "index/quality_scores.hpp"
 #include "io/fasta_loader.hpp"
 #include "io/fastq_loader.hpp"
+#include "io/kmer_parser.hpp"
 #include "io/sequence_iterator.hpp"
 
 using RangeT = bliss::partition::range<size_t>;
@@ -88,6 +93,95 @@ static void run_fasta(const std::string &data) {
   }
 }
 
+template <typename KM>
+static std::string hexval(KM const &km) {
+  auto const *d = km.getData();
+  char buf[2 * sizeof(*d) + 1];
+  std::string out;
+  for (int i = (int)KM::nWords - 1; i >= 0; --i) {
+    std::snprintf(buf, sizeof buf, "%0*llx", (int)(2 * sizeof(*d)),
+                  (unsigned long long)d[i]);
+    out += buf;
+  }
+  return out;
+}
+
+// End-to-end index-content parity: run the reference's OWN k-mer parser
+// pipelines (io/kmer_parser.hpp KmerParser / KmerPositionTupleParser —
+// NonEOL filter -> ASCII2 -> KmerGenerationIterator [-> zip with id]) over
+// every record from its own file parser, and emit
+//   C <tag> <kmer_hex> <count>      count-index contents (std::map is just
+//                                   the counter; all semantics are the
+//                                   reference's)
+//   T <kmer_hex> <id_hex>           (kmer, ShortSequenceKmerId) tuples in
+//                                   parse order (FASTQ, K=21, single strand)
+template <unsigned K, typename SEQITER>
+static void count_records(const char *tag_canon, const char *tag_single,
+                          SEQITER it, SEQITER end, size_t file_size) {
+  using KM = bliss::common::Kmer<K, bliss::common::DNA, uint64_t>;
+  bliss::index::kmer::KmerParser<KM> kparser(
+      bliss::partition::range<size_t>(0, file_size));
+  bliss::kmer::transform::lex_less<KM> lless;
+  std::map<std::string, unsigned long long> canon, single;
+  for (; it != end; ++it) {
+    auto const &s = *it;
+    for (auto kit = kparser.begin(s); kit != kparser.end(s); ++kit) {
+      KM km = *kit;
+      ++single[hexval(km)];
+      ++canon[hexval(lless(km))];
+    }
+  }
+  for (auto const &kv : canon)
+    std::printf("C %s %s %llu\n", tag_canon, kv.first.c_str(), kv.second);
+  for (auto const &kv : single)
+    std::printf("C %s %s %llu\n", tag_single, kv.first.c_str(), kv.second);
+}
+
+static void run_index(const std::string &data, bool fasta) {
+  const char *d = data.data();
+  RangeT r(0, data.size());
+  if (fasta) {
+    bliss::io::FASTAParser<const char *> parser;
+    parser.init_parser(d, r, r, r);
+    using SeqIter =
+        bliss::io::SequencesIterator<const char *, bliss::io::FASTAParser>;
+    count_records<21>("fa_k21_canon", "fa_k21_single",
+                      SeqIter(parser, d, d + data.size(), 0),
+                      SeqIter(d + data.size()), data.size());
+    count_records<31>("fa_k31_canon", "fa_k31_single",
+                      SeqIter(parser, d, d + data.size(), 0),
+                      SeqIter(d + data.size()), data.size());
+    return;
+  }
+  bliss::io::SequentialFASTQParser<const char *> parser;
+  parser.init_parser(d, r, r, r);
+  using SeqIter =
+      bliss::io::SequencesIterator<const char *,
+                                   bliss::io::SequentialFASTQParser>;
+  count_records<21>("fq_k21_canon", "fq_k21_single",
+                    SeqIter(parser, d, d + data.size(), 0),
+                    SeqIter(d + data.size()), data.size());
+  count_records<31>("fq_k31_canon", "fq_k31_single",
+                    SeqIter(parser, d, d + data.size(), 0),
+                    SeqIter(d + data.size()), data.size());
+  count_records<63>("fq_k63_canon", "fq_k63_single",
+                    SeqIter(parser, d, d + data.size(), 0),
+                    SeqIter(d + data.size()), data.size());
+  // (kmer, position id) tuples via the reference's own zip pipeline
+  using KM = bliss::common::Kmer<21, bliss::common::DNA, uint64_t>;
+  using Tuple = std::pair<KM, bliss::common::ShortSequenceKmerId>;
+  bliss::index::kmer::KmerPositionTupleParser<Tuple> pparser(r);
+  for (SeqIter it(parser, d, d + data.size(), 0), end(d + data.size());
+       it != end; ++it) {
+    auto const &s = *it;
+    for (auto pit = pparser.begin(s); pit != pparser.end(s); ++pit) {
+      Tuple t = *pit;
+      std::printf("T %s %016llx\n", hexval(t.first).c_str(),
+                  (unsigned long long)t.second.id);
+    }
+  }
+}
+
 // Drive the reference's serial `find_first_record` (the `@..+` 4-line
 // boundary heuristic, fastq_loader.hpp:269-358) at arbitrary split offsets
 // read from stdin.  Prints "F <pos> <found>" or "F <pos> THROW" (the
@@ -122,6 +216,10 @@ int main(int argc, char **argv) {
     run_fastq(data);
   else if (mode == "findfirst")
     run_findfirst(data);
+  else if (mode == "index_fastq")
+    run_index(data, false);
+  else if (mode == "index_fasta")
+    run_index(data, true);
   else
     run_fasta(data);
   return 0;

@@ -91,19 +91,20 @@ def _sequences() -> list[str]:
 
 
 _MXX_STUB = """\
-// Minimal stub standing in for the (empty-submodule) mxx header of the same
-// name.  Only what the reference's serial, USE_MPI-undefined code paths need
-// to parse; no MPI anywhere.
-#pragma once
+// Minimal stub standing in for the (empty-submodule) mxx headers.  Only what
+// the reference's serial, USE_MPI-undefined code paths need; no MPI.  All
+// collectives are p=1 identities.
+#ifndef KMERIND_TPU_MXX_STUB_HPP
+#define KMERIND_TPU_MXX_STUB_HPP
 #include <cstddef>
-#ifndef KMERIND_TPU_STUB_MPI_DATATYPE
-#define KMERIND_TPU_STUB_MPI_DATATYPE
+#include <utility>
+#include <vector>
 typedef int MPI_Datatype;
-#endif
 namespace mxx {
 struct comm {
   int rank() const { return 0; }
   int size() const { return 1; }
+  void barrier() const {}
 };
 template <typename T> struct datatype_builder {
   static MPI_Datatype get_type() { return 0; }
@@ -113,7 +114,29 @@ template <typename T, std::size_t N> struct datatype_contiguous {
   static MPI_Datatype get_type() { return 0; }
   static std::size_t num_basic_elements() { return N; }
 };
+template <typename T, typename Op>
+inline std::vector<T> reduce(std::vector<T> const &x, int, Op, comm const &) {
+  return x;
+}
+template <typename T, typename Op>
+inline T reduce(T const &x, int, Op, comm const &) { return x; }
+template <typename T>
+inline std::vector<std::pair<T, int>> min_element(std::vector<T> const &x,
+                                                  comm const &) {
+  std::vector<std::pair<T, int>> out;
+  for (auto const &v : x) out.emplace_back(v, 0);
+  return out;
+}
+template <typename T>
+inline std::vector<std::pair<T, int>> max_element(std::vector<T> const &x,
+                                                  comm const &) {
+  return min_element(x, comm());
+}
+template <typename T> inline T allreduce(T const &x, comm const &) { return x; }
+template <typename T, typename Op>
+inline T allreduce(T const &x, Op, comm const &) { return x; }
 }  // namespace mxx
+#endif
 """
 
 
@@ -138,7 +161,8 @@ def _write_gen_headers(gen: pathlib.Path) -> None:
         "name alignas(alignsize)\n#endif\n")
     mxx = gen / "mxx"
     mxx.mkdir(exist_ok=True)
-    for h in ("comm.hpp", "shift.hpp", "datatypes.hpp", "sort.hpp"):
+    for h in ("comm.hpp", "shift.hpp", "datatypes.hpp", "sort.hpp",
+              "reduction.hpp"):
         (mxx / h).write_text(_MXX_STUB)
 
 
@@ -149,7 +173,8 @@ def _compile(build: pathlib.Path, name: str, *extra_srcs: str) -> pathlib.Path:
     exe = build / name
     subprocess.run(
         ["g++", "-std=c++14", "-O1", "-march=native", f"-I{gen}",
-         f"-I{REF}/src", f"-I{REF}/ext", "-o", str(exe),
+         f"-I{REF}/src", f"-I{REF}/ext", f"-I{REF}/ext/Nadeau",
+         "-o", str(exe),
          str(HERE / f"native_parity/{name}.cpp"), *extra_srcs],
         check=True, capture_output=True, text=True)
     return exe
@@ -404,6 +429,86 @@ def test_find_first_record_parity(ref_parse_exe, tmp_path, source):
     # the tail of the file can legitimately fit no pattern; the bulk must
     # have been real comparisons
     assert n_throw < n // 4
+
+
+# ---------------------------------------------------------------------------
+# End-to-end index-content parity: the harness's index_* modes run the
+# reference's OWN KmerParser / KmerPositionTupleParser pipelines (NonEOL ->
+# ASCII2 -> KmerGenerationIterator -> [zip with ShortSequenceKmerId]) over
+# its own file parsers; only the final counter is a std::map.
+# ---------------------------------------------------------------------------
+
+def _ref_index(exe, mode: str, path: pathlib.Path):
+    out = subprocess.run([str(exe), mode, str(path)], check=True,
+                         capture_output=True, text=True).stdout
+    counts: dict[str, dict[int, int]] = {}
+    tuples = []
+    for line in out.splitlines():
+        f = line.split()
+        if f[0] == "C":
+            counts.setdefault(f[1], {})[int(f[2], 16)] = int(f[3])
+        elif f[0] == "T":
+            tuples.append((int(f[1], 16), int(f[2], 16)))
+    return counts, tuples
+
+
+INDEX_CONFIGS = [  # (ref tag, k, canonical)
+    ("k21_canon", 21, True), ("k21_single", 21, False),
+    ("k31_canon", 31, True),
+]
+
+
+@pytest.mark.parametrize("fixture,fmt", [
+    ("test.small.fastq", "fastq"), ("natural.fastq", "fastq"),
+    ("natural.withN.fastq", "fastq"), ("test.fasta", "fasta"),
+    ("natural.withN.fasta", "fasta"),
+])
+def test_count_index_contents_parity(ref_parse_exe, fixture, fmt):
+    """CountIndex contents == counts built from the reference's own parser +
+    Kmer + lex_less code, per (k, strand) config."""
+    from kmerind_tpu.index import CountIndex
+    path = REF / "test/data" / fixture
+    counts, _ = _ref_index(ref_parse_exe, f"index_{fmt}", path)
+    configs = list(INDEX_CONFIGS)
+    if fmt == "fastq":
+        configs += [("k63_canon", 63, True), ("k63_single", 63, False)]
+    prefix = "fq" if fmt == "fastq" else "fa"
+    for tag, k, canonical in configs:
+        want = counts.get(f"{prefix}_{tag}")
+        if want is None:
+            continue
+        spec = KmerSpec(k, al.DNA)
+        idx = CountIndex(spec, canonical=canonical)
+        idx.build(str(path))
+        got = {int(ki): int(c) for ki, c in
+               idx.count_if(lambda kw, c: jnp.ones_like(c, bool))}
+        assert got == want, (
+            f"{fixture} {tag}: {len(got)} vs {len(want)} distinct; "
+            f"sample diff: "
+            f"{list(set(got.items()) ^ set(want.items()))[:3]}")
+
+
+@pytest.mark.parametrize("fixture", ["test.small.fastq", "natural.fastq",
+                                     "test.unitiq1.fastq"])
+def test_position_tuples_parity(ref_parse_exe, fixture):
+    """(kmer, ShortSequenceKmerId) tuples from our fused extraction ==
+    the reference's zip pipeline, as multisets (bit-exact 64-bit ids)."""
+    from collections import Counter
+    from kmerind_tpu.io import files as iofiles
+    from kmerind_tpu.io.kmer_parsers import batch_to_arrays, extract_tuples
+    path = REF / "test/data" / fixture
+    _, ref_tuples = _ref_index(ref_parse_exe, "index_fastq", path)
+    spec = KmerSpec(21, al.DNA)
+    batch = iofiles.read_file(str(path), al.DNA, fmt="fastq")
+    tup = extract_tuples(batch_to_arrays(batch, id_kind="short"), spec,
+                         canonical=False, backend="xla")
+    valid = np.asarray(tup.valid)
+    words = np.asarray(tup.words)[valid]
+    ids = ((np.asarray(tup.id_hi)[valid].astype(np.uint64) << np.uint64(32))
+           | np.asarray(tup.id_lo)[valid].astype(np.uint64))
+    ours = Counter((int(spec.to_ints(words[i:i + 1])[0]), int(ids[i]))
+                   for i in range(words.shape[0]))
+    assert ours == Counter(ref_tuples)
 
 
 @pytest.mark.parametrize("fixture", ["test.small.fastq", "natural.fastq"])
