@@ -46,16 +46,24 @@ def _shift_idx(a, s):
     return jax.lax.pad(a, jnp.zeros((), a.dtype), pad)[:a.shape[0]]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "alphabet"))
+@functools.partial(jax.jit, static_argnames=("k", "alphabet", "raw"))
 def edge_bytes_for_windows(codes: jax.Array, valid: jax.Array,
                            seg_id: jax.Array, k: int,
-                           alphabet: Alphabet) -> jax.Array:
+                           alphabet: Alphabet, raw: bool = False) -> jax.Array:
     """uint8[n]: edge byte for the k-mer window starting at each position.
 
     left base = codes[i-1] if it exists, is valid, and belongs to the same
     record; right base = codes[i+k] likewise; missing sides encode as 0.
+
+    raw=True: `codes` are raw ASCII sequence bytes — the nibble is
+    DNA16::FROM_ASCII[byte] exactly like the reference's edge_iterator over
+    raw chars (edge_iterator.hpp:130-170), so 'N' neighbors encode as 0xF
+    (all four bases possible) instead of collapsing through the k-mer
+    alphabet's LUT ('N'->'A' under DNA).  raw=False keeps the composed
+    alphabet-code path for batches that no longer carry raw bytes (lossy
+    for bases outside the k-mer alphabet).
     """
-    lut = jnp.asarray(dna16_code_lut(alphabet))
+    lut = jnp.asarray(DNA16.from_ascii if raw else dna16_code_lut(alphabet))
     d16 = jnp.take(lut, codes.astype(jnp.int32))
 
     left_code = _shift_idx(d16, -1)

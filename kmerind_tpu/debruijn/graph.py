@@ -114,26 +114,41 @@ class DeBruijnGraph(_IndexBase):
         self._stream_chunks(chunks, self._marshal_chunk, self._insert_cols)
         return self
 
+    @property
+    def parse_alphabet(self):
+        """The graph parses raw bytes (identity alphabet): edge nibbles are
+        DNA16::FROM_ASCII[raw char] like the reference's edge_iterator, so
+        'N' neighbors encode as 0xF (any base) instead of collapsing
+        through the k-mer alphabet's LUT.  K-mer codes are derived on
+        device by the k-mer alphabet's FROM_ASCII LUT."""
+        from ..alphabets import ASCII
+        return ASCII
+
     def _marshal_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
             # edge bytes need 1 base of left context and the k-th base on
             # the right, beyond the k-1 window halo
-            return self._batch_to_stacked(
+            cols = self._batch_to_stacked(
                 batch, id_kind=None, halo=self.spec.k, halo_left=1,
                 need_ids=False, need_qual=False)[0]
+        # externally-supplied batches may be pre-encoded in the k-mer
+        # alphabet (legacy path: edge chars outside it are lossy)
+        cols["raw"] = batch.alphabet.name == "ASCII"
+        return cols
 
     def _insert_one_chunk(self, batch: ReadBatch):
         return self._insert_cols(self._marshal_chunk(batch))
 
     def _insert_cols(self, cols):
+        raw = cols.pop("raw", False)
         n_local = cols["codes"].shape[1]
         bucket_cap = self._bucket_capacity(n_local)
         while True:
-            key = ("ingest", n_local, bucket_cap)
+            key = ("ingest", n_local, bucket_cap, raw)
             if key not in self._step_cache:
                 self._step_cache[key] = dx.make_debruijn_ingest_step(
                     self.mesh, self.nparts, self.spec, self.canonical,
-                    bucket_cap, self.hash_name)
+                    bucket_cap, self.hash_name, raw=raw)
             with self.timer.phase("insert"):
                 rw, rv, rlive, route_ovf = self._step_cache[key](
                     cols["codes"], cols["valid"], cols["owned"],

@@ -383,10 +383,17 @@ class _IndexBase:
                 and self._stream_supported(fmt)):
             return self.build_stream(path, fmt, file_id)
         with self.timer.phase("read"):
-            batch = read_file(path, self.spec.alphabet, fmt, file_id,
+            batch = read_file(path, self.parse_alphabet, fmt, file_id,
                               reuse=True)
         self.insert_batch(batch)
         return self
+
+    @property
+    def parse_alphabet(self):
+        """Alphabet the build paths parse files with.  Normally the k-mer
+        alphabet; DeBruijnGraph overrides with the identity (ASCII)
+        alphabet so edge bytes can see the raw characters."""
+        return self.spec.alphabet
 
     def exists(self, kmers) -> np.ndarray:
         """bool[m] membership per query (the plain KmerIndex/exists view,
@@ -445,11 +452,11 @@ class _IndexBase:
             for p in range(nblocks):
                 with self.timer.phase("read"):
                     if fmt == "fastq":
-                        b = read_fastq_block(path, self.spec.alphabet, p,
+                        b = read_fastq_block(path, self.parse_alphabet, p,
                                              nblocks, file_id=file_id,
                                              reuse=True)
                     else:
-                        b = read_fasta_block(path, self.spec.alphabet, p,
+                        b = read_fasta_block(path, self.parse_alphabet, p,
                                              nblocks, file_id=file_id,
                                              halo=halo, reuse=True)
                 if b.num_bases == 0:

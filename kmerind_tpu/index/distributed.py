@@ -595,9 +595,17 @@ def make_bimol_filter_step(mesh: Mesh, pred):
 
 
 def make_debruijn_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
-                              capacity: int, hash_name: str):
+                              capacity: int, hash_name: str,
+                              raw: bool = False):
     """Jitted de Bruijn ingest: (node kmer, strand-corrected edge vector)
-    exchange + chunk-local vector pre-reduction, no store merge."""
+    exchange + chunk-local vector pre-reduction, no store merge.
+
+    raw=True: incoming codes are raw ASCII bytes (the graph's own build
+    path parses with the identity alphabet) — k-mer codes are derived by
+    the k-mer alphabet's FROM_ASCII LUT on device and edge nibbles by
+    DNA16::FROM_ASCII, reproducing the reference's dual-LUT semantics
+    exactly (kmer sees 'N'->0 under DNA, edge sees 'N'->0xF;
+    de_bruijn_construct_engine.hpp:109-158)."""
     from ..debruijn.edges import (edge_byte_to_vec, edge_bytes_for_windows,
                                   revcomp_edge_byte)
     from ..ops import packing, sortops
@@ -605,14 +613,19 @@ def make_debruijn_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
     def body(codes_blk, valid_blk, owned_blk, seg_blk):
         codes, valid, owned, seg = (
             codes_blk[0], valid_blk[0], owned_blk[0], seg_blk[0])
-        if canonical:
-            words, was_rc = packing.extract_canonical(codes, spec)
+        if raw:
+            kcodes = jnp.take(jnp.asarray(spec.alphabet.from_ascii),
+                              codes.astype(jnp.int32))
         else:
-            words = packing.extract_kmers(codes, spec)
+            kcodes = codes
+        if canonical:
+            words, was_rc = packing.extract_canonical(kcodes, spec)
+        else:
+            words = packing.extract_kmers(kcodes, spec)
             was_rc = jnp.zeros(codes.shape[0], bool)
         wvalid = packing.window_valid(valid, seg, spec.k) & owned
         edges = edge_bytes_for_windows(codes, valid, seg, spec.k,
-                                       spec.alphabet)
+                                       spec.alphabet, raw=raw)
         edges = jnp.where(was_rc, revcomp_edge_byte(edges), edges)
         vecs = edge_byte_to_vec(edges)
         owner = owners_for(words, nparts, hash_name)

@@ -30,6 +30,7 @@
 #include "io/fastq_loader.hpp"
 #include "io/kmer_parser.hpp"
 #include "io/sequence_iterator.hpp"
+#include "debruijn/edge_iterator.hpp"  // -I<ref>/test/test
 
 using RangeT = bliss::partition::range<size_t>;
 
@@ -182,6 +183,45 @@ static void run_index(const std::string &data, bool fasta) {
   }
 }
 
+// De Bruijn (kmer, edge-byte) tuples via the reference's own iterator
+// pipeline — exactly the chain de_bruijn_parser::operator() builds
+// (de_bruijn_construct_engine.hpp:109-158: NonEOL -> ASCII2 ->
+// KmerGenerationIterator zipped with edge_iterator<_, DNA16>); the engine
+// header itself unconditionally includes mpi.h so the chain is assembled
+// here instead.  Emits "D <kmer_hex> <edge_byte_hex>" in parse order.
+static void run_debruijn(const std::string &data) {
+  using namespace bliss;
+  using KM = common::Kmer<21, common::DNA, uint64_t>;
+  const char *d = data.data();
+  RangeT r(0, data.size());
+  io::SequentialFASTQParser<const char *> parser;
+  parser.init_parser(d, r, r, r);
+  using SeqIter =
+      io::SequencesIterator<const char *, io::SequentialFASTQParser>;
+  using CharIter = index::kmer::NonEOLIter<const char *>;
+  using BaseCharIterator = bliss::iterator::transform_iterator<
+      CharIter, common::ASCII2<common::DNA>>;
+  using KmerIter = common::KmerGenerationIterator<BaseCharIterator, KM>;
+  using EdgeIterType =
+      de_bruijn::iterator::edge_iterator<CharIter, common::DNA16>;
+  utils::file::NotEOL neol;
+  for (SeqIter it(parser, d, d + data.size(), 0), end(d + data.size());
+       it != end; ++it) {
+    auto const &s = *it;
+    if (s.seq_begin == s.seq_end) continue;
+    KmerIter kit(BaseCharIterator(CharIter(neol, s.seq_begin, s.seq_end),
+                                  common::ASCII2<common::DNA>()),
+                 true);
+    KmerIter kend(BaseCharIterator(CharIter(neol, s.seq_end),
+                                   common::ASCII2<common::DNA>()),
+                  false);
+    EdgeIterType eit(CharIter(neol, s.seq_begin, s.seq_end),
+                     CharIter(neol, s.seq_end), KM::size);
+    for (; kit != kend; ++kit, ++eit)
+      std::printf("D %s %02x\n", hexval(*kit).c_str(), (unsigned)*eit);
+  }
+}
+
 // Drive the reference's serial `find_first_record` (the `@..+` 4-line
 // boundary heuristic, fastq_loader.hpp:269-358) at arbitrary split offsets
 // read from stdin.  Prints "F <pos> <found>" or "F <pos> THROW" (the
@@ -220,6 +260,8 @@ int main(int argc, char **argv) {
     run_index(data, false);
   else if (mode == "index_fasta")
     run_index(data, true);
+  else if (mode == "debruijn")
+    run_debruijn(data);
   else
     run_fasta(data);
   return 0;

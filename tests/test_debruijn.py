@@ -15,29 +15,37 @@ from test_io import py_parse_fastq
 K = 21  # the reference driver's k (test_de_bruijn_graph_construction.cpp:118)
 
 
+def _rev4(x):
+    """DNA16 complement == 4-bit reversal."""
+    return ((x & 1) << 3) | ((x & 2) << 1) | ((x & 4) >> 1) | ((x & 8) >> 3)
+
+
 def oracle_debruijn(seqs, k, canonical=True):
-    """kmer_int -> [outA,C,G,T, inA,C,G,T, self] — edge_counts semantics."""
+    """kmer_int -> [outA,C,G,T, inA,C,G,T, self] — edge_counts semantics
+    (de_bruijn_node_trait.hpp:195-245): neighbor chars encode as DNA16
+    nibbles from the RAW character ('N' -> 0xF = all four), one increment
+    per set bit; canonical flip swaps sides and 4-bit-reverses each."""
+    from kmerind_tpu.alphabets import DNA16
     nodes = {}
     for seq in seqs:
         codes = [int(c) for c in DNA.encode(seq)]
+        nibs = [int(DNA16.from_ascii[ord(c)]) for c in seq]
         for i in range(len(codes) - k + 1):
             v = oracle.kmer_int(codes[i:i + k], 2)
-            left = codes[i - 1] if i > 0 else None
-            right = codes[i + k] if i + k < len(codes) else None
+            left = nibs[i - 1] if i > 0 else 0
+            right = nibs[i + k] if i + k < len(codes) else 0
             if canonical:
                 rc = oracle.revcomp_int(v, k, DNA)
                 if rc < v:
                     v = rc
-                    left, right = (
-                        3 - right if right is not None else None,
-                        3 - left if left is not None else None,
-                    )
+                    left, right = _rev4(right), _rev4(left)
             cnt = nodes.setdefault(v, [0] * 9)
             cnt[8] += 1
-            if right is not None:
-                cnt[right] += 1        # out edge
-            if left is not None:
-                cnt[4 + left] += 1     # in edge
+            for b in range(4):
+                if (right >> b) & 1:
+                    cnt[b] += 1        # out edge
+                if (left >> b) & 1:
+                    cnt[4 + b] += 1    # in edge
     return {v: tuple(c) for v, c in nodes.items()}
 
 

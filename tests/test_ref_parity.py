@@ -174,6 +174,7 @@ def _compile(build: pathlib.Path, name: str, *extra_srcs: str) -> pathlib.Path:
     subprocess.run(
         ["g++", "-std=c++14", "-O1", "-march=native", f"-I{gen}",
          f"-I{REF}/src", f"-I{REF}/ext", f"-I{REF}/ext/Nadeau",
+         f"-I{REF}/test/test",  # debruijn/edge_iterator.hpp
          "-o", str(exe),
          str(HERE / f"native_parity/{name}.cpp"), *extra_srcs],
         check=True, capture_output=True, text=True)
@@ -509,6 +510,63 @@ def test_position_tuples_parity(ref_parse_exe, fixture):
     ours = Counter((int(spec.to_ints(words[i:i + 1])[0]), int(ids[i]))
                    for i in range(words.shape[0]))
     assert ours == Counter(ref_tuples)
+
+
+@pytest.mark.parametrize("fixture", ["test.debruijn.small.fastq",
+                                     "test.debruijn.tiny.fastq",
+                                     "natural.withN.fastq"])
+def test_debruijn_edge_parity(ref_parse_exe, fixture):
+    """(kmer, edge byte) tuples from our vectorized edge extraction == the
+    reference's own KmerGenerationIterator x edge_iterator<_, DNA16> zip
+    (the exact chain de_bruijn_parser::operator() assembles)."""
+    from collections import Counter
+    from kmerind_tpu.io import files as iofiles
+    from kmerind_tpu.io.kmer_parsers import batch_to_arrays
+    from kmerind_tpu.ops import packing
+    from kmerind_tpu.debruijn import edges as dedges
+    path = REF / "test/data" / fixture
+    out = subprocess.run([str(ref_parse_exe), "debruijn", str(path)],
+                         check=True, capture_output=True, text=True).stdout
+    ref = Counter()
+    for line in out.splitlines():
+        _, kh, eh = line.split()
+        ref[(int(kh, 16), int(eh, 16))] += 1
+    spec = KmerSpec(21, al.DNA)
+    # raw-byte parse + dual LUTs — exactly what DeBruijnGraph's build does
+    batch = iofiles.read_file(str(path), al.ASCII, fmt="fastq")
+    bases = batch_to_arrays(batch)
+    kcodes = jnp.take(jnp.asarray(al.DNA.from_ascii),
+                      bases.codes.astype(jnp.int32))
+    words = np.asarray(packing.extract_kmers(kcodes, spec))
+    valid = np.asarray(packing.window_valid(bases.valid, bases.seg_id,
+                                            spec.k))
+    ebytes = np.asarray(dedges.edge_bytes_for_windows(
+        bases.codes, bases.valid, bases.seg_id, spec.k, al.DNA, raw=True))
+    kints = spec.to_ints(words[valid])
+    ours = Counter(zip((int(x) for x in kints),
+                       (int(e) for e in ebytes[valid])))
+    assert ours == ref, (
+        f"{len(ours)} vs {len(ref)}; "
+        f"sample diff {list((ours - ref).items())[:3]} / "
+        f"{list((ref - ours).items())[:3]}")
+
+    # and through the full DeBruijnGraph (single-strand): node counters ==
+    # per-bit accumulation of the reference's tuples
+    from kmerind_tpu.debruijn import DeBruijnGraph
+    g = DeBruijnGraph(spec, canonical=False)
+    g.build(str(path))
+    want: dict[int, list[int]] = {}
+    for (ki, eb), mult in ref.items():
+        cnt = want.setdefault(ki, [0] * 9)
+        for _ in range(mult):
+            cnt[8] += 1
+            for b in range(4):
+                if (eb >> b) & 1:
+                    cnt[b] += 1
+                if (eb >> (4 + b)) & 1:
+                    cnt[4 + b] += 1
+    got = g.to_dict()
+    assert got == {k: tuple(v) for k, v in want.items()}
 
 
 @pytest.mark.parametrize("fixture", ["test.small.fastq", "natural.fastq"])
