@@ -665,3 +665,358 @@ def make_vec_merge_step(mesh: Mesh, saturate: int | None = None):
         in_specs=(P(axes_of(mesh)),) * 4,
         out_specs=(P(axes_of(mesh)),) * 2,
     ))
+
+
+# ------------------------------------------------------- run-layout count map
+# The hash-partitioned count family runs on the RUN store layout
+# (store.RunCountStore): the flush merges already-sorted runs with a
+# bitonic merge network (log2 n elementwise stages) instead of re-sorting
+# store+batch (log^2 n sorting-network passes + a stable compaction sort —
+# measured 413 ms vs ~35 ms at 16.7M+16.7M rows on v5e; DESIGN.md roofline).
+
+def make_run_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
+                         capacity: int, hash_name: str):
+    """Jitted: per-base columns -> (sorted_words[p, m, w], weights[p, m],
+    route_overflow[p]) — extraction + owner exchange + local sort.  The
+    output is a sorted weighted RUN (weight 1 per live row, sentinel keys
+    with weight 0 elsewhere), the unit the deferred bitonic-merge flush
+    consumes."""
+    from ..io.kmer_parsers import DeviceBases, extract_tuples
+    from ..ops import sortops
+
+    def body(codes_blk, valid_blk, owned_blk, seg_blk):
+        codes, valid, owned, seg = (
+            codes_blk[0], valid_blk[0], owned_blk[0], seg_blk[0])
+        bases = DeviceBases(
+            codes=codes, valid=valid, owned=owned, seg_id=seg,
+            id_hi=jnp.zeros_like(codes, jnp.uint32),
+            id_lo=jnp.zeros_like(codes, jnp.uint32),
+            qual=jnp.zeros_like(codes),
+        )
+        tup = extract_tuples(bases, spec, canonical=canonical)
+        owner = owners_for(tup.words, nparts, hash_name)
+        (rw,), rvalid, route = dist.distribute(
+            (tup.words,), owner, tup.valid, nparts, capacity, axes_of(mesh))
+        s_words, _, s_valid = sortops.sort_rows(
+            rw, (), rvalid, is_stable=False, sentinel_ok=spec.sentinel_safe,
+            word_bits=spec.word_bits())
+        # weights are positional (valid rows sort to the front in both
+        # sort modes); flag-mode tails keep their key bits — force the
+        # sentinel so the run invariant (sorted incl. padding) holds
+        s_words = jnp.where(s_valid[:, None], s_words,
+                            jnp.uint32(0xFFFFFFFF))
+        weights = s_valid.astype(jnp.int32)
+        return s_words[None], weights[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_run_pair_merge_step(mesh: Mesh):
+    """Jitted: merge two sorted weighted runs (the tree-merge of pending
+    chunks before the store merge)."""
+    from ..ops import sortops
+
+    def body(w1_blk, t1_blk, w2_blk, t2_blk):
+        keys, (wts,) = sortops.merge_sorted_runs(
+            w1_blk[0], (t1_blk[0],), w2_blk[0], (t2_blk[0],))
+        return keys[None], wts[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 2,
+    ))
+
+
+def make_run_store_merge_step(mesh: Mesh):
+    """Jitted: merge a sorted weighted run into the store (bitonic merge +
+    prefix-sum rebuild).  Never overflows — capacity grows by
+    construction."""
+
+    def body(stores_blk, words_blk, weights_blk):
+        new = st.run_merge(_unstack(stores_blk), words_blk[0],
+                           weights_blk[0])
+        return _stack(new)
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=P(axes_of(mesh)),
+    ))
+
+
+def make_run_adopt_step(mesh: Mesh):
+    """Jitted: adopt a sorted weighted run as the whole store (first
+    flush into an empty index — skips the merge)."""
+
+    def body(words_blk, weights_blk):
+        return _stack(st.run_from_sorted(words_blk[0], weights_blk[0]))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 2,
+        out_specs=P(axes_of(mesh)),
+    ))
+
+
+def make_run_stats_step(mesh: Mesh):
+    """Jitted: distinct live keys per shard (int32[p]) — the collective
+    size/unique_size surface (dsc::map_base::size allreduce)."""
+
+    def body(stores_blk):
+        return st.run_distinct(_unstack(stores_blk))[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=P(axes_of(mesh)),
+    ))
+
+
+def make_run_count_query_step(mesh: Mesh, nparts: int, capacity: int,
+                              hash_name: str, saturate: int | None = None):
+    """Jitted count query over the run store: route -> csum-difference
+    lookup -> reply routing (distributed_densehash_map.hpp:1123-1199)."""
+
+    def body(stores_blk, queries_blk, qvalid_blk):
+        store = _unstack(stores_blk)
+        queries, qvalid = queries_blk[0], qvalid_blk[0]
+        owner = owners_for(queries, nparts, hash_name)
+        (rq,), rvalid, route = dist.distribute(
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
+        local = jnp.where(rvalid, st.run_lookup(store, rq, saturate), 0)
+        (back,) = dist.undistribute(
+            (local,), route, nparts, capacity, axes_of(mesh))
+        return back[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 2,
+    ))
+
+
+def make_run_erase_step(mesh: Mesh, nparts: int, capacity: int,
+                        hash_name: str):
+    """Jitted erase over the run store: weights zeroed in place."""
+
+    def body(stores_blk, keys_blk, valid_blk):
+        store = _unstack(stores_blk)
+        keys, valid = keys_blk[0], valid_blk[0]
+        owner = owners_for(keys, nparts, hash_name)
+        (rk,), rvalid, route = dist.distribute(
+            (keys,), owner, valid, nparts, capacity, axes_of(mesh))
+        new_store, nerased = st.run_erase(store, rk, rvalid)
+        return _stack(new_store), nerased[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_run_insert_step(mesh: Mesh, nparts: int, capacity: int,
+                         hash_name: str):
+    """Jitted explicit insert: route (key, weight) tuples to owners and
+    sort them into a pending run (weights carried as a sort payload —
+    explicit counts vary per row)."""
+    from ..ops import sortops
+
+    def body(words_blk, weights_blk, valid_blk):
+        words, weights, valid = words_blk[0], weights_blk[0], valid_blk[0]
+        owner = owners_for(words, nparts, hash_name)
+        (rw, rwt), rvalid, route = dist.distribute(
+            (words, weights), owner, valid, nparts, capacity, axes_of(mesh))
+        rwt = jnp.where(rvalid, rwt, 0)
+        s_words, (s_wt,), s_valid = sortops.sort_rows(
+            rw, (rwt,), rvalid, is_stable=False)
+        s_words = jnp.where(s_valid[:, None], s_words,
+                            jnp.uint32(0xFFFFFFFF))
+        s_wt = jnp.where(s_valid, s_wt, 0)
+        return s_words[None], s_wt[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_run_filter_step(mesh: Mesh, pred, saturate: int | None = None):
+    """Jitted predicate filter over the run store: rows whose run fails
+    pred(keys, counts) get weight 0 (erase_if/filter,
+    kmer_index.hpp:192).  pred = KEEP predicate, evaluated per row with
+    the run's total as the count.  Returns (new_stores, n_erased[p])."""
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        _, is_last, total = st.run_totals(store)
+        counts = total if saturate is None else jnp.minimum(total, saturate)
+        keep = pred(store.keys, counts)
+        live = total > 0
+        kill = live & ~keep
+        new_w = jnp.where(kill, 0, store.weights)
+        new = st.RunCountStore(
+            keys=store.keys,
+            weights=new_w,
+            csum=jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  st._cumsum_i32(new_w)]),
+        )
+        nerased = jnp.sum((is_last & kill).astype(jnp.int32))
+        return _stack(new), nerased[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
+    ))
+
+
+def make_run_scan_step(mesh: Mesh, pred, saturate: int | None = None):
+    """Jitted predicate scan (count_if/find_if without mutation): returns
+    (mask[p, cap] marking ONE row per matching distinct key,
+    totals[p, cap] with that key's count on the marked row)."""
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        _, is_last, total = st.run_totals(store)
+        counts = total if saturate is None else jnp.minimum(total, saturate)
+        mask = is_last & (total > 0) & pred(store.keys, counts)
+        return mask[None], counts[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
+    ))
+
+
+def make_run_histogram_step(mesh: Mesh, nbins: int,
+                            saturate: int | None = None):
+    """Jitted frequency spectrum over the run store (one bincount per
+    shard + psum; counts >= nbins-1 accumulate in the last bin)."""
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        _, is_last, total = st.run_totals(store)
+        counts = total if saturate is None else jnp.minimum(total, saturate)
+        live = is_last & (total > 0)
+        bins = jnp.clip(counts, 0, nbins - 1)
+        local = jnp.zeros((nbins,), jnp.int32).at[bins].add(
+            live.astype(jnp.int32))
+        return jax.lax.psum(local, axes_of(mesh))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),), out_specs=P(),
+    ))
+
+
+def make_run_compact_step(mesh: Mesh, new_cap: int):
+    """Jitted store compaction: collapse runs to (key, total) rows at a
+    new capacity (memory reclamation for the merge-only flush).  Returns
+    (new_stores, overflow[p])."""
+
+    def body(stores_blk):
+        new, ovf = st.run_compact(_unstack(stores_blk), new_cap)
+        return _stack(new), ovf[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
+    ))
+
+
+# ------------------------------------------------- multi-run (LSM) count map
+# The count index keeps its shard-local data as a SMALL LIST of sorted
+# runs (log-structured merge discipline): each ingest chunk lands as one
+# run; runs merge pairwise only when the list exceeds max_runs, so the
+# amortized per-row merge work is O(log(total/chunk)) and a build is
+# queryable the moment its last chunk lands — the reference's own lazy
+# sorted map defers its sort to first query the same way
+# (distributed_sorted_map.hpp:341,940).  Queries visit every run and sum.
+
+def make_runs_count_query_step(mesh: Mesh, nparts: int, capacity: int,
+                               hash_name: str, saturate: int | None,
+                               nruns: int):
+    """Jitted count query over a list of runs: route once, csum-difference
+    lookup in each run, sum, reply."""
+
+    def body(stores_blk, queries_blk, qvalid_blk):
+        stores = [_unstack(s) for s in stores_blk]
+        queries, qvalid = queries_blk[0], qvalid_blk[0]
+        owner = owners_for(queries, nparts, hash_name)
+        (rq,), rvalid, route = dist.distribute(
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
+        total = st.run_lookup(stores[0], rq, None)
+        for s in stores[1:]:
+            total = total + st.run_lookup(s, rq, None)
+        if saturate is not None:
+            total = jnp.minimum(total, saturate)
+        local = jnp.where(rvalid, total, 0)
+        (back,) = dist.undistribute(
+            (local,), route, nparts, capacity, axes_of(mesh))
+        return back[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh))),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
+    ))
+
+
+def make_runs_erase_step(mesh: Mesh, nparts: int, capacity: int,
+                         hash_name: str, nruns: int):
+    """Jitted erase over a list of runs.  Returns (new_stores, n_erased[p],
+    overflow[p]) — n_erased counts DISTINCT erased keys across runs
+    (each key owned by one shard, so per-shard counts sum globally)."""
+
+    def body(stores_blk, keys_blk, valid_blk):
+        stores = [_unstack(s) for s in stores_blk]
+        keys, valid = keys_blk[0], valid_blk[0]
+        owner = owners_for(keys, nparts, hash_name)
+        (rk,), rvalid, route = dist.distribute(
+            (keys,), owner, valid, nparts, capacity, axes_of(mesh))
+        total = st.run_lookup(stores[0], rk, None)
+        for s in stores[1:]:
+            total = total + st.run_lookup(s, rk, None)
+        had = rvalid & (total > 0)
+        new_stores = tuple(st.run_erase_cover(s, rk, rvalid)
+                           for s in stores)
+        # distinct erased keys: sort the marked query rows, count run heads
+        w = rk.shape[1]
+        qk = jnp.where(had[:, None], rk, jnp.uint32(0xFFFFFFFF))
+        ops = jax.lax.sort(
+            tuple(qk[:, j] for j in range(w))
+            + (jnp.uint32(1) - had.astype(jnp.uint32),),
+            num_keys=w + 1, is_stable=False)
+        s_had = ops[w] == 0
+        n = rk.shape[0]
+        neq_prev = jnp.zeros(n, bool).at[0].set(True)
+        for j in range(w):
+            neq_prev = neq_prev | (ops[j] != jnp.roll(ops[j], 1))
+        nerased = jnp.sum((neq_prev & s_had).astype(jnp.int32))
+        return (tuple(_stack(s) for s in new_stores), nerased[None],
+                route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh))),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh))),
+    ))
+
+
+def make_run_merge_pair_step(mesh: Mesh):
+    """Jitted: merge two run stores into one (bitonic merge + prefix-sum
+    rebuild) — the LSM level-merge."""
+
+    def body(a_blk, b_blk):
+        a, b = _unstack(a_blk), _unstack(b_blk)
+        return _stack(st.run_merge(a, b.keys, b.weights))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
+        out_specs=P(axes_of(mesh)),
+    ))

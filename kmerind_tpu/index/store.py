@@ -32,9 +32,11 @@ __all__ = [
     "CountStore",
     "MultiStore",
     "BimolStore",
+    "RunCountStore",
     "empty_count_store",
     "empty_multi_store",
     "empty_bimol_store",
+    "empty_run_count_store",
     "count_insert",
     "count_lookup",
     "count_erase",
@@ -43,6 +45,13 @@ __all__ = [
     "multi_count",
     "multi_erase",
     "bimol_insert",
+    "run_from_sorted",
+    "run_merge",
+    "run_lookup",
+    "run_erase",
+    "run_totals",
+    "run_distinct",
+    "run_compact",
 ]
 
 _SENTINEL = 0xFFFFFFFF
@@ -462,3 +471,252 @@ def bimol_insert(store: BimolStore, words, weights, rep_hi, rep_lo,
         size=jnp.minimum(n_unique, cap),
     )
     return new, jnp.maximum(n_unique - cap, 0)
+
+
+# ------------------------------------------------------ run-layout count map
+@dataclasses.dataclass
+class RunCountStore:
+    """Counting store in RUN layout: keys sorted over ALL rows with
+    duplicates allowed, per-row weights, and an exclusive prefix sum.
+
+    The count of key q is the total weight of its key run — answered as
+    ``csum[upper_bound(q)] - csum[lower_bound(q)]``.  This layout makes the
+    deferred-merge flush a bitonic MERGE of already-sorted runs
+    (log2(n) elementwise stages) instead of the compacted layout's full
+    re-sort + stable compaction sort (measured 12x slower at 16.7M rows on
+    v5e; see DESIGN.md roofline).  It is the TPU-shaped analog of the
+    reference's lazy sorted map (insert appends, first query sorts,
+    distributed_sorted_map.hpp:341,940) with the counting-map reduction
+    (distributed_densehash_map.hpp:2669+) virtualized into the prefix sum.
+
+    Invariants:
+      * ``keys`` is lexicographically nondecreasing over ALL cap rows;
+        padding rows hold the all-ones sentinel (a real k-mer colliding
+        with the sentinel pattern is harmless: padding carries weight 0, so
+        it never changes any count).
+      * ``weights[i] >= 0``; erased keys keep their rows with weight 0.
+      * ``csum[i] == sum(weights[:i])`` (int32[cap + 1]).
+
+    Dead rows (weight 0 / duplicates) are reclaimed by `run_compact`,
+    invoked opportunistically by the host wrapper when the distinct-key
+    count falls well below capacity.
+    """
+
+    keys: jax.Array     # uint32[cap, w]
+    weights: jax.Array  # int32[cap]
+    csum: jax.Array     # int32[cap + 1]
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    RunCountStore, data_fields=["keys", "weights", "csum"], meta_fields=[])
+
+
+def empty_run_count_store(capacity: int, nwords: int) -> RunCountStore:
+    return RunCountStore(
+        keys=jnp.full((capacity, nwords), _SENTINEL, dtype=jnp.uint32),
+        weights=jnp.zeros((capacity,), jnp.int32),
+        csum=jnp.zeros((capacity + 1,), jnp.int32),
+    )
+
+
+def _cumsum_i32(x: jax.Array) -> jax.Array:
+    """Inclusive int32 prefix sum — single-pass Pallas scan on TPU
+    (XLA's cumsum costs ~11 ms at 33M rows, the kernel ~1)."""
+    if jax.default_backend() == "tpu" and x.shape[0] >= (1 << 18):
+        from ..ops.pallas_kernels import prefix_sum_pallas
+        return prefix_sum_pallas(x.astype(jnp.int32))
+    return jnp.cumsum(x.astype(jnp.int32))
+
+
+def run_from_sorted(words: jax.Array, weights: jax.Array) -> RunCountStore:
+    """Adopt an already-sorted (sentinel-padded) run as a store."""
+    return RunCountStore(
+        keys=words,
+        weights=weights,
+        csum=jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              _cumsum_i32(weights)]),
+    )
+
+
+@jax.jit
+def run_merge(store: RunCountStore, words: jax.Array,
+              weights: jax.Array) -> RunCountStore:
+    """Merge a sorted weighted run into the store (bitonic merge +
+    prefix-sum rebuild).  The output capacity is
+    next_pow2(cap + len(words)) — run stores grow by construction and
+    never overflow; `run_compact` reclaims dead rows."""
+    keys, (w,) = sortops.merge_sorted_runs(
+        store.keys, (store.weights,), words, (weights.astype(jnp.int32),))
+    return run_from_sorted(keys, w)
+
+
+def _adjacent_neq(keys: jax.Array):
+    """(neq_prev bool[cap], neq_next bool[cap]) between adjacent rows."""
+    cap = keys.shape[0]
+    prev = jnp.roll(keys, 1, axis=0)
+    neq_prev = jnp.any(keys != prev, axis=1).at[0].set(True)
+    nxt = jnp.roll(keys, -1, axis=0)
+    neq_next = jnp.any(keys != nxt, axis=1).at[cap - 1].set(True)
+    return neq_prev, neq_next
+
+
+@jax.jit
+def run_totals(store: RunCountStore):
+    """Per-row run metadata, gather-free (two scans):
+
+    Returns (is_head bool[cap], is_last bool[cap], total int32[cap]) where
+    `total` is the run's weight sum broadcast to every row of the run.
+    """
+    cap = store.capacity
+    neq_prev, neq_next = _adjacent_neq(store.keys)
+    csum_excl = store.csum[:cap]
+    csum_incl = store.csum[1:]
+    # csum at each row's run start: csum_excl is nondecreasing (weights
+    # >= 0), so a cummax over head-row values propagates within the run
+    start = jax.lax.cummax(
+        jnp.where(neq_prev, csum_excl, jnp.int32(-2147483648)), axis=0)
+    # csum after each row's run end: reverse cummin over last-row values
+    end = jax.lax.cummin(
+        jnp.where(neq_next, csum_incl,
+                  jnp.int32(2147483647))[::-1], axis=0)[::-1]
+    return neq_prev, neq_next, end - start
+
+
+@jax.jit
+def run_distinct(store: RunCountStore) -> jax.Array:
+    """int32 scalar: number of distinct keys with positive total weight
+    (the map's size; sentinel-padding runs have weight 0 and never
+    count)."""
+    is_head, _, total = run_totals(store)
+    return jnp.sum((is_head & (total > 0)).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("saturate",))
+def run_lookup(store: RunCountStore, queries: jax.Array,
+               saturate: int | None = None) -> jax.Array:
+    """int32[m] count per query key (0 if absent).
+
+    Small batches: two batched binary searches + csum difference.  Large
+    batches (m*8 >= cap): the gather-free sort-merge join
+    (`sortops.lookup_join_runs`).  Saturating maps clamp at read time —
+    observably identical to the reference's clamp-at-insert
+    (saturating_counting_densehash_map, distributed_densehash_map.hpp:2947)
+    because counts only grow between erases."""
+    m = queries.shape[0]
+    cap = store.capacity
+    q = queries.astype(jnp.uint32)
+    if m * 8 >= cap:
+        counts = sortops.lookup_join_runs(store.keys, store.csum, q)
+    else:
+        # the whole key array (sentinel tail included) is sorted: search
+        # over all cap rows.  `size` must be a traced scalar so shard_map
+        # varying-axis metadata propagates into the bsearch carry.
+        size = store.csum[0] * 0 + cap
+        lo = sortops.lower_bound(store.keys, size, q)
+        hi = sortops.upper_bound(store.keys, size, q)
+        counts = store.csum[hi] - store.csum[lo]
+    if saturate is not None:
+        counts = jnp.minimum(counts, saturate)
+    return counts
+
+
+@jax.jit
+def run_erase_cover(store: RunCountStore, queries: jax.Array,
+                    qvalid: jax.Array) -> RunCountStore:
+    """Zero the weights of every row whose key matches a valid query
+    (the mutation half of erase, without the distinct-erased count —
+    multi-run erase counts across runs in the step)."""
+    cap = store.capacity
+    q = queries.astype(jnp.uint32)
+    size = store.csum[0] * 0 + cap
+    lo = sortops.lower_bound(store.keys, size, q)
+    hi = sortops.upper_bound(store.keys, size, q)
+    lo = jnp.where(qvalid, lo, 0)
+    hi = jnp.where(qvalid, hi, 0)
+    diff = jnp.zeros((cap + 1,), jnp.int32)
+    diff = diff.at[lo].add(jnp.where(qvalid, 1, 0))
+    diff = diff.at[hi].add(jnp.where(qvalid, -1, 0))
+    covered = jnp.cumsum(diff[:cap]) > 0
+    new_w = jnp.where(covered, 0, store.weights)
+    return RunCountStore(
+        keys=store.keys,
+        weights=new_w,
+        csum=jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              _cumsum_i32(new_w)]),
+    )
+
+
+@jax.jit
+def run_erase(store: RunCountStore, queries: jax.Array, qvalid: jax.Array):
+    """Zero the weights of every row whose key matches a valid query.
+
+    Rows stay in place (the sorted invariant is untouched); capacity is
+    reclaimed later by `run_compact`.  Returns (new_store, n_erased) with
+    n_erased = number of distinct keys whose count dropped to 0 (the
+    reference's erase return, distributed_densehash_map.hpp:1603+)."""
+    cap = store.capacity
+    q = queries.astype(jnp.uint32)
+    size = store.csum[0] * 0 + cap
+    lo = sortops.lower_bound(store.keys, size, q)
+    hi = sortops.upper_bound(store.keys, size, q)
+    lo = jnp.where(qvalid, lo, 0)
+    hi = jnp.where(qvalid, hi, 0)
+    # distinct keys actually erased: positive-count queries, deduplicated
+    # by counting only queries whose lower_bound differs (equal keys have
+    # equal bounds)
+    had = (store.csum[hi] - store.csum[lo]) > 0
+    diff = jnp.zeros((cap + 1,), jnp.int32)
+    diff = diff.at[lo].add(jnp.where(qvalid, 1, 0))
+    diff = diff.at[hi].add(jnp.where(qvalid, -1, 0))
+    covered = jnp.cumsum(diff[:cap]) > 0
+    new_w = jnp.where(covered, 0, store.weights)
+    new = RunCountStore(
+        keys=store.keys,
+        weights=new_w,
+        csum=jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              _cumsum_i32(new_w)]),
+    )
+    # dedupe: a query erases a run only if no other valid query with the
+    # same lo already counted it — mark the first occurrence per lo value
+    first = jnp.zeros((cap + 1,), jnp.int32).at[
+        jnp.where(qvalid & had, lo, cap)].max(
+        jnp.arange(q.shape[0], dtype=jnp.int32) + 1)
+    m_idx = jnp.arange(q.shape[0], dtype=jnp.int32) + 1
+    is_first = qvalid & had & (first[lo] == m_idx)
+    return new, jnp.sum(is_first.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("new_cap",))
+def run_compact(store: RunCountStore, new_cap: int):
+    """Collapse every run to one row (key, total) and compact live rows to
+    the front — the old compacted layout, produced with one stable 1-key
+    sort.  Used opportunistically when distinct << capacity to reclaim the
+    memory that the merge-only flush never frees.
+
+    Returns (new_store[new_cap], overflow int32 = distinct - new_cap if
+    positive)."""
+    cap, w = store.keys.shape
+    _, is_last, total = run_totals(store)
+    emit = is_last & (total > 0)
+    n_emit = jnp.sum(emit.astype(jnp.int32))
+    front_key = (~emit).astype(jnp.uint32)
+    ops = jax.lax.sort(
+        (front_key,) + tuple(store.keys[:, j] for j in range(w)) + (total,),
+        num_keys=1, is_stable=True)
+    uniq = jnp.stack(ops[1:1 + w], axis=1)
+    totals = ops[1 + w]
+    live = jnp.arange(cap) < n_emit
+    uniq = jnp.where(live[:, None], uniq, jnp.uint32(_SENTINEL))
+    totals = jnp.where(live, totals, 0)
+    if new_cap <= cap:
+        uniq, totals = uniq[:new_cap], totals[:new_cap]
+    else:
+        uniq = jnp.concatenate([
+            uniq, jnp.full((new_cap - cap, w), _SENTINEL, jnp.uint32)])
+        totals = jnp.concatenate([
+            totals, jnp.zeros(new_cap - cap, jnp.int32)])
+    return run_from_sorted(uniq, totals), jnp.maximum(n_emit - new_cap, 0)

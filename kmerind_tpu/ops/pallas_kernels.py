@@ -392,3 +392,272 @@ def run_length_weights_pallas(sorted_words: jax.Array,
         interpret=interpret,
     )(tv, *cols, *cols)
     return weights.reshape(npad)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Bitonic MERGE of two sorted runs — the count-index flush kernel.
+#
+# The flush merges the sorted store with a sorted ingest run.  XLA's sort
+# re-pays the full log^2(n) network (measured 413 ms for 16.7M+16.7M rows
+# incl. compaction); a merge needs only the log2(n) half-cleaner stages.
+# XLA executes one elementwise stage in ~3.6 ms at 33M rows (4x off HBM
+# bandwidth: the roll/stack lowering copies more than it must), so the
+# stages run here instead:
+#
+# * GLOBAL stages (pair distance d >= block): one pallas_call per stage,
+#   in-place via input_output_aliases — each grid step DMAs the XOR-pair
+#   of blocks into VMEM, compare-exchanges, and DMAs back.  Exactly
+#   8 bytes/row read + 8 written per column per stage.
+# * LOCAL stages (d < block): ONE pallas_call; each block runs all
+#   log2(block) remaining stages in VMEM (the intermediates never touch
+#   HBM), with XOR-partner access via row/lane rolls.
+#
+# Compare-exchange on multi-word keys is the lexicographic fold of
+# bitgroup_ops' array compare (bitgroup_ops.hpp:3539-3575); payload columns
+# ride along unexamined.
+
+_MG_BLOCK = 1 << 17           # elements per block (= 1024 rows x 128 lanes)
+
+
+def _lex_gt(this_cols, partner_cols, w):
+    """this > partner lexicographically over the first w columns.
+
+    Folds in int32 (Mosaic cannot select between i1 vectors) and returns
+    a bool mask."""
+    gt = None
+    for j in reversed(range(w)):
+        a, b = this_cols[j], partner_cols[j]
+        g = (a > b).astype(jnp.int32)
+        gt = g if gt is None else jnp.where(a != b, g, gt)
+    return gt != 0
+
+
+def _lex_lt(this_cols, partner_cols, w):
+    lt = None
+    for j in reversed(range(w)):
+        a, b = this_cols[j], partner_cols[j]
+        l = (a < b).astype(jnp.int32)
+        lt = l if lt is None else jnp.where(a != b, l, lt)
+    return lt != 0
+
+
+def _make_global_stage_kernel(ncols: int, w: int, rows: int, db: int):
+    """Compare-exchange block lo with block lo + db (block units)."""
+
+    def kernel(*refs):
+        ins = refs[:ncols]
+        outs = refs[ncols:2 * ncols]
+        slo = refs[2 * ncols:3 * ncols]
+        shi = refs[3 * ncols:4 * ncols]
+        sem = refs[4 * ncols]
+        j = pl.program_id(0)
+        lo_blk = (j // db) * (2 * db) + (j % db)
+        hi_blk = lo_blk + db
+        for c in range(ncols):
+            pltpu.make_async_copy(
+                ins[c].at[pl.ds(lo_blk * rows, rows)], slo[c],
+                sem.at[0, c]).start()
+            pltpu.make_async_copy(
+                ins[c].at[pl.ds(hi_blk * rows, rows)], shi[c],
+                sem.at[1, c]).start()
+        for c in range(ncols):
+            pltpu.make_async_copy(
+                ins[c].at[pl.ds(lo_blk * rows, rows)], slo[c],
+                sem.at[0, c]).wait()
+            pltpu.make_async_copy(
+                ins[c].at[pl.ds(hi_blk * rows, rows)], shi[c],
+                sem.at[1, c]).wait()
+        lo_vals = [slo[c][...] for c in range(ncols)]
+        hi_vals = [shi[c][...] for c in range(ncols)]
+        swap = _lex_gt(lo_vals, hi_vals, w)
+        for c in range(ncols):
+            slo[c][...] = jnp.where(swap, hi_vals[c], lo_vals[c])
+            shi[c][...] = jnp.where(swap, lo_vals[c], hi_vals[c])
+        for c in range(ncols):
+            pltpu.make_async_copy(
+                slo[c], outs[c].at[pl.ds(lo_blk * rows, rows)],
+                sem.at[0, c]).start()
+            pltpu.make_async_copy(
+                shi[c], outs[c].at[pl.ds(hi_blk * rows, rows)],
+                sem.at[1, c]).start()
+        for c in range(ncols):
+            pltpu.make_async_copy(
+                slo[c], outs[c].at[pl.ds(lo_blk * rows, rows)],
+                sem.at[0, c]).wait()
+            pltpu.make_async_copy(
+                shi[c], outs[c].at[pl.ds(hi_blk * rows, rows)],
+                sem.at[1, c]).wait()
+
+    return kernel
+
+
+def _make_local_stages_kernel(ncols: int, w: int, rows: int, first_d: int):
+    """All stages with distance first_d, first_d/2, …, 1 inside one VMEM
+    block of rows*128 elements (flat order element i at [i//128, i%128])."""
+
+    def kernel(*refs):
+        ins = refs[:ncols]
+        outs = refs[ncols:2 * ncols]
+        xs = [ins[c][...] for c in range(ncols)]
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+        d = first_d
+        while d >= 1:
+            if d >= _LANES:
+                dr = d // _LANES
+                ups = [pltpu.roll(x, rows - dr, 0) for x in xs]
+                dns = [pltpu.roll(x, dr, 0) for x in xs]
+                is_lo = (row_i & dr) == 0
+            else:
+                ups = [pltpu.roll(x, _LANES - d, 1) for x in xs]
+                dns = [pltpu.roll(x, d, 1) for x in xs]
+                is_lo = (lane_i & d) == 0
+            partner = [jnp.where(is_lo, u, dn)
+                       for u, dn in zip(ups, dns)]
+            gt = _lex_gt(xs, partner, w)
+            lt = _lex_lt(xs, partner, w)
+            # select between int32 masks, not i1 vectors (Mosaic limit)
+            take = jnp.where(is_lo, gt.astype(jnp.int32),
+                             lt.astype(jnp.int32)) != 0
+            xs = [jnp.where(take, p, x) for x, p in zip(xs, partner)]
+            d //= 2
+        for c in range(ncols):
+            outs[c][...] = xs[c]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bitonic_merge_pallas(keys: jax.Array, payloads=(), interpret: bool = False):
+    """Sort a bitonic row sequence (ascending then descending halves).
+
+    Same contract as sortops.bitonic_merge: keys uint32[n, w] with n a
+    power of two >= 2*_MG_BLOCK handled here (smaller inputs should use
+    the XLA path), payloads carried through the exchanges.
+    """
+    n, w = keys.shape
+    assert n & (n - 1) == 0 and n % _MG_BLOCK == 0
+    rows_total = n // _LANES
+    brows = _MG_BLOCK // _LANES
+    cols = [keys[:, j].reshape(rows_total, _LANES) for j in range(w)]
+    for p in payloads:
+        cols.append(p.reshape(rows_total, _LANES))
+    ncols = len(cols)
+    try:
+        vma = jax.typeof(keys).vma
+    except AttributeError:
+        vma = frozenset()
+    shapes = [jax.ShapeDtypeStruct((rows_total, _LANES), c.dtype, vma=vma)
+              for c in cols]
+
+    # global stages: d = n/2 … _MG_BLOCK, one in-place pallas_call each
+    d = n // 2
+    while d >= _MG_BLOCK:
+        db = d // _MG_BLOCK
+        cols = pl.pallas_call(
+            _make_global_stage_kernel(ncols, w, brows, db),
+            grid=(n // (2 * _MG_BLOCK),),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * ncols,
+            out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * ncols),
+            out_shape=tuple(shapes),
+            input_output_aliases={c: c for c in range(ncols)},
+            scratch_shapes=(
+                [pltpu.VMEM((brows, _LANES), c.dtype) for c in cols]
+                + [pltpu.VMEM((brows, _LANES), c.dtype) for c in cols]
+                + [pltpu.SemaphoreType.DMA((2, ncols))]),
+            interpret=interpret,
+        )(*cols)
+        cols = list(cols)
+        d //= 2
+
+    # local stages: one call, every block runs log2(_MG_BLOCK) stages in VMEM
+    blk_spec = pl.BlockSpec((brows, _LANES), lambda b: (b, 0))
+    cols = pl.pallas_call(
+        _make_local_stages_kernel(ncols, w, brows, _MG_BLOCK // 2),
+        grid=(n // _MG_BLOCK,),
+        in_specs=[blk_spec] * ncols,
+        out_specs=tuple([blk_spec] * ncols),
+        out_shape=tuple(shapes),
+        interpret=interpret,
+    )(*cols)
+
+    out_keys = jnp.stack([cols[j].reshape(n) for j in range(w)], axis=1)
+    out_payloads = tuple(c.reshape(n) for c in cols[w:])
+    return out_keys, out_payloads
+
+
+# ---------------------------------------------------------------------------
+# Inclusive int32 prefix sum — single-HBM-pass scan kernel.
+#
+# The run store rebuilds its weight prefix sum after every merge; XLA's
+# cumsum at 33M rows costs ~11 ms (log-passes), this kernel ~1 (read and
+# write each element once; the scan itself lives in VMEM).  Same two-level
+# (lane-doubling + row-doubling) structure as the run-length kernel above,
+# with an SMEM carry across sequential grid steps.
+
+_PS_ROWS = 2048
+_PS_BLOCK = _PS_ROWS * _LANES
+
+
+def _make_ps_kernel():
+    def kernel(x_ref, out_ref, carry_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry_ref[0] = jnp.int32(0)
+
+        x = x_ref[...]
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (_PS_ROWS, _LANES), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (_PS_ROWS, _LANES), 1)
+        # inclusive scan along lanes (7 doubling steps)
+        v = x
+        s = 1
+        while s < _LANES:
+            sh = pltpu.roll(v, s, 1)
+            v = v + jnp.where(lane_i >= s, sh, 0)
+            s *= 2
+        # row totals live in lane 127; scan them down the rows
+        u = jnp.where(lane_i == _LANES - 1, v, 0)
+        s = 1
+        while s < _PS_ROWS:
+            sh = pltpu.roll(u, s, 0)
+            u = u + jnp.where(row_i >= s, sh, 0)
+            s *= 2
+        # exclusive row prefix, broadcast along lanes
+        u1 = jnp.where(row_i >= 1, pltpu.roll(u, 1, 0), 0)
+        row_excl = jnp.max(jnp.where(lane_i == _LANES - 1, u1,
+                                     jnp.int32(-2147483648)),
+                           axis=1, keepdims=True)
+        out = v + row_excl + carry_ref[0]
+        out_ref[...] = out
+        # block total = value at [R-1, 127]
+        carry_ref[0] = jnp.max(jnp.where(
+            (row_i == _PS_ROWS - 1) & (lane_i == _LANES - 1), out,
+            jnp.int32(-2147483648)))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def prefix_sum_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Inclusive prefix sum of int32[n] in one HBM pass."""
+    n = x.shape[0]
+    npad = _round_up(max(n, _PS_BLOCK), _PS_BLOCK)
+    xp = x if npad == n else jnp.pad(x, (0, npad - n))
+    xp = xp.reshape(npad // _LANES, _LANES)
+    try:
+        vma = jax.typeof(x).vma
+    except AttributeError:
+        vma = frozenset()
+    out = pl.pallas_call(
+        _make_ps_kernel(),
+        grid=(npad // _PS_BLOCK,),
+        in_specs=[pl.BlockSpec((_PS_ROWS, _LANES), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((_PS_ROWS, _LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((npad // _LANES, _LANES), jnp.int32,
+                                       vma=vma),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(xp)
+    return out.reshape(npad)[:n]

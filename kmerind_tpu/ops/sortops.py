@@ -27,6 +27,9 @@ __all__ = [
     "lower_bound",
     "upper_bound",
     "rows_equal_at",
+    "bitonic_merge",
+    "merge_sorted_runs",
+    "lookup_join_runs",
 ]
 
 
@@ -282,6 +285,144 @@ def _lex_less_rows(a: jax.Array, b: jax.Array) -> jax.Array:
     """Row-wise a < b for uint32[..., w] (shared elementwise fold)."""
     from .packing import lex_less
     return lex_less(a, b)
+
+
+# ------------------------------------------------------------------ merging
+# The deferred-merge flush of the count index works on data that is ALREADY
+# sorted (each ingest chunk leaves the sorter sorted; the store is sorted by
+# invariant).  Re-sorting store+batch from scratch costs O(log^2 n) HBM
+# passes (measured 413 ms for 16.7M+16.7M rows on v5e); a bitonic MERGE of
+# two sorted runs needs only log2(n) compare-exchange stages of elementwise
+# work — the "cheaper network" replacing mxx-style merge loops
+# (distributed_sorted_map.hpp:2061 merges rank-sorted runs the same way).
+
+def bitonic_merge(keys: jax.Array, payloads=()):
+    """Sort a BITONIC sequence of rows (ascending prefix + descending
+    suffix) with log2(n) half-cleaner stages.
+
+    keys: uint32[n, w] with n a power of two; payloads: tuple of [n]
+    arrays carried through the exchanges.  Not stable (ties may reorder) —
+    callers that need stability must extend the key.
+
+    Returns (sorted_keys, payloads_tuple).
+    """
+    n, w = keys.shape
+    assert n & (n - 1) == 0, "bitonic_merge needs power-of-two length"
+    # flat 1-D columns with XOR-partner indexing: at distance d the partner
+    # of i is i ^ d, fetched with two rolls + a lane select.  (The naive
+    # [g, 2, d, w] reshape forces tiny trailing dims through XLA's TPU
+    # tiling — measured 64x padding blowups / OOM at 33M rows.)
+    cols = tuple(keys[:, j] for j in range(w)) + tuple(payloads)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    nstages = n.bit_length() - 1  # log2(n)
+
+    # one stage per fori_loop iteration (dynamic distance d) so XLA reuses
+    # the stage buffers — a fully unrolled network keeps every stage's
+    # temporaries live simultaneously (measured 17.8G HBM at 33M rows)
+    def stage(s, cols):
+        d = jnp.int32(n) >> (s + 1)
+        is_lo = (idx & d) == 0
+        partner = tuple(jnp.where(is_lo, jnp.roll(c, -d), jnp.roll(c, d))
+                        for c in cols)
+        # lex compare of (this row) vs (partner row) on the key columns
+        less = jnp.zeros(n, bool)
+        gt = jnp.zeros(n, bool)
+        for j in reversed(range(w)):
+            a, b = cols[j], partner[j]
+            less = jnp.where(a != b, a < b, less)
+            gt = jnp.where(a != b, a > b, gt)
+        # lo keeps min, hi keeps max; ties keep own value on both sides
+        take_partner = jnp.where(is_lo, gt, less)
+        return tuple(jnp.where(take_partner, p, c)
+                     for c, p in zip(cols, partner))
+
+    cols = jax.lax.fori_loop(0, nstages, stage, cols)
+    keys = jnp.stack(cols[:w], axis=1)
+    return keys, tuple(cols[w:])
+
+
+def merge_sorted_runs(a_keys: jax.Array, a_payloads, b_keys: jax.Array,
+                      b_payloads, sentinel: int = 0xFFFFFFFF):
+    """Merge two ASCENDING sorted runs into one ascending run.
+
+    Each run is uint32[n_i, w] rows (duplicates fine, sentinel-padded tails
+    fine — sentinels keep sorting to the tail) with aligned payload columns.
+    The total is padded to the next power of two with sentinel rows
+    (payloads 0) — harmless under the run-store convention that padding
+    rows carry weight 0.
+
+    Returns (keys [n, w], payloads) with n = next_pow2(n_a + n_b).
+    """
+    w = a_keys.shape[1]
+    na, nb = a_keys.shape[0], b_keys.shape[0]
+    total = na + nb
+    n = 1 << max(1, (total - 1).bit_length())
+    pad = n - total
+    if pad:
+        b_keys = jnp.concatenate(
+            [b_keys, jnp.full((pad, w), sentinel, jnp.uint32)], axis=0)
+        b_payloads = tuple(
+            jnp.concatenate([p, jnp.zeros((pad,), p.dtype)])
+            for p in b_payloads)
+    keys = jnp.concatenate([a_keys, b_keys[::-1]], axis=0)
+    payloads = tuple(jnp.concatenate([pa, pb[::-1]])
+                     for pa, pb in zip(a_payloads, b_payloads))
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import _MG_BLOCK, bitonic_merge_pallas
+        if n >= 2 * _MG_BLOCK:
+            return bitonic_merge_pallas(keys, payloads)
+    return bitonic_merge(keys, payloads)
+
+
+def lookup_join_runs(keys: jax.Array, csum: jax.Array,
+                     queries: jax.Array) -> jax.Array:
+    """Batched count lookup over a RUN store (sorted keys with duplicates,
+    exclusive prefix-sum `csum` of the per-row weights): count(q) = total
+    weight of q's key run.  Gather-free sort-merge join, the run-store
+    analog of `lookup_join` — store rows enter with their csum values and
+    each query reads (csum at its position) - (csum at its run start) via
+    two cumulative-max scans.
+
+    keys: uint32[cap, w] sorted over ALL rows; csum: int32[cap + 1] with
+    csum[i] = sum(weights[:i]).  queries: uint32[m, w].  Returns int32[m].
+    """
+    cap, w = keys.shape
+    m = queries.shape[0]
+    total = cap + m
+    q = queries.astype(jnp.uint32)
+
+    all_words = jnp.concatenate([keys, q], axis=0)
+    # store rows flag 0 (sort before queries of the same key), queries 1
+    flag = jnp.concatenate([jnp.zeros(cap, jnp.uint32),
+                            jnp.ones(m, jnp.uint32)])
+    # store row i contributes weight csum[i+1]-csum[i]; queries 0
+    wts = jnp.concatenate([csum[1:] - csum[:-1], jnp.zeros(m, jnp.int32)])
+    qidx = jnp.concatenate([
+        jnp.zeros(cap, jnp.int32), jnp.arange(m, dtype=jnp.int32)])
+
+    ops = jax.lax.sort(
+        tuple(all_words[:, j] for j in range(w)) + (flag, wts, qidx),
+        num_keys=w + 1, is_stable=True)
+    s_cols = ops[:w]
+    s_wts, s_qidx = ops[w + 1], ops[w + 2]
+    s_flag = ops[w]
+
+    idx = jnp.arange(total, dtype=jnp.int32)
+    neq_prev = jnp.zeros(total, bool).at[0].set(True)
+    for j in range(w):
+        neq_prev = neq_prev | (s_cols[j] != jnp.roll(s_cols[j], 1))
+    psum_incl = jnp.cumsum(s_wts)
+    psum_excl = psum_incl - s_wts
+    # csum value at each row's run start (psum_excl is nondecreasing in
+    # total-weight terms only when weights >= 0; erased rows are 0 and
+    # explicit negative counts are excluded from the join path by api)
+    start_excl = jax.lax.cummax(
+        jnp.where(neq_prev, psum_excl, jnp.int32(-2147483648)), axis=0)
+    counts = jnp.where(s_flag == 1, psum_incl - start_excl, 0)
+
+    back = jax.lax.sort((jnp.uint32(1) - s_flag, s_qidx.astype(jnp.uint32),
+                         counts), num_keys=2, is_stable=True)
+    return back[2][:m]
 
 
 def _bsearch(keys: jax.Array, size: jax.Array, queries: jax.Array, side: str):

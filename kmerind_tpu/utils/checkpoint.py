@@ -85,7 +85,11 @@ def save_index(idx, path) -> None:
     """
     import orbax.checkpoint as ocp
 
-    if hasattr(idx, "_flush"):
+    if hasattr(idx, "_checkpoint_prepare"):
+        # indexes with variable store structure (the LSM run list)
+        # consolidate to the fresh-index structure first
+        idx._checkpoint_prepare()
+    elif hasattr(idx, "_flush"):
         idx._flush()
     path = pathlib.Path(path).absolute()
     path.mkdir(parents=True, exist_ok=True)

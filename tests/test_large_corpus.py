@@ -74,18 +74,8 @@ def _pack_ints(codes: np.ndarray) -> np.ndarray:
 
 def _stored_ints(idx: CountIndex) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized (sorted_keys_u64, counts) across all shards."""
-    idx._flush()
-    keys = idx._fetch(idx.store.keys)      # [p, cap, 2] uint32
-    counts = idx._fetch(idx.store.counts)  # [p, cap]
-    sizes = idx._fetch(idx.store.size)
+    kw, cn = idx.items()  # [t, 2] uint32 rows, int64 counts
     spec = idx.spec
-    ks, cs = [], []
-    for p in range(keys.shape[0]):
-        n = int(sizes[p])
-        ks.append(keys[p, :n])
-        cs.append(counts[p, :n])
-    kw = np.concatenate(ks)
-    cn = np.concatenate(cs).astype(np.int64)
     # words are char-aligned big-endian with the last word right-aligned:
     # to_int == (w0 << bits_in_last_word) | w1.
     bits_last = spec.last_word_chars * spec.bits_per_char

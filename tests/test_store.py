@@ -186,7 +186,8 @@ def test_clear_preserves_sentinel_invariant():
     idx.insert(["A" * 15, "C" * 15])
     idx.clear()
     assert idx.size() == 0
-    keys = np.asarray(idx.store.keys)
+    assert len(idx.runs) == 1
+    keys = np.asarray(idx.runs[0].keys)
     assert (keys == 0xFFFFFFFF).all()
     # poly-A (all-zero key) on the large-batch join path must return 0
     got = idx.count(["A" * 15] * 64)
