@@ -46,10 +46,10 @@ class DeBruijnGraph(_IndexBase):
                  initial_capacity: int = 1 << 12, **kw):
         super().__init__(spec, mesh, canonical, hash_name, **kw)
         self.saturate = saturate
-        self.store = jax.device_put(
-            jax.vmap(lambda _: st.empty_vec_store(
-                initial_capacity, spec.nwords, _DIM))(jnp.arange(self.nparts)),
-            self._sharding)
+        # jit-with-out_shardings store init: SPMD-safe (a plain device_put
+        # cannot target non-addressable devices under jax.distributed)
+        self.store = self._init_store(
+            lambda: st.empty_vec_store(initial_capacity, spec.nwords, _DIM))
         self._pending: list = []
         self._pending_rows = 0
         self.flush_rows = 1 << 24
@@ -61,18 +61,18 @@ class DeBruijnGraph(_IndexBase):
     def size(self) -> int:
         """Number of graph nodes (distinct canonical k-mers)."""
         self._flush()
-        return int(np.asarray(self.store.size).sum())
+        return int(self._fetch(self.store.size).sum())
 
     def _flush(self):
         if not self._pending:
             return
-        words = jnp.concatenate([t[0] for t in self._pending], axis=1)
-        vecs = jnp.concatenate([t[1] for t in self._pending], axis=1)
-        valid = jnp.concatenate([t[2] for t in self._pending], axis=1)
+        words = self._device_concat([t[0] for t in self._pending])
+        vecs = self._device_concat([t[1] for t in self._pending])
+        valid = self._device_concat([t[2] for t in self._pending])
         self._pending = []
         self._pending_rows = 0
         n_rows = words.shape[1]
-        cap_needed = int(np.asarray(self.store.size).sum()) + n_rows
+        cap_needed = int(self._fetch(self.store.size).sum()) + n_rows
         if cap_needed > self.capacity * self.nparts:
             self._grow(_next_pow2(-(-cap_needed // self.nparts)))
         while True:
@@ -82,19 +82,24 @@ class DeBruijnGraph(_IndexBase):
                     self.mesh, self.saturate)
             new_store, ovf = self._step_cache[key](
                 self.store, words, vecs, valid)
-            if int(np.asarray(ovf).max()) == 0:
+            if int(self._fetch(ovf).max()) == 0:
                 self.store = new_store
                 return
-            self._grow(_next_pow2(self.capacity + int(np.asarray(ovf).max())))
+            self._grow(_next_pow2(self.capacity + int(self._fetch(ovf).max())))
 
     def _grow(self, new_cap: int):
         pad = new_cap - self.capacity
-        self.store = jax.device_put(st.VecStore(
-            keys=jnp.pad(self.store.keys, ((0, 0), (0, pad), (0, 0)),
-                         constant_values=np.uint32(_SENTINEL)),
-            vals=jnp.pad(self.store.vals, ((0, 0), (0, pad), (0, 0))),
-            size=self.store.size,
-        ), self._sharding)
+        key = ("_grow", new_cap, self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                lambda s: st.VecStore(
+                    keys=jnp.pad(s.keys, ((0, 0), (0, pad), (0, 0)),
+                                 constant_values=np.uint32(_SENTINEL)),
+                    vals=jnp.pad(s.vals, ((0, 0), (0, pad), (0, 0))),
+                    size=s.size,
+                ),
+                out_shardings=self._sharding)
+        self.store = self._step_cache[key](self.store)
 
     # ------------------------------------------------------------------
     def _chunk_halo(self):
@@ -153,7 +158,7 @@ class DeBruijnGraph(_IndexBase):
                 rw, rv, rlive, route_ovf = self._step_cache[key](
                     cols["codes"], cols["valid"], cols["owned"],
                     cols["seg_id"])
-            if int(np.asarray(route_ovf).max()) == 0:
+            if int(self._fetch(route_ovf).max()) == 0:
                 self._pending.append((rw, rv, rlive))
                 self._pending_rows += rw.shape[1]
                 if self._pending_rows >= self.flush_rows:
@@ -161,7 +166,7 @@ class DeBruijnGraph(_IndexBase):
                         self._flush()
                 return self
             bucket_cap = _next_pow2(
-                bucket_cap + int(np.asarray(route_ovf).max()))
+                bucket_cap + int(self._fetch(route_ovf).max()))
 
     # ------------------------------------------------------------------
     def node_counts(self, kmers):
@@ -178,9 +183,9 @@ class DeBruijnGraph(_IndexBase):
                 self._step_cache[key] = _make_vec_lookup_step(
                     self.mesh, self.nparts, bucket_cap, self.hash_name)
             vals, found, ovf = self._step_cache[key](self.store, wsh, vsh)
-            if int(np.asarray(ovf).max()) == 0:
-                vals = np.asarray(vals).reshape(-1, _DIM)[:m]
-                found = np.asarray(found).reshape(-1)[:m]
+            if int(self._fetch(ovf).max()) == 0:
+                vals = self._fetch(vals).reshape(-1, _DIM)[:m]
+                found = self._fetch(found).reshape(-1)[:m]
                 return vals, found
             bucket_cap *= 2
 
@@ -222,9 +227,9 @@ class DeBruijnGraph(_IndexBase):
             path, kind="debruijn", k=self.spec.k,
             alphabet=self.spec.alphabet.name, canonical=self.canonical,
             hash_name=self.hash_name, nparts=self.nparts,
-            keys=np.asarray(self.store.keys),
-            vals=np.asarray(self.store.vals),
-            sizes=np.asarray(self.store.size))
+            keys=self._fetch(self.store.keys),
+            vals=self._fetch(self.store.vals),
+            sizes=self._fetch(self.store.size))
         return self
 
     @classmethod
@@ -256,20 +261,20 @@ class DeBruijnGraph(_IndexBase):
                     g.mesh, g.nparts, bucket_cap, g.hash_name, g.saturate)
             new_store, route_ovf, store_ovf = g._step_cache[key](
                 g.store, wsh, vsh9, vsh)
-            if int(np.asarray(route_ovf).max()) == 0 and                int(np.asarray(store_ovf).max()) == 0:
+            if int(g._fetch(route_ovf).max()) == 0 and                int(g._fetch(store_ovf).max()) == 0:
                 g.store = new_store
                 return g
             bucket_cap *= 2
-            if int(np.asarray(store_ovf).max()) > 0:
+            if int(g._fetch(store_ovf).max()) > 0:
                 g._grow(g.capacity * 2)
 
     def to_dict(self):
         """{kmer_int: (out ACGT, in ACGT, self) counters}."""
         self._flush()
         out = {}
-        keys = np.asarray(self.store.keys)
-        vals = np.asarray(self.store.vals)
-        sizes = np.asarray(self.store.size)
+        keys = self._fetch(self.store.keys)
+        vals = self._fetch(self.store.vals)
+        sizes = self._fetch(self.store.size)
         for p in range(self.nparts):
             for i in range(int(sizes[p])):
                 out[self.spec.to_int(keys[p, i])] = tuple(

@@ -60,10 +60,29 @@ class _SortedBase(_IndexBase):
         if self.splitters is None:
             # pre-flush queries on an empty index: all-zero splitters route
             # everything to the last shard; stores are empty so answers are
-            # correct regardless
-            return jnp.zeros((self.nparts, max(self.nparts - 1, 0),
-                              self.spec.nwords), jnp.uint32)
+            # correct regardless.  Built under jit with out_shardings so
+            # the array is a proper global array under multi-process SPMD.
+            key = ("zero_splitters",)
+            if key not in self._step_cache:
+                shape = (self.nparts, max(self.nparts - 1, 0),
+                         self.spec.nwords)
+                self._step_cache[key] = jax.jit(
+                    lambda: jnp.zeros(shape, jnp.uint32),
+                    out_shardings=self._sharding)
+            return self._step_cache[key]()
         return self.splitters
+
+    def _live_mask(self):
+        """bool[p, cap] live-row mask of the store — computed under jit
+        (eager ops on non-addressable global arrays are illegal in
+        multi-process mode)."""
+        key = ("_live", self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                lambda s: jnp.arange(s.keys.shape[1])[None, :]
+                < s.size[:, None],
+                out_shardings=self._sharding)
+        return self._step_cache[key](self.store)
 
     def _query_capacity(self, mq: int) -> int:
         """Initial per-destination bucket: ~mq/p with fill headroom (the
@@ -78,7 +97,7 @@ class _SortedBase(_IndexBase):
         if self.splitters is None:
             return np.zeros((max(self.nparts - 1, 0), self.spec.nwords),
                             np.uint32)
-        return np.asarray(self.splitters)[0]
+        return self._fetch(self.splitters)[0]
 
 
 class SortedCountIndex(_SortedBase):
@@ -90,10 +109,8 @@ class SortedCountIndex(_SortedBase):
                  initial_capacity: int = 1 << 12, **kw):
         super().__init__(spec, mesh, canonical, **kw)
         self.saturate = saturate
-        self.store = jax.device_put(
-            jax.vmap(lambda _: st.empty_count_store(
-                initial_capacity, spec.nwords))(jnp.arange(self.nparts)),
-            self._sharding)
+        self.store = self._init_store(
+            lambda: st.empty_count_store(initial_capacity, spec.nwords))
         self._pending: list = []   # [(words[p,n,w], weights[p,n], valid[p,n])]
         self._pending_rows = 0
 
@@ -103,7 +120,7 @@ class SortedCountIndex(_SortedBase):
 
     def size(self) -> int:
         self._flush()
-        return int(np.asarray(self.store.size).sum())
+        return int(self._fetch(self.store.size).sum())
 
     # -- ingest --------------------------------------------------------
     def insert_batch(self, batch: ReadBatch, chunk_bases: int | None = None):
@@ -165,19 +182,20 @@ class SortedCountIndex(_SortedBase):
             return
         if not self._pending and self.splitters is not None:
             return
-        # all live rows: store contents as weighted rows + pending
-        live = jnp.arange(self.capacity)[None, :] < self.store.size[:, None]
+        # all live rows: store contents as weighted rows + pending.
+        # Everything below is jitted or collective (no eager ops on
+        # possibly non-addressable global arrays — multi-process-safe).
+        live = self._live_mask()
         parts_w = [self.store.keys] + [t[0] for t in self._pending]
         parts_c = [self.store.counts] + [t[1] for t in self._pending]
         parts_v = [live] + [t[2] for t in self._pending]
-        words = jnp.concatenate(parts_w, axis=1)
-        weights = jnp.concatenate(parts_c, axis=1)
-        valid = jnp.concatenate(parts_v, axis=1)
+        words = self._device_concat(parts_w)
+        weights = self._device_concat(parts_c)
+        valid = self._device_concat(parts_v)
         self._pending = []
         self._pending_rows = 0
         n_rows = words.shape[1]
-        total = int(np.asarray(
-            jnp.sum(valid.astype(jnp.int32))))
+        total = int(self._valid_counts(valid).sum())
         cap = max(self._query_capacity(max(total, 1)), 16)
         while True:
             key = ("flush", n_rows, cap)
@@ -188,8 +206,8 @@ class SortedCountIndex(_SortedBase):
             with self.timer.phase("merge"):
                 new_store, splitters, ovf = self._step_cache[key](
                     words, weights, valid)
-            if int(np.asarray(ovf).max()) == 0:
-                self.store = jax.device_put(new_store, self._sharding)
+            if int(self._fetch(ovf).max()) == 0:
+                self.store = new_store
                 self.splitters = splitters
                 self._dirty = False
                 return
@@ -210,8 +228,8 @@ class SortedCountIndex(_SortedBase):
             with self.timer.phase("count"):
                 counts, ovf = self._step_cache[key](
                     self.store, self._splitters_blk(), wsh, vsh)
-            if int(np.asarray(ovf).max()) == 0:
-                return np.asarray(counts).reshape(-1)[:m]
+            if int(self._fetch(ovf).max()) == 0:
+                return self._fetch(counts).reshape(-1)[:m]
             bucket_cap *= 2
 
     def find(self, kmers):
@@ -234,9 +252,9 @@ class SortedCountIndex(_SortedBase):
                     self.mesh, self.nparts, bucket_cap)
             new_store, nerased, ovf = self._step_cache[key](
                 self.store, self._splitters_blk(), wsh, vsh)
-            if int(np.asarray(ovf).max()) == 0:
+            if int(self._fetch(ovf).max()) == 0:
                 self.store = new_store
-                return int(np.asarray(nerased).sum())
+                return int(self._fetch(nerased).sum())
             bucket_cap *= 2
 
     # predicate family: local scans need no routing — reuse the hash
@@ -250,7 +268,7 @@ class SortedCountIndex(_SortedBase):
                     self.mesh, lambda k, c: ~pred(k, c))
             new_store, nerased = self._step_cache[key](self.store)
             self.store = new_store
-            return int(np.asarray(nerased).sum())
+            return int(self._fetch(nerased).sum())
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         counts = self.count(words)
         keep = np.asarray(pred(jnp.asarray(words), jnp.asarray(counts)))
@@ -269,9 +287,9 @@ class SortedCountIndex(_SortedBase):
             if key not in self._step_cache:
                 self._step_cache[key] = dx.make_count_scan_step(
                     self.mesh, pred)
-            mask = np.asarray(self._step_cache[key](self.store))
-            keys = np.asarray(self.store.keys)
-            counts = np.asarray(self.store.counts)
+            mask = self._fetch(self._step_cache[key](self.store))
+            keys = self._fetch(self.store.keys)
+            counts = self._fetch(self.store.counts)
             out = []
             for p in range(self.nparts):
                 for i in np.flatnonzero(mask[p]):
@@ -307,9 +325,9 @@ class SortedCountIndex(_SortedBase):
         lo_i = self.spec.to_int(lo_w)
         hi_i = self.spec.to_int(hi_w)
         out = []
-        keys = np.asarray(self.store.keys)
-        counts = np.asarray(self.store.counts)
-        sizes = np.asarray(self.store.size)
+        keys = self._fetch(self.store.keys)
+        counts = self._fetch(self.store.counts)
+        sizes = self._fetch(self.store.size)
         for p in range(self.nparts):
             for i in range(int(sizes[p])):
                 v = self.spec.to_int(keys[p, i])
@@ -331,9 +349,9 @@ class SortedCountIndex(_SortedBase):
     # -- persistence / export ------------------------------------------
     def to_dict(self) -> dict[int, int]:
         self._flush()
-        keys = np.asarray(self.store.keys)
-        counts = np.asarray(self.store.counts)
-        sizes = np.asarray(self.store.size)
+        keys = self._fetch(self.store.keys)
+        counts = self._fetch(self.store.counts)
+        sizes = self._fetch(self.store.size)
         out = {}
         for p in range(self.nparts):
             n = int(sizes[p])
@@ -353,9 +371,9 @@ class SortedCountIndex(_SortedBase):
             canonical=self.canonical,
             saturate=-1 if self.saturate is None else self.saturate,
             nparts=self.nparts,
-            keys=np.asarray(self.store.keys),
-            counts=np.asarray(self.store.counts),
-            sizes=np.asarray(self.store.size),
+            keys=self._fetch(self.store.keys),
+            counts=self._fetch(self.store.counts),
+            sizes=self._fetch(self.store.size),
         )
         return self
 
@@ -391,10 +409,8 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
         from ..quality import ILLUMINA18
         self.id_kind = id_kind
         self.codec = codec if codec is not None else ILLUMINA18
-        self.store = jax.device_put(
-            jax.vmap(lambda _: st.empty_multi_store(
-                initial_capacity, spec.nwords))(jnp.arange(self.nparts)),
-            self._sharding)
+        self.store = self._init_store(
+            lambda: st.empty_multi_store(initial_capacity, spec.nwords))
         self._pending: list = []
         self._pending_rows = 0
 
@@ -404,7 +420,7 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
 
     def size(self) -> int:
         self._flush()
-        return int(np.asarray(self.store.size).sum())
+        return int(self._fetch(self.store.size).sum())
 
     def insert_batch(self, batch: ReadBatch, chunk_bases: int | None = None):
         if chunk_bases is None:
@@ -456,23 +472,22 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
             return
         if not self._pending and self.splitters is not None:
             return
-        live = jnp.arange(self.capacity)[None, :] < self.store.size[:, None]
+        live = self._live_mask()
         parts = [
             (self.store.keys, self.store.val_hi, self.store.val_lo,
              self.store.val_q, live)
         ] + self._pending
-        words = jnp.concatenate([t[0] for t in parts], axis=1)
-        hi = jnp.concatenate(
-            [t[1].astype(jnp.uint32) for t in parts], axis=1)
-        lo = jnp.concatenate(
-            [t[2].astype(jnp.uint32) for t in parts], axis=1)
-        q = jnp.concatenate(
-            [t[3].astype(jnp.float32) for t in parts], axis=1)
-        valid = jnp.concatenate([t[4] for t in parts], axis=1)
+        # store and pending columns share dtypes by construction
+        # (uint32 ids, float32 quality) — no casts needed
+        words = self._device_concat([t[0] for t in parts])
+        hi = self._device_concat([t[1] for t in parts])
+        lo = self._device_concat([t[2] for t in parts])
+        q = self._device_concat([t[3] for t in parts])
+        valid = self._device_concat([t[4] for t in parts])
         self._pending = []
         self._pending_rows = 0
         n_rows = words.shape[1]
-        total = int(np.asarray(jnp.sum(valid.astype(jnp.int32))))
+        total = int(self._valid_counts(valid).sum())
         cap = max(self._query_capacity(max(total, 1)), 16)
         while True:
             key = ("flush", n_rows, cap)
@@ -482,8 +497,8 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
             with self.timer.phase("merge"):
                 new_store, splitters, ovf = self._step_cache[key](
                     words, hi, lo, q, valid)
-            if int(np.asarray(ovf).max()) == 0:
-                self.store = jax.device_put(new_store, self._sharding)
+            if int(self._fetch(ovf).max()) == 0:
+                self.store = new_store
                 self.splitters = splitters
                 self._dirty = False
                 return
@@ -506,8 +521,8 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
                     self.mesh, self.nparts, bucket_cap)
             counts, ovf = self._step_cache[key](
                 self.store, self._splitters_blk(), wsh, vsh)
-            if int(np.asarray(ovf).max()) == 0:
-                return np.asarray(counts).reshape(-1)[:m]
+            if int(self._fetch(ovf).max()) == 0:
+                return self._fetch(counts).reshape(-1)[:m]
             bucket_cap *= 2
 
     def get_multiplicity(self, kmers) -> np.ndarray:
@@ -516,8 +531,8 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
     def unique_size(self) -> int:
         self._flush()
         uniq = 0
-        keys = np.asarray(self.store.keys)
-        sizes = np.asarray(self.store.size)
+        keys = self._fetch(self.store.keys)
+        sizes = self._fetch(self.store.size)
         for p in range(self.nparts):
             n = int(sizes[p])
             if n == 0:
@@ -548,18 +563,18 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
             with self.timer.phase("find"):
                 hi, lo, q, mask, nfound, ovf = self._step_cache[key](
                     self.store, self._splitters_blk(), wsh, vsh)
-            if int(np.asarray(ovf).max()) != 0:
+            if int(self._fetch(ovf).max()) != 0:
                 bucket_cap *= 2
                 continue
-            counts = np.asarray(nfound).reshape(-1)[:m]
+            counts = self._fetch(nfound).reshape(-1)[:m]
             worst = int(counts.max()) if m else 0
             if grow_to_fit and worst > max_per_query:
                 max_per_query = _next_pow2(worst)
                 continue
-            hi = np.asarray(hi).reshape(-1, max_per_query)[:m]
-            lo = np.asarray(lo).reshape(-1, max_per_query)[:m]
-            q = np.asarray(q).reshape(-1, max_per_query)[:m]
-            mask = np.asarray(mask).reshape(-1, max_per_query)[:m]
+            hi = self._fetch(hi).reshape(-1, max_per_query)[:m]
+            lo = self._fetch(lo).reshape(-1, max_per_query)[:m]
+            q = self._fetch(q).reshape(-1, max_per_query)[:m]
+            mask = self._fetch(mask).reshape(-1, max_per_query)[:m]
             ids = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
             if with_quality:
                 return (ids, q, mask) if grow_to_fit else (ids, q, mask, counts)
@@ -578,9 +593,9 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
                     self.mesh, self.nparts, bucket_cap)
             new_store, nerased, ovf = self._step_cache[key](
                 self.store, self._splitters_blk(), wsh, vsh)
-            if int(np.asarray(ovf).max()) == 0:
+            if int(self._fetch(ovf).max()) == 0:
                 self.store = new_store
-                return int(np.asarray(nerased).sum())
+                return int(self._fetch(nerased).sum())
             bucket_cap *= 2
 
     def erase_if(self, pred, kmers=None) -> int:
@@ -592,7 +607,7 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
                     self.mesh, lambda k, h, l, q: ~pred(k, h, l, q))
             new_store, nerased = self._step_cache[key](self.store)
             self.store = new_store
-            return int(np.asarray(nerased).sum())
+            return int(self._fetch(nerased).sum())
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         qset = {tuple(int(x) for x in row) for row in words}
 
@@ -611,10 +626,10 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
     def to_dict(self) -> dict[int, list[int]]:
         self._flush()
         out: dict[int, list[int]] = {}
-        keys = np.asarray(self.store.keys)
-        hi = np.asarray(self.store.val_hi)
-        lo = np.asarray(self.store.val_lo)
-        sizes = np.asarray(self.store.size)
+        keys = self._fetch(self.store.keys)
+        hi = self._fetch(self.store.val_hi)
+        lo = self._fetch(self.store.val_lo)
+        sizes = self._fetch(self.store.size)
         for p in range(self.nparts):
             for i in range(int(sizes[p])):
                 v = self.spec.to_int(keys[p, i])
@@ -633,11 +648,11 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
             id_kind=self.id_kind,
             with_quality=self.with_quality,
             nparts=self.nparts,
-            keys=np.asarray(self.store.keys),
-            val_hi=np.asarray(self.store.val_hi),
-            val_lo=np.asarray(self.store.val_lo),
-            val_q=np.asarray(self.store.val_q),
-            sizes=np.asarray(self.store.size),
+            keys=self._fetch(self.store.keys),
+            val_hi=self._fetch(self.store.val_hi),
+            val_lo=self._fetch(self.store.val_lo),
+            val_q=self._fetch(self.store.val_q),
+            sizes=self._fetch(self.store.size),
         )
         return self
 
@@ -674,11 +689,11 @@ class SortedPositionQualityIndex(SortedPositionIndex):
     def to_dict(self):
         self._flush()
         out: dict[int, list] = {}
-        keys = np.asarray(self.store.keys)
-        hi = np.asarray(self.store.val_hi)
-        lo = np.asarray(self.store.val_lo)
-        q = np.asarray(self.store.val_q)
-        sizes = np.asarray(self.store.size)
+        keys = self._fetch(self.store.keys)
+        hi = self._fetch(self.store.val_hi)
+        lo = self._fetch(self.store.val_lo)
+        q = self._fetch(self.store.val_q)
+        sizes = self._fetch(self.store.size)
         for p in range(self.nparts):
             for i in range(int(sizes[p])):
                 v = self.spec.to_int(keys[p, i])

@@ -65,17 +65,33 @@ timer = PhaseTimer()
 
 if kind in ("count", "count2d", "fasta_count"):
     idx = CountIndex(spec, mesh=mesh, canonical=True, timer=timer)
+elif kind == "sorted_count":
+    from kmerind_tpu.index.sorted_api import SortedCountIndex
+    idx = SortedCountIndex(spec, mesh=mesh, canonical=True, timer=timer)
+elif kind == "debruijn":
+    from kmerind_tpu.debruijn import DeBruijnGraph
+    idx = DeBruijnGraph(spec, mesh=mesh, canonical=True, timer=timer)
 else:
     idx = PositionIndex(spec, mesh=mesh, id_kind="short", timer=timer)
 
 # each process parses only its own byte block (record-boundary repaired;
 # FASTA: O(block) header scan + distributed context exchange, plus a k-1
-# halo so boundary-crossing windows are emitted exactly once)
-batch = host_block_batch(path, DNA, halo=spec.k - 1)
+# halo so boundary-crossing windows are emitted exactly once).  The
+# de Bruijn graph needs raw bytes (dual-LUT edge semantics) and an extra
+# base of edge context on each side.
+if kind == "debruijn":
+    # raw bytes for the dual-LUT edge semantics; FASTQ records are whole
+    # per block, so no cross-block base halo is needed
+    batch = host_block_batch(path, idx.parse_alphabet)
+else:
+    batch = host_block_batch(path, DNA, halo=spec.k - 1)
 idx.insert_batch(batch)
 
 size = idx.size()
 contents = idx.to_dict()
+if kind == "debruijn":
+    # node-counter tuples serialize as lists; normalize for comparison
+    contents = {k: list(v) for k, v in contents.items()}
 
 # a query round-trip through the owner routing + reply exchange
 some = sorted(contents)[:16]
@@ -89,7 +105,12 @@ def _pack_int(v: int) -> np.ndarray:
 
 
 qwords = np.stack([_pack_int(v) for v in some])
-counts = idx.count(qwords)
+if kind == "debruijn":
+    # the graph's query surface is node_counts (self-counter = count)
+    vals, found = idx.node_counts(qwords)
+    counts = np.where(found, vals[:, 8], 0)
+else:
+    counts = idx.count(qwords)
 
 # cross-process timer reduction must include every process's phases
 stats = timer.cross_host_stats()

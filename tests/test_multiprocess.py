@@ -110,3 +110,35 @@ def test_multiprocess_position_index(ref_data_dir, tmp_path):
     expect = oracle.position_index(seqs_ids, k, DNA, canonical=False)
     got = {int(kk): v for kk, v in res["contents"].items()}
     assert got == expect
+
+
+def test_multiprocess_sorted_count_index(ref_data_dir, tmp_path):
+    """Range-partitioned family under REAL jax.distributed processes: the
+    global samplesort flush (all_gather of splitter samples + routed
+    exchange) and splitter-routed queries must produce contents equal to
+    the whole-file oracle (distributed_sorted_map.hpp:2061 at any np)."""
+    path = ref_data_dir / "test.small.fastq"
+    res = _run_workers(2, 2, path, "sorted_count", tmp_path)
+    seqs = [r[1] for r in py_parse_fastq(path.read_text())]
+    from kmerind_tpu import DNA
+    expect = oracle.count_index(seqs, 21, DNA, canonical=True)
+    got = {int(k): v for k, v in res["contents"].items()}
+    assert got == dict(expect)
+    assert res["size"] == len(expect)
+    want_counts = [expect[int(v)] for v in res["queried"]]
+    assert res["counts"] == want_counts
+
+
+def test_multiprocess_debruijn(ref_data_dir, tmp_path):
+    """De Bruijn node counters under real multi-process execution must
+    equal the single-process build of the same file."""
+    path = ref_data_dir / "test.small.fastq"
+    res = _run_workers(2, 2, path, "debruijn", tmp_path)
+    # single-process reference build (virtual 8-device mesh of this proc)
+    from kmerind_tpu import DNA, KmerSpec
+    from kmerind_tpu.debruijn import DeBruijnGraph
+    g = DeBruijnGraph(KmerSpec(21, DNA), canonical=True)
+    g.build(str(path))
+    expect = {str(k): list(v) for k, v in g.to_dict().items()}
+    assert res["contents"] == expect
+    assert res["size"] == len(expect)
