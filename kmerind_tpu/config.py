@@ -38,6 +38,7 @@ class IndexConfig:
     k: int = 21
     alphabet: str = "DNA"
     index: str = "count"           # count | position | posqual | debruijn
+    #                              # | value (generic unique-key u64 map)
     canonical: bool = True         # Canonical vs SingleStrand presets
     strands: str | None = None     # "canonical"|"single"|"bimolecule";
     #                                overrides `canonical` when set
@@ -46,6 +47,8 @@ class IndexConfig:
     id_kind: str = "short"         # short (FASTQ) | long (FASTA)
     quality_codec: str = "Illumina18"
     saturate: int | None = None    # saturating counter ceiling
+    reduce: str = "first"          # value-map insert reduction
+    #                                (first | min | max)
     fill_factor: float = 1.6       # bucket capacity headroom
     fmt: str | None = None         # input format override
     devices: int | None = None     # mesh size (None = all)
@@ -85,6 +88,11 @@ class IndexConfig:
                 spec, hash_name=self.hash_name, saturate=self.saturate,
                 **common)
         if self.distribution == "range":
+            if self.index == "value":
+                from .index.value_api import SortedKmerValueIndex
+                return SortedKmerValueIndex(
+                    spec, canonical=canonical, reduce=self.reduce,
+                    id_kind=self.id_kind, **common)
             if self.index == "count":
                 return SortedCountIndex(spec, canonical=canonical,
                                         saturate=self.saturate, **common)
@@ -99,6 +107,10 @@ class IndexConfig:
             raise ValueError(
                 f"range distribution has no {self.index!r} index")
         common.update(canonical=canonical, hash_name=self.hash_name)
+        if self.index == "value":
+            from .index.value_api import KmerValueIndex
+            return KmerValueIndex(spec, reduce=self.reduce,
+                                  id_kind=self.id_kind, **common)
         if self.index == "count":
             return CountIndex(spec, saturate=self.saturate, **common)
         if self.index == "position":

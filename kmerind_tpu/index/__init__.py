@@ -23,6 +23,8 @@ _LAZY = {
     "SortedCountIndex": ".sorted_api",
     "SortedPositionIndex": ".sorted_api",
     "SortedPositionQualityIndex": ".sorted_api",
+    "KmerValueIndex": ".value_api",
+    "SortedKmerValueIndex": ".value_api",
 }
 
 __all__ = ["store", *_LAZY]

@@ -1020,3 +1020,148 @@ def make_run_merge_pair_step(mesh: Mesh):
         in_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
         out_specs=P(axes_of(mesh)),
     ))
+
+
+# ---------------------------------------------- generic unique-value map
+def make_kv_insert_step(mesh: Mesh, nparts: int, capacity: int,
+                        hash_name: str, reduce: str):
+    """Jitted unique-map insert: route (key, u64 value) tuples to owners
+    and merge with the configured reduction (the generic KmerIndex alias,
+    kmer_index.hpp:397-399)."""
+
+    def body(stores_blk, words_blk, hi_blk, lo_blk, valid_blk):
+        store = _unstack(stores_blk)
+        words, vhi, vlo, valid = (words_blk[0], hi_blk[0], lo_blk[0],
+                                  valid_blk[0])
+        owner = owners_for(words, nparts, hash_name)
+        (rw, rhi, rlo), rvalid, route = dist.distribute(
+            (words, vhi, vlo), owner, valid, nparts, capacity,
+            axes_of(mesh))
+        new_store, ovf = st.kv_insert(store, rw, rhi, rlo, rvalid,
+                                      reduce=reduce)
+        return _stack(new_store), route.overflow[None], ovf[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 5,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_kv_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
+                        capacity: int, hash_name: str, reduce: str):
+    """Jitted file-build ingest for the unique-value map: extraction +
+    owner exchange of (kmer, position-id) tuples + local reduction merge
+    (Index<densehash_map<Kmer, IdType>, KmerPositionTupleParser>)."""
+    from ..io.kmer_parsers import DeviceBases, extract_tuples
+
+    def body(stores_blk, codes_blk, valid_blk, owned_blk, seg_blk, hi_blk,
+             lo_blk):
+        store = _unstack(stores_blk)
+        bases = DeviceBases(
+            codes=codes_blk[0], valid=valid_blk[0], owned=owned_blk[0],
+            seg_id=seg_blk[0], id_hi=hi_blk[0], id_lo=lo_blk[0],
+            qual=jnp.zeros_like(codes_blk[0]),
+        )
+        tup = extract_tuples(bases, spec, canonical=canonical)
+        owner = owners_for(tup.words, nparts, hash_name)
+        (rw, rhi, rlo), rvalid, route = dist.distribute(
+            (tup.words, tup.id_hi, tup.id_lo), owner, tup.valid, nparts,
+            capacity, axes_of(mesh))
+        new_store, ovf = st.kv_insert(store, rw, rhi, rlo, rvalid,
+                                      reduce=reduce)
+        return _stack(new_store), route.overflow[None], ovf[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 7,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_kv_find_step(mesh: Mesh, nparts: int, capacity: int,
+                      hash_name: str):
+    """Jitted unique-map lookup: (hi[p,m], lo[p,m], found[p,m],
+    overflow[p]) in original query order."""
+
+    def body(stores_blk, queries_blk, qvalid_blk):
+        store = _unstack(stores_blk)
+        queries, qvalid = queries_blk[0], qvalid_blk[0]
+        owner = owners_for(queries, nparts, hash_name)
+        (rq,), rvalid, route = dist.distribute(
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
+        hi, lo, found = st.kv_lookup(store, rq)
+        found = found & rvalid
+        back_hi, back_lo, back_f = dist.undistribute(
+            (hi, lo, found.astype(jnp.int8)), route, nparts, capacity,
+            axes_of(mesh))
+        return (back_hi[None], back_lo[None],
+                back_f.astype(bool)[None], route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 4,
+    ))
+
+
+def make_kv_erase_step(mesh: Mesh, nparts: int, capacity: int,
+                       hash_name: str):
+    """Jitted unique-map erase."""
+
+    def body(stores_blk, keys_blk, valid_blk):
+        store = _unstack(stores_blk)
+        keys, valid = keys_blk[0], valid_blk[0]
+        owner = owners_for(keys, nparts, hash_name)
+        (rk,), rvalid, route = dist.distribute(
+            (keys,), owner, valid, nparts, capacity, axes_of(mesh))
+        new_store, nerased = st.kv_erase(store, rk, rvalid)
+        return _stack(new_store), nerased[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_kv_filter_step(mesh: Mesh, pred):
+    """Jitted predicate filter over local (key, u64 value) entries —
+    pred: (keys uint32[n, w], val_hi uint32[n], val_lo uint32[n]) ->
+    keep bool[n].  Returns (new_stores, n_erased[p])."""
+    from ..ops import sortops
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        live = jnp.arange(store.capacity) < store.size
+        keep = pred(store.keys, store.val_hi, store.val_lo) & live
+        s_words, (s_hi, s_lo), s_valid = sortops.sort_rows(
+            store.keys, (store.val_hi, store.val_lo), keep)
+        new_size = jnp.sum(keep.astype(jnp.int32))
+        new = st.KVStore(
+            keys=jnp.where(s_valid[:, None], s_words,
+                           jnp.uint32(0xFFFFFFFF)),
+            val_hi=jnp.where(s_valid, s_hi, 0),
+            val_lo=jnp.where(s_valid, s_lo, 0),
+            size=new_size,
+        )
+        return _stack(new), (store.size - new_size)[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
+    ))
+
+
+def make_kv_scan_step(mesh: Mesh, pred):
+    """Jitted predicate scan (count_if/find_if without mutation)."""
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        live = jnp.arange(store.capacity) < store.size
+        return (pred(store.keys, store.val_hi, store.val_lo) & live)[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=P(axes_of(mesh)),
+    ))

@@ -340,3 +340,130 @@ def make_multi_local_ingest_step(mesh: Mesh, spec, canonical: bool,
         in_specs=(P(axes_of(mesh)),) * 7,
         out_specs=(P(axes_of(mesh)),) * 5,
     ))
+
+
+def make_kv_flush_step(mesh: Mesh, nparts: int, capacity: int,
+                       reduce: str = "first", oversample: int = 64):
+    """Jitted sorted-map rebuild for the generic unique-value map
+    (sorted_map, distributed_sorted_map.hpp:1407): global samplesort of
+    (key, u64 value, priority) rows + per-key reduction.
+
+    reduce="first": smallest `prio` wins (store rows re-enter with prio 0,
+    pending batches with ascending arrival priorities).  "min"/"max":
+    extreme u64 value wins; prio ignored.  Returns
+    (new_stores, splitters, overflow)."""
+
+    def body(words_blk, hi_blk, lo_blk, prio_blk, valid_blk):
+        words, vhi, vlo, prio, valid = (
+            words_blk[0], hi_blk[0], lo_blk[0], prio_blk[0], valid_blk[0])
+        s_words, _, s_valid = sortops.sort_rows(words, (), valid,
+                                                is_stable=False)
+        splitters = _global_splitters(s_words, s_valid, nparts, oversample,
+                                      axes_of(mesh))
+        owner = owners_from_splitters(words, splitters, nparts)
+        (rw, rhi, rlo, rp), rvalid, route = dist.distribute(
+            (words, vhi, vlo, prio), owner, valid, nparts, capacity,
+            axes_of(mesh))
+        n, w = rw.shape
+        flag = (~rvalid).astype(jnp.uint32)
+        cols = tuple(rw[:, j] for j in range(w))
+        if reduce == "first":
+            ops = jax.lax.sort((flag,) + cols + (rp, rhi, rlo),
+                               num_keys=1 + w + 1, is_stable=False)
+            s_hi, s_lo = ops[2 + w], ops[3 + w]
+        elif reduce in ("min", "max"):
+            vh = rhi if reduce == "min" else ~rhi
+            vl = rlo if reduce == "min" else ~rlo
+            ops = jax.lax.sort((flag,) + cols + (vh, vl),
+                               num_keys=1 + w + 2, is_stable=False)
+            s_hi, s_lo = ops[1 + w], ops[2 + w]
+            if reduce == "max":
+                s_hi, s_lo = ~s_hi, ~s_lo
+        else:
+            raise ValueError(reduce)
+        sv = ops[0] == 0
+        sw = jnp.stack(ops[1:1 + w], axis=1)
+        uniq, (hi_f, lo_f), starts, n_unique, _tv = sortops.compact_runs(
+            sw, sv, payloads=(s_hi, s_lo))
+        live = jnp.arange(n) < n_unique
+        store = st.KVStore(
+            keys=jnp.where(live[:, None], uniq, _SENT),
+            val_hi=jnp.where(live, hi_f, 0),
+            val_lo=jnp.where(live, lo_f, 0),
+            size=n_unique,
+        )
+        return _stack(store), splitters[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 5,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_kv_query_step(mesh: Mesh, nparts: int, capacity: int):
+    """Jitted splitter-routed unique-map lookup."""
+
+    def body(stores_blk, split_blk, queries_blk, qvalid_blk):
+        store = _unstack(stores_blk)
+        splitters = split_blk[0]
+        queries, qvalid = queries_blk[0], qvalid_blk[0]
+        owner = owners_from_splitters(queries, splitters, nparts)
+        (rq,), rvalid, route = dist.distribute(
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
+        hi, lo, found = st.kv_lookup(store, rq)
+        found = found & rvalid
+        back_hi, back_lo, back_f = dist.undistribute(
+            (hi, lo, found.astype(jnp.int8)), route, nparts, capacity,
+            axes_of(mesh))
+        return (back_hi[None], back_lo[None], back_f.astype(bool)[None],
+                route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 4,
+    ))
+
+
+def make_kv_erase_step(mesh: Mesh, nparts: int, capacity: int):
+    """Jitted splitter-routed unique-map erase."""
+
+    def body(stores_blk, split_blk, keys_blk, valid_blk):
+        store = _unstack(stores_blk)
+        splitters = split_blk[0]
+        keys, valid = keys_blk[0], valid_blk[0]
+        owner = owners_from_splitters(keys, splitters, nparts)
+        (rk,), rvalid, route = dist.distribute(
+            (keys,), owner, valid, nparts, capacity, axes_of(mesh))
+        new_store, nerased = st.kv_erase(store, rk, rvalid)
+        return _stack(new_store), nerased[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_kv_local_ingest_step(mesh: Mesh, spec, canonical: bool):
+    """Jitted shard-local (kmer, position-id) extraction for the sorted
+    unique-value map (no exchange — the flush samplesort routes).
+    Returns (words, hi, lo, valid) stacked [p, n, ...]."""
+    from ..io.kmer_parsers import DeviceBases, extract_tuples
+
+    def body(codes_blk, valid_blk, owned_blk, seg_blk, hi_blk, lo_blk):
+        bases = DeviceBases(
+            codes=codes_blk[0], valid=valid_blk[0], owned=owned_blk[0],
+            seg_id=seg_blk[0], id_hi=hi_blk[0], id_lo=lo_blk[0],
+            qual=jnp.zeros_like(codes_blk[0]),
+        )
+        tup = extract_tuples(bases, spec, canonical=canonical)
+        return (tup.words[None], tup.id_hi[None], tup.id_lo[None],
+                tup.valid[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 6,
+        out_specs=(P(axes_of(mesh)),) * 4,
+    ))

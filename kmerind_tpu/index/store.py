@@ -720,3 +720,128 @@ def run_compact(store: RunCountStore, new_cap: int):
         totals = jnp.concatenate([
             totals, jnp.zeros(new_cap - cap, jnp.int32)])
     return run_from_sorted(uniq, totals), jnp.maximum(n_emit - new_cap, 0)
+
+
+# ------------------------------------------------ generic unique-value map
+@dataclasses.dataclass
+class KVStore:
+    """Unique-key k-mer → 64-bit value map — the reference's generic
+    `KmerIndex` alias (`Index<densehash_map<Kmer, T>>`,
+    /root/reference/src/index/kmer_index.hpp:397-399 over
+    densehash_map.hpp:1742 / distributed_sorted_map.hpp:1407).  Values are
+    (hi, lo) uint32 pairs; the insert reduction is `first` (keep the
+    earliest arrival, the hash map's insert-does-not-overwrite), `min`, or
+    `max` over the u64 value."""
+
+    keys: jax.Array    # uint32[cap, w] — sorted unique keys in [0, size)
+    val_hi: jax.Array  # uint32[cap]
+    val_lo: jax.Array  # uint32[cap]
+    size: jax.Array    # int32 scalar
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    KVStore, data_fields=["keys", "val_hi", "val_lo", "size"],
+    meta_fields=[])
+
+
+def empty_kv_store(capacity: int, nwords: int) -> KVStore:
+    return KVStore(
+        keys=jnp.full((capacity, nwords), _SENTINEL, dtype=jnp.uint32),
+        val_hi=jnp.zeros((capacity,), jnp.uint32),
+        val_lo=jnp.zeros((capacity,), jnp.uint32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("reduce",))
+def kv_insert(store: KVStore, words, val_hi, val_lo, valid,
+              reduce: str = "first"):
+    """Merge (key, u64 value) tuples into the unique map.
+
+    reduce="first": existing store entries win over the batch, earlier
+    batch rows win over later ones (densehash insert semantics; arrival
+    order within a routed batch follows source-shard-major order).
+    reduce="min"/"max": the extreme u64 value per key wins —
+    order-independent (the reduction map with min/max functor,
+    distributed_densehash_map.hpp:2429+).  Returns (new_store, overflow).
+    """
+    cap = store.capacity
+    n = words.shape[0]
+    live_store = jnp.arange(cap) < store.size
+    all_words = jnp.concatenate([store.keys, words.astype(jnp.uint32)],
+                                axis=0)
+    all_hi = jnp.concatenate([store.val_hi, val_hi.astype(jnp.uint32)])
+    all_lo = jnp.concatenate([store.val_lo, val_lo.astype(jnp.uint32)])
+    all_valid = jnp.concatenate([live_store, valid])
+    w = all_words.shape[1]
+    flag = (~all_valid).astype(jnp.uint32)
+    cols = tuple(all_words[:, j] for j in range(w))
+    if reduce == "first":
+        # priority: store rows 0 (their keys are unique among themselves),
+        # batch rows by arrival index
+        prio = jnp.concatenate([
+            jnp.zeros(cap, jnp.uint32),
+            jnp.arange(1, n + 1, dtype=jnp.uint32)])
+        ops = jax.lax.sort((flag,) + cols + (prio, all_hi, all_lo),
+                           num_keys=1 + w + 1, is_stable=False)
+        s_hi, s_lo = ops[2 + w], ops[3 + w]
+    elif reduce in ("min", "max"):
+        vh = all_hi if reduce == "min" else ~all_hi
+        vl = all_lo if reduce == "min" else ~all_lo
+        ops = jax.lax.sort((flag,) + cols + (vh, vl),
+                           num_keys=1 + w + 2, is_stable=False)
+        s_hi, s_lo = ops[1 + w], ops[2 + w]
+        if reduce == "max":
+            s_hi, s_lo = ~s_hi, ~s_lo
+    else:
+        raise ValueError(f"unknown reduce {reduce!r}")
+    s_valid = ops[0] == 0
+    s_words = jnp.stack(ops[1:1 + w], axis=1)
+    uniq, (hi_f, lo_f), starts, n_unique, total_valid = sortops.compact_runs(
+        s_words, s_valid, payloads=(s_hi, s_lo))
+    live = jnp.arange(cap + n) < n_unique
+    new = KVStore(
+        keys=jnp.where(live[:, None], uniq, jnp.uint32(_SENTINEL))[:cap],
+        val_hi=jnp.where(live, hi_f, 0)[:cap],
+        val_lo=jnp.where(live, lo_f, 0)[:cap],
+        size=jnp.minimum(n_unique, cap),
+    )
+    return new, jnp.maximum(n_unique - cap, 0)
+
+
+@jax.jit
+def kv_lookup(store: KVStore, queries):
+    """(val_hi, val_lo, found) per query key."""
+    q = queries.astype(jnp.uint32)
+    idx = sortops.lower_bound(store.keys, store.size, q)
+    hit = sortops.rows_equal_at(store.keys, idx, q, store.size)
+    cap = store.capacity
+    ic = jnp.clip(idx, 0, cap - 1)
+    return (jnp.where(hit, store.val_hi[ic], 0),
+            jnp.where(hit, store.val_lo[ic], 0), hit)
+
+
+@jax.jit
+def kv_erase(store: KVStore, queries, qvalid):
+    """Remove query keys; returns (new_store, n_erased)."""
+    q = queries.astype(jnp.uint32)
+    idx = sortops.lower_bound(store.keys, store.size, q)
+    hit = sortops.rows_equal_at(store.keys, idx, q, store.size) & qvalid
+    cap = store.capacity
+    kill = jnp.zeros((cap + 1,), bool).at[
+        jnp.where(hit, idx, cap)].set(True)[:cap]
+    keep = (jnp.arange(cap) < store.size) & ~kill
+    s_words, (s_hi, s_lo), s_valid = sortops.sort_rows(
+        store.keys, (store.val_hi, store.val_lo), keep)
+    new_size = jnp.sum(keep.astype(jnp.int32))
+    new = KVStore(
+        keys=jnp.where(s_valid[:, None], s_words, jnp.uint32(_SENTINEL)),
+        val_hi=jnp.where(s_valid, s_hi, 0),
+        val_lo=jnp.where(s_valid, s_lo, 0),
+        size=new_size,
+    )
+    return new, store.size - new_size

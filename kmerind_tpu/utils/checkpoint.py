@@ -31,6 +31,11 @@ _META = "kmerind_meta.json"
 _STORE = "store"
 
 
+def _value_types():
+    from ..index.value_api import KmerValueIndex, SortedKmerValueIndex
+    return KmerValueIndex, SortedKmerValueIndex
+
+
 def _config_of(idx) -> dict:
     """IndexConfig-compatible kwargs reconstructing `idx` empty."""
     from ..config import IndexConfig
@@ -54,6 +59,14 @@ def _config_of(idx) -> dict:
     elif isinstance(idx, hx.PositionIndex):
         cfg.update(index="position", canonical=idx.canonical,
                    hash_name=idx.hash_name, id_kind=idx.id_kind)
+    elif isinstance(idx, _value_types()[0]):
+        cfg.update(index="value", canonical=idx.canonical,
+                   hash_name=idx.hash_name, reduce=idx.reduce,
+                   id_kind=idx.id_kind)
+    elif isinstance(idx, _value_types()[1]):
+        cfg.update(index="value", distribution="range",
+                   canonical=idx.canonical, reduce=idx.reduce,
+                   id_kind=idx.id_kind)
     elif isinstance(idx, sx.SortedCountIndex):
         cfg.update(index="count", distribution="range",
                    canonical=idx.canonical,
