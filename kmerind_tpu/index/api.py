@@ -831,20 +831,25 @@ class CountIndex(_IndexBase):
         """Without kmers: all (kmer_int, count) entries satisfying pred.
         With kmers: per-query counts, zeroed where pred fails."""
         if kmers is None:
+            # device-side selection: matching entries compact to the front
+            # per shard, the host slices n rows (no cap-sized mask scans)
             self._consolidate()
-            key = ("scan_if", pred, self._run_caps())
+            key = ("select_if", pred, self._run_caps())
             if key not in self._step_cache:
-                self._step_cache[key] = dx.make_run_scan_step(
+                self._step_cache[key] = dx.make_run_select_step(
                     self.mesh, pred, self.saturate)
-            mask, totals = self._step_cache[key](self.runs[0])
-            mask = self._fetch(mask)
+            keys_out, totals, n = self._step_cache[key](self.runs[0])
+            keys_out = self._fetch(keys_out)
             totals = self._fetch(totals)
-            keys = self._fetch(self.runs[0].keys)
+            n = self._fetch(n)
             out = []
             for p in range(self.nparts):
-                for i in np.flatnonzero(mask[p]):
-                    out.append((self.spec.to_int(keys[p, i]),
-                                int(totals[p, i])))
+                c = int(n[p])
+                if c == 0:
+                    continue
+                ints = self.spec.to_ints(keys_out[p, :c])
+                out.extend(zip(ints.tolist(),
+                               totals[p, :c].astype(int).tolist()))
             return out
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         counts = self.count(words)
@@ -1288,25 +1293,38 @@ class BimoleculeCountIndex(CountIndex):
                 for i in range(rows.shape[0])}
 
     def find(self, kmers):
-        """Found (stored-orientation kmer words, count) pairs."""
+        """Found (stored-orientation kmer words, count) pairs.
+
+        Device-side: one routed lookup returns (count, stored strand) per
+        canonical query; the stored orientation is reconstructed by
+        reverse-complementing flagged hits — no store gather (the old
+        O(store) host dict is gone)."""
+        self._flush()
         canon = self._maybe_canonicalize_queries(self._to_words(kmers))
-        counts = self.count(canon)
+        (wsh,), vsh, m = self._shard_rows(canon)
+        mq = wsh.shape[1]
+        bucket_cap = self._bucket_capacity(mq)
+        while True:
+            key = ("bimol_find", mq, bucket_cap, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_bimol_find_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name)
+            with self.timer.phase("find"):
+                counts, strand, ovf = self._step_cache[key](
+                    self.store, wsh, vsh)
+            if int(self._fetch(ovf).max()) == 0:
+                counts = self._fetch(counts).reshape(-1)[:m]
+                strand = self._fetch(strand).reshape(-1)[:m]
+                break
+            bucket_cap *= 2
         hit = counts > 0
         if not hit.any():
             return canon[:0], counts[:0]
-        # decode stored orientation for the hit keys
-        self._flush()
         from ..ops import bitops
         hits = canon[hit]
-        # fetch per-key strand via a membership scan over stored entries
-        rows, _ = self._stored_words()
-        canon_rows = self._maybe_canonicalize_queries(rows) if rows.shape[0] \
-            else rows
-        lut = {tuple(canon_rows[i]): tuple(rows[i])
-               for i in range(rows.shape[0])}
-        out = np.stack([np.array(lut[tuple(r)], np.uint32) for r in hits]) \
-            if hits.shape[0] else hits
-        return out, counts[hit]
+        rc = np.asarray(bitops.revcomp(jnp.asarray(hits), self.spec))
+        out = np.where((strand[hit] == 1)[:, None], rc, hits)
+        return out.astype(np.uint32), counts[hit]
 
     def save(self, path):
         self._flush()
@@ -1672,17 +1690,25 @@ class PositionIndex(_MultimapSurfaceMixin, _IndexBase):
             new_store, nerased = self._step_cache[key](self.store)
             self.store = new_store
             return int(self._fetch(nerased).sum())
+        # keyed erase_if: the query keys route to owners and mark covered
+        # store ranges; pred applies only inside them (device-side — the
+        # old path unrolled one compare per query row into the predicate)
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
-        qset = {tuple(int(x) for x in row) for row in words}
-
-        def _pred_in_set(k, h, l, q):
-            member = jnp.zeros(k.shape[0], bool)
-            for row in qset:
-                member = member | jnp.all(
-                    k == jnp.asarray(row, jnp.uint32), axis=-1)
-            return member & pred(k, h, l, q)
-
-        return self.erase_if(_pred_in_set)
+        (wsh,), vsh, m = self._shard_rows(words)
+        mq = wsh.shape[1]
+        bucket_cap = self._bucket_capacity(mq)
+        while True:
+            key = ("erase_if_keys", pred, mq, bucket_cap, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_multi_erase_if_keys_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name,
+                    pred)
+            new_store, nerased, ovf = self._step_cache[key](
+                self.store, wsh, vsh)
+            if int(self._fetch(ovf).max()) == 0:
+                self.store = new_store
+                return int(self._fetch(nerased).sum())
+            bucket_cap *= 2
 
     def filter(self, pred) -> int:
         """Keep only pairs satisfying pred; returns number erased."""

@@ -1165,3 +1165,117 @@ def make_kv_scan_step(mesh: Mesh, pred):
         body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
         out_specs=P(axes_of(mesh)),
     ))
+
+
+def make_bimol_find_step(mesh: Mesh, nparts: int, capacity: int,
+                         hash_name: str):
+    """Jitted Bimolecule lookup: (counts[p,m], strand[p,m], overflow[p]) in
+    original query order — count + stored-orientation flag per canonical
+    query key, WITHOUT a host store gather (the device-side replacement of
+    the old O(store) dict reconstruction; fused query pattern analog,
+    incremental_mxx.hpp:1376-1806)."""
+    from ..ops import sortops
+
+    def body(stores_blk, queries_blk, qvalid_blk):
+        store = _unstack(stores_blk)
+        queries, qvalid = queries_blk[0], qvalid_blk[0]
+        owner = owners_for(queries, nparts, hash_name)
+        (rq,), rvalid, route = dist.distribute(
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
+        q = rq.astype(jnp.uint32)
+        idx = sortops.lower_bound(store.keys, store.size, q)
+        hit = sortops.rows_equal_at(store.keys, idx, q, store.size) & rvalid
+        ic = jnp.clip(idx, 0, store.capacity - 1)
+        counts = jnp.where(hit, store.counts[ic], 0)
+        strand = jnp.where(hit, store.rep_strand[ic], 0)
+        back_c, back_s = dist.undistribute(
+            (counts, strand), route, nparts, capacity, axes_of(mesh))
+        return back_c[None], back_s[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_multi_erase_if_keys_step(mesh: Mesh, nparts: int, capacity: int,
+                                  hash_name: str, pred):
+    """Jitted multimap erase_if restricted to a query key set: pairs whose
+    key matches a (routed) query key AND satisfies pred are removed —
+    replaces the old per-query-row predicate unrolling (compile time and
+    program size were linear in the query count).
+
+    pred: traceable (keys, id_hi, id_lo, qual) -> bool[n].
+    Returns (new_stores, n_erased[p], overflow[p])."""
+    from ..ops import sortops
+
+    def body(stores_blk, keys_blk, valid_blk):
+        store = _unstack(stores_blk)
+        keys, valid = keys_blk[0], valid_blk[0]
+        owner = owners_for(keys, nparts, hash_name)
+        (rk,), rvalid, route = dist.distribute(
+            (keys,), owner, valid, nparts, capacity, axes_of(mesh))
+        q = rk.astype(jnp.uint32)
+        cap = store.capacity
+        lo = sortops.lower_bound(store.keys, store.size, q)
+        hi = sortops.upper_bound(store.keys, store.size, q)
+        lo = jnp.where(rvalid, lo, 0)
+        hi = jnp.where(rvalid, hi, 0)
+        diff = jnp.zeros((cap + 1,), jnp.int32)
+        diff = diff.at[lo].add(jnp.where(rvalid, 1, 0))
+        diff = diff.at[hi].add(jnp.where(rvalid, -1, 0))
+        member = jnp.cumsum(diff[:cap]) > 0
+        live = jnp.arange(cap) < store.size
+        keep = live & ~(member & pred(store.keys, store.val_hi,
+                                      store.val_lo, store.val_q))
+        s_words, (s_hi, s_lo, s_q), s_valid = sortops.sort_rows(
+            store.keys,
+            (store.val_hi, store.val_lo,
+             jax.lax.bitcast_convert_type(store.val_q, jnp.uint32)),
+            keep)
+        new_size = jnp.sum(keep.astype(jnp.int32))
+        new = st.MultiStore(
+            keys=jnp.where(s_valid[:, None], s_words,
+                           jnp.uint32(0xFFFFFFFF)),
+            val_hi=jnp.where(s_valid, s_hi, 0),
+            val_lo=jnp.where(s_valid, s_lo, 0),
+            val_q=jax.lax.bitcast_convert_type(
+                jnp.where(s_valid, s_q, 0), jnp.float32),
+            size=new_size,
+        )
+        return (_stack(new), (store.size - new_size)[None],
+                route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_run_select_step(mesh: Mesh, pred, saturate: int | None = None):
+    """Jitted device-side selection over the run store: entries satisfying
+    pred(keys, counts) are COMPACTED to the front per shard (one stable
+    sort), so the host slices n rows instead of scanning cap-sized masks.
+    Returns (keys_out[p, cap, w], totals_out[p, cap], n[p])."""
+    from ..ops import sortops
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        cap, w = store.keys.shape
+        _, is_last, total = st.run_totals(store)
+        counts = total if saturate is None else jnp.minimum(total, saturate)
+        emit = is_last & (total > 0) & pred(store.keys, counts)
+        n_emit = jnp.sum(emit.astype(jnp.int32))
+        front_key = (~emit).astype(jnp.uint32)
+        ops = jax.lax.sort(
+            (front_key,) + tuple(store.keys[:, j] for j in range(w))
+            + (counts,), num_keys=1, is_stable=True)
+        keys_out = jnp.stack(ops[1:1 + w], axis=1)
+        return keys_out[None], ops[1 + w][None], n_emit[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))

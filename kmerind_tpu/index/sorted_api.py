@@ -608,17 +608,23 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
             new_store, nerased = self._step_cache[key](self.store)
             self.store = new_store
             return int(self._fetch(nerased).sum())
+        # keyed erase_if: splitter-route the query keys, mark covered
+        # store ranges, apply pred only inside them (device-side)
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
-        qset = {tuple(int(x) for x in row) for row in words}
-
-        def _pred_in_set(k, h, l, q):
-            member = jnp.zeros(k.shape[0], bool)
-            for row in qset:
-                member = member | jnp.all(
-                    k == jnp.asarray(row, jnp.uint32), axis=-1)
-            return member & pred(k, h, l, q)
-
-        return self.erase_if(_pred_in_set)
+        (wsh,), vsh, m = self._shard_rows(words)
+        mq = wsh.shape[1]
+        bucket_cap = self._query_capacity(mq)
+        while True:
+            key = ("erase_if_keys", pred, mq, bucket_cap, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = sx.make_multi_erase_if_keys_step(
+                    self.mesh, self.nparts, bucket_cap, pred)
+            new_store, nerased, ovf = self._step_cache[key](
+                self.store, self._splitters_blk(), wsh, vsh)
+            if int(self._fetch(ovf).max()) == 0:
+                self.store = new_store
+                return int(self._fetch(nerased).sum())
+            bucket_cap *= 2
 
     def filter(self, pred) -> int:
         return self.erase_if(lambda k, h, l, q: ~pred(k, h, l, q))

@@ -467,3 +467,53 @@ def make_kv_local_ingest_step(mesh: Mesh, spec, canonical: bool):
         in_specs=(P(axes_of(mesh)),) * 6,
         out_specs=(P(axes_of(mesh)),) * 4,
     ))
+
+
+def make_multi_erase_if_keys_step(mesh: Mesh, nparts: int, capacity: int,
+                                  pred):
+    """Jitted splitter-routed keyed erase_if: pairs whose key matches a
+    routed query key AND satisfies pred are removed (the device-side
+    replacement of per-query predicate unrolling)."""
+
+    def body(stores_blk, split_blk, keys_blk, valid_blk):
+        store = _unstack(stores_blk)
+        splitters = split_blk[0]
+        keys, valid = keys_blk[0], valid_blk[0]
+        owner = owners_from_splitters(keys, splitters, nparts)
+        (rk,), rvalid, route = dist.distribute(
+            (keys,), owner, valid, nparts, capacity, axes_of(mesh))
+        q = rk.astype(jnp.uint32)
+        cap = store.capacity
+        lo = sortops.lower_bound(store.keys, store.size, q)
+        hi = sortops.upper_bound(store.keys, store.size, q)
+        lo = jnp.where(rvalid, lo, 0)
+        hi = jnp.where(rvalid, hi, 0)
+        diff = jnp.zeros((cap + 1,), jnp.int32)
+        diff = diff.at[lo].add(jnp.where(rvalid, 1, 0))
+        diff = diff.at[hi].add(jnp.where(rvalid, -1, 0))
+        member = jnp.cumsum(diff[:cap]) > 0
+        live = jnp.arange(cap) < store.size
+        keep = live & ~(member & pred(store.keys, store.val_hi,
+                                      store.val_lo, store.val_q))
+        s_words, (s_hi, s_lo, s_q), s_valid = sortops.sort_rows(
+            store.keys,
+            (store.val_hi, store.val_lo,
+             jax.lax.bitcast_convert_type(store.val_q, jnp.uint32)),
+            keep)
+        new_size = jnp.sum(keep.astype(jnp.int32))
+        new = st.MultiStore(
+            keys=jnp.where(s_valid[:, None], s_words, _SENT),
+            val_hi=jnp.where(s_valid, s_hi, 0),
+            val_lo=jnp.where(s_valid, s_lo, 0),
+            val_q=jax.lax.bitcast_convert_type(
+                jnp.where(s_valid, s_q, 0), jnp.float32),
+            size=new_size,
+        )
+        return (_stack(new), (store.size - new_size)[None],
+                route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
