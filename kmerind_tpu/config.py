@@ -72,9 +72,20 @@ class IndexConfig:
         strands = self.strands
         if strands is None:
             strands = "canonical" if self.canonical else "single"
-        if strands not in ("canonical", "single", "bimolecule"):
+        if strands not in ("canonical", "single", "bimolecule",
+                           "lex_greater", "xor_rev_comp"):
             raise ValueError(f"unknown strands preset {strands!r}")
-        canonical = strands != "single"
+        # the full InputTransform matrix (kmer_transform.hpp:90-145):
+        # canonical == lex_less; lex_greater/xor_rev_comp pass the
+        # transform name through the `canonical` knob
+        if strands in ("lex_greater", "xor_rev_comp"):
+            if self.index == "debruijn":
+                raise ValueError(
+                    "the de Bruijn engine defines edges on the lex_less "
+                    "canonical strand (the reference's driver config)")
+            canonical = strands
+        else:
+            canonical = strands != "single"
         if self.distribution not in ("hash", "range"):
             raise ValueError(f"unknown distribution {self.distribution!r}")
         common = dict(mesh=mesh, fill_factor=self.fill_factor, **kw)

@@ -44,6 +44,11 @@ class DeBruijnGraph(_IndexBase):
     def __init__(self, spec: KmerSpec, mesh=None, canonical: bool = True,
                  hash_name: str = "murmur", saturate: int | None = None,
                  initial_capacity: int = 1 << 12, **kw):
+        if not isinstance(canonical, bool):
+            raise ValueError(
+                "DeBruijnGraph defines edge orientation on the lex_less "
+                "canonical strand; transform-name presets apply to the "
+                "k-mer index families only")
         super().__init__(spec, mesh, canonical, hash_name, **kw)
         self.saturate = saturate
         # jit-with-out_shardings store init: SPMD-safe (a plain device_put
@@ -137,8 +142,21 @@ class DeBruijnGraph(_IndexBase):
                 batch, id_kind=None, halo=self.spec.k, halo_left=1,
                 need_ids=False, need_qual=False)[0]
         # externally-supplied batches may be pre-encoded in the k-mer
-        # alphabet (legacy path: edge chars outside it are lossy)
-        cols["raw"] = batch.alphabet.name == "ASCII"
+        # alphabet (legacy path: edge chars outside it are lossy — an 'N'
+        # neighbor collapses through the k-mer LUT instead of encoding as
+        # DNA16 0xF).  Parse with graph.parse_alphabet (ASCII) to get the
+        # reference's dual-LUT semantics; warn once otherwise.
+        raw = batch.alphabet.name == "ASCII"
+        if not raw and not getattr(self, "_warned_lossy_edges", False):
+            self._warned_lossy_edges = True
+            import warnings
+            warnings.warn(
+                "DeBruijnGraph received a batch encoded in the "
+                f"{batch.alphabet.name} alphabet: edge characters outside "
+                "it (e.g. 'N') are lossy.  Parse inputs with "
+                "graph.parse_alphabet (raw ASCII) for the reference's "
+                "dual-LUT edge semantics.", RuntimeWarning, stacklevel=3)
+        cols["raw"] = raw
         return cols
 
     def _insert_one_chunk(self, batch: ReadBatch):

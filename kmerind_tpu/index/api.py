@@ -113,14 +113,27 @@ class _IndexBase:
                 rows.append(np.asarray(km, dtype=np.uint32))
         return np.stack(rows).astype(np.uint32)
 
+    @property
+    def transform(self) -> str:
+        """Input-transform name (kmer_transform.hpp:90-145): `canonical`
+        may be a bool (the Canonical/SingleStrand presets) or a transform
+        name ("lex_less" / "lex_greater" / "xor_rev_comp")."""
+        return {False: "single", True: "lex_less"}.get(
+            self.canonical, self.canonical)
+
     def _maybe_canonicalize_queries(self, words: np.ndarray) -> np.ndarray:
         """Canonical presets transform queries too (transform_input on the
         query path, distributed_map_base.hpp:286-301)."""
-        if not self.canonical:
+        t = self.transform
+        if t == "single":
             return words
         from ..ops import bitops
         rc = np.asarray(bitops.revcomp(jnp.asarray(words), self.spec))
+        if t == "xor_rev_comp":
+            return (words ^ rc).astype(np.uint32)
         less = np.asarray(packing.lex_less(jnp.asarray(rc), jnp.asarray(words)))
+        if t == "lex_greater":
+            return np.where(less[:, None], words, rc).astype(np.uint32)
         return np.where(less[:, None], rc, words)
 
     def _zero_col(self, shape, dtype):

@@ -108,23 +108,38 @@ def extract_tuples(bases: DeviceBases, spec: KmerSpec, canonical: bool = True,
 
     backend: "pallas" (fused VMEM kernel), "xla", or "auto" (Pallas on TPU
     when the alphabet supports it).
+
+    canonical also accepts a transform NAME — the full MapParams
+    InputTransform matrix (kmer_transform.hpp:90-145): "single" (False),
+    "lex_less" (True, the Canonical preset), "lex_greater" (max of the two
+    strands), "xor_rev_comp" (strand-neutral XOR key; keys are stored in
+    transformed form, as the reference's InputTransform does).
     """
     from ..ops import pallas_kernels
+    transform = {False: "single", True: "lex_less"}.get(canonical, canonical)
     use_pallas = backend == "pallas" or (
         backend == "auto"
         and jax.default_backend() == "tpu"
-        and canonical
+        and transform == "lex_less"
         and pallas_kernels.pallas_supported(spec))
-    if canonical:
+    if transform == "lex_less":
         if use_pallas:
             words, was_rc = pallas_kernels.extract_canonical_pallas(
                 bases.codes, spec)
         else:
             words, was_rc = packing.extract_canonical(bases.codes, spec)
         strand = was_rc.astype(jnp.uint32)
-    else:
+    elif transform == "lex_greater":
+        words, was_rc = packing.extract_canonical_greater(bases.codes, spec)
+        strand = was_rc.astype(jnp.uint32)
+    elif transform == "xor_rev_comp":
+        words = packing.extract_xor_rev_comp(bases.codes, spec)
+        strand = jnp.zeros(bases.codes.shape[0], jnp.uint32)
+    elif transform == "single":
         words = packing.extract_kmers(bases.codes, spec)
         strand = jnp.zeros(bases.codes.shape[0], jnp.uint32)
+    else:
+        raise ValueError(f"unknown transform {transform!r}")
     wvalid = packing.window_valid(bases.valid, bases.seg_id, spec.k) & bases.owned
     if with_quality:
         qual = window_quality(bases.qual, spec.k, codec)

@@ -74,6 +74,11 @@ def host_block_batch(path, alphabet: Alphabet, fmt: str | None = None,
                      halo: int = 0, file_id: int = 0) -> ReadBatch:
     """This host's byte block of `path`, parsed with record repair.
 
+    NOTE for de Bruijn builds: pass `graph.parse_alphabet` (raw ASCII) as
+    `alphabet` so edge nibbles see the raw characters (dual-LUT
+    semantics: an 'N' neighbor encodes as DNA16 0xF instead of collapsing
+    through the k-mer alphabet's LUT).
+
     Host h of H owns records starting in byte block h (FASTQ) or the bases
     in block h plus `halo` following bases (FASTA) — the partitioned_file
     contract, with `jax.process_index()` standing in for the MPI rank.

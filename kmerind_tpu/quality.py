@@ -40,6 +40,20 @@ __all__ = [
 
 _LOWEST = np.finfo(np.float64).min
 
+# Bit-exact LUT reproduction relies on np.longdouble being the x86 80-bit
+# extended type the reference's table-generation loop used (machep == -63).
+# On platforms where long double is IEEE quad (aarch64) or plain double
+# (Windows), the %.17f round-trip can round boundary entries differently —
+# warn once and proceed (the parity tests pin exactness where it holds).
+_LONGDOUBLE_X86 = np.finfo(np.longdouble).machep == -63
+if not _LONGDOUBLE_X86:  # pragma: no cover - non-x86 platforms only
+    import warnings
+
+    warnings.warn(
+        "np.longdouble is not x86 80-bit extended on this platform; "
+        "quality LUT entries may differ from the reference's compiled "
+        "literals in the last bits", RuntimeWarning, stacklevel=1)
+
 
 @dataclasses.dataclass(frozen=True)
 class QualityCodec:

@@ -23,6 +23,8 @@
 #include <cstring>
 #include <iostream>
 #include <string>
+#include <cmath>
+#include <limits>
 #include <vector>
 
 #include "common/alphabets.hpp"
@@ -147,6 +149,46 @@ static void dump_quality() {
                                                            64, 126);
 }
 
+// ENCODE parity: the reference's encode is an upper_bound search over the
+// 96-entry EncodeLUT with begin/end floor/ceiling rules
+// (quality_scores.hpp:216, 360-373).  Dump the encoded char for a value
+// sweep that hits every interesting region: every decode-LUT value (the
+// round-trip), every EncodeLUT boundary and its neighbors (one ULP-ish
+// nudges via nextafter), midpoints, and the edges.
+template <typename CODEC>
+static void dump_quality_encode(const char *name, int lo, int hi) {
+  std::vector<double> sweep;
+  for (int a = lo; a <= hi; ++a)
+    sweep.push_back((double)CODEC::decode((unsigned char)a));
+  for (int q = 0; q < 96; ++q) {
+    double b = (double)CODEC::EncodeLUT[q];
+    std::printf("EL %s %d %a\n", name, q, b);
+    sweep.push_back(b);
+    sweep.push_back(std::nextafter(b, -1e308));
+    sweep.push_back(std::nextafter(b, 1e308));
+  }
+  sweep.push_back(0.0);
+  sweep.push_back(-1e-9);
+  sweep.push_back(-40.0);
+  sweep.push_back(-1e30);
+  sweep.push_back(std::numeric_limits<double>::lowest());
+  sweep.push_back(-std::numeric_limits<double>::infinity());
+  sweep.push_back(std::numeric_limits<double>::infinity());
+  for (double v : sweep)
+    std::printf("E %s %a %u\n", name, v,
+                (unsigned)CODEC::encode(v));
+}
+
+static void dump_quality_encode_all() {
+  using namespace bliss::index;
+  dump_quality_encode<Illumina18QualityScoreCodec<double>>("Illumina18", 33,
+                                                           126);
+  dump_quality_encode<Illumina13QualityScoreCodec<double>>("Illumina13", 64,
+                                                           126);
+  dump_quality_encode<Illumina15QualityScoreCodec<double>>("Illumina15", 64,
+                                                           126);
+}
+
 int main() {
   std::string line;
   while (std::getline(std::cin, line)) {
@@ -156,5 +198,6 @@ int main() {
   }
   dump_murmur();
   dump_quality();
+  dump_quality_encode_all();
   return 0;
 }

@@ -120,3 +120,46 @@ def test_ascii_spec_extraction():
         jnp.asarray(ASCII.encode(s)), spec))
     assert spec.to_string(words[0]) == "HELLOW"
     assert spec.to_string(words[4]) == "OWORLD"
+
+
+# -- transform-preset matrix: lex_greater / xor_rev_comp as index-level
+# strand options (kmer_transform.hpp:91-145; MapParams accept any
+# transform, kmer_index.hpp:436-562) ------------------------------------
+
+def _transform_oracle(seqs, k, alphabet, transform):
+    from collections import Counter
+    c = Counter()
+    for s in seqs:
+        for v in oracle.seq_kmers(s, k, alphabet):
+            rc = oracle.revcomp_int(v, k, alphabet)
+            if transform == "lex_greater":
+                c[max(v, rc)] += 1
+            elif transform == "xor_rev_comp":
+                c[v ^ rc] += 1
+            else:
+                raise ValueError(transform)
+    return c
+
+
+@pytest.mark.parametrize("transform", ["lex_greater", "xor_rev_comp"])
+@pytest.mark.parametrize("distribution", ["hash", "range"])
+def test_transform_presets_count(ref_data_dir, transform, distribution):
+    from kmerind_tpu.config import IndexConfig
+    path = ref_data_dir / "test.small.fastq"
+    idx = IndexConfig(k=21, index="count", strands=transform,
+                      distribution=distribution).make_index()
+    idx.build(str(path))
+    seqs = [r[1] for r in py_parse_fastq(path.read_text())]
+    expect = _transform_oracle(seqs, 21, DNA, transform)
+    assert idx.to_dict() == dict(expect)
+    # queries transform too: a raw forward-strand k-mer must answer with
+    # its transformed key's count
+    spec = idx.spec
+    some = oracle.seq_kmers(seqs[0], 21, DNA)[:8]
+    qwords = np.stack([spec.pack_codes(
+        [(v >> (2 * i)) & 3 for i in range(20, -1, -1)]) for v in some])
+    got = idx.count(qwords)
+    want = [expect[max(v, oracle.revcomp_int(v, 21, DNA))
+                   if transform == "lex_greater"
+                   else v ^ oracle.revcomp_int(v, 21, DNA)] for v in some]
+    assert list(got) == want

@@ -190,7 +190,7 @@ def ref_output(tmp_path_factory) -> dict:
         [str(exe)], input="\n".join(seqs) + "\n",
         check=True, capture_output=True, text=True).stdout
     windows: dict[str, list] = {}
-    murmur, qual = [], []
+    murmur, qual, enc_lut, enc = [], [], [], []
     for line in out.splitlines():
         f = line.split()
         if f[0] == "K":
@@ -203,8 +203,12 @@ def ref_output(tmp_path_factory) -> dict:
             murmur.append((int(f[1]), int(f[2]), int(f[3], 16)))
         elif f[0] == "Q":
             qual.append((f[1], f[2], int(f[3]), float.fromhex(f[4])))
+        elif f[0] == "EL":
+            enc_lut.append((f[1], int(f[2]), float.fromhex(f[3])))
+        elif f[0] == "E":
+            enc.append((f[1], float.fromhex(f[2]), int(f[3])))
     return {"windows": windows, "murmur": murmur, "qual": qual,
-            "seqs": seqs}
+            "enc_lut": enc_lut, "enc": enc, "seqs": seqs}
 
 
 def _our_values(tag: str, seqs: list[str]) -> list[tuple[int, list[int]]]:
@@ -290,6 +294,48 @@ def test_quality_luts_bit_exact(ref_output):
                     preset, ascii_code, ours, val)
             n32 += 1
     assert n64 == 94 + 63 + 63 and n32 == 94
+
+
+def test_quality_encode_lut_bit_exact(ref_output):
+    """EncodeLUT bit-equality vs the compiled reference
+    (quality_scores.hpp:216): our (q - 0.5L) long-double + %.17f pipeline
+    must reproduce every hard-coded literal, incl. the MinScore
+    lowest() substitutions."""
+    codecs = {"Illumina18": quality.ILLUMINA18,
+              "Illumina13": quality.ILLUMINA13,
+              "Illumina15": quality.ILLUMINA15}
+    n = 0
+    for preset, q, val in ref_output["enc_lut"]:
+        ours = float(codecs[preset].encode_lut[q])
+        if val == float(np.finfo(np.float64).min):
+            assert ours == float(np.finfo(np.float64).min) or q >= 94, (
+                preset, q, ours)
+        if q >= 94:
+            # reference stores 0.0 rounding boundaries at 94/95 (decode 0);
+            # our searchsorted ceiling uses +max — the ENCODE answers must
+            # still agree (covered by test_quality_encode_parity)
+            n += 1
+            continue
+        assert ours == val, (preset, q, ours.hex(), val.hex())
+        n += 1
+    assert n == 3 * 96
+
+
+def test_quality_encode_parity(ref_output):
+    """encode() bit-parity against the COMPILED reference over the full
+    sweep (every decode value round-trips, every EncodeLUT boundary and
+    its nextafter neighbors, min_score floor and the +-inf edges) —
+    quality_scores.hpp:360-373."""
+    codecs = {"Illumina18": quality.ILLUMINA18,
+              "Illumina13": quality.ILLUMINA13,
+              "Illumina15": quality.ILLUMINA15}
+    n = 0
+    for preset, v, want in ref_output["enc"]:
+        codec = codecs[preset]
+        got = int(codec.encode(np.array([v]))[0])
+        assert got == want, (preset, float(v).hex(), got, want)
+        n += 1
+    assert n > 3 * (96 * 3 + 60)
 
 
 # ---------------------------------------------------------------------------
