@@ -432,10 +432,9 @@ class _IndexBase:
         return self.spec.k - 1, 0
 
     def _stream_supported(self, fmt: str) -> bool:
-        halo, halo_left = self._chunk_halo()
-        # FASTA block reads supply right halo only; multi-process hosts
-        # read their own blocks via parallel.multihost instead
-        return not (fmt == "fasta" and halo_left) and not self._multiprocess
+        # multi-process hosts read their own blocks via parallel.multihost
+        # instead of self-streaming
+        return not self._multiprocess
 
     def build_stream(self, path, fmt: str | None = None, file_id: int = 0,
                      block_bytes: int | None = None):
@@ -471,7 +470,8 @@ class _IndexBase:
                     else:
                         b = read_fasta_block(path, self.parse_alphabet, p,
                                              nblocks, file_id=file_id,
-                                             halo=halo, reuse=True)
+                                             halo=halo, halo_left=halo_left,
+                                             reuse=True)
                 if b.num_bases == 0:
                     continue
                 yield from b.iter_chunks(chunk_bases, halo, halo_left)

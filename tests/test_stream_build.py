@@ -101,12 +101,33 @@ def test_stream_debruijn_fastq(tmp_path):
     assert streamed.to_dict() == whole.to_dict()
 
 
-def test_stream_debruijn_fasta_unsupported(tmp_path):
-    # FASTA block reads supply right halo only; de Bruijn needs left
-    # context, so streaming must refuse rather than drop edges
-    path = _write_corpus(tmp_path, "fasta", n_records=10)
-    with pytest.raises(ValueError, match="unsupported"):
-        DeBruijnGraph(KmerSpec(21, DNA)).build_stream(path)
+@pytest.mark.parametrize("block_bytes", [512, 4096])
+def test_stream_debruijn_fasta(tmp_path, block_bytes):
+    """FASTA block reads now supply the 1-base LEFT edge context across
+    block boundaries (file.hpp:1436+ partitioned FASTA reads + the edge
+    halo, edge_iterator.hpp:56) — whole-genome graph builds stream with
+    O(block) host memory and node counters equal to the whole-file build,
+    at block sizes that split sequences mid-line and mid-record."""
+    path = _write_corpus(tmp_path, "fasta", n_records=60)
+    spec = KmerSpec(21, DNA)
+    whole = DeBruijnGraph(spec).build(path)
+    streamed = DeBruijnGraph(spec).build_stream(path,
+                                                block_bytes=block_bytes)
+    assert streamed.to_dict() == whole.to_dict()
+
+
+def test_stream_debruijn_fasta_long_genome(tmp_path):
+    """One long multi-block sequence: every interior block starts
+    mid-sequence and needs both edge halos."""
+    rng = np.random.default_rng(11)
+    seq = "".join(rng.choice(list("ACGT"), size=30_000))
+    path = tmp_path / "genome.fasta"
+    path.write_text(">chr1\n" + "\n".join(
+        seq[i:i + 70] for i in range(0, len(seq), 70)) + "\n")
+    spec = KmerSpec(21, DNA)
+    whole = DeBruijnGraph(spec).build(str(path))
+    streamed = DeBruijnGraph(spec).build_stream(str(path), block_bytes=2048)
+    assert streamed.to_dict() == whole.to_dict()
 
 
 def test_stream_on_reference_fixture():
