@@ -29,7 +29,8 @@ def build_argparser() -> argparse.ArgumentParser:
         prog="kmerind_tpu.bench.cli",
         description="Build and query a distributed k-mer index "
                     "(BenchmarkKmerIndex equivalent)")
-    ap.add_argument("-F", "--file", required=True, help="input FASTQ/FASTA")
+    ap.add_argument("-F", "--file", default=None, help="input FASTQ/FASTA "
+                    "(required unless --load restores a built index)")
     ap.add_argument("-Q", "--query", default=None,
                     help="query file (defaults to input file)")
     ap.add_argument("--index", default="count",
@@ -47,9 +48,12 @@ def build_argparser() -> argparse.ArgumentParser:
                          "(sorted_map analog, the reference's pMAP=SORTED)")
     ap.add_argument("--hash", default="murmur",
                     choices=["murmur", "farm", "fmix32", "std", "identity"])
-    ap.add_argument("-S", "--sample", type=float, default=1.0,
-                    help="fraction of query k-mers to sample (the reference's "
-                         "-S is 'one in N'; here a fraction)")
+    ap.add_argument("-S", "--sample", "--query-sample", type=float,
+                    default=1.0,
+                    help="query sampling: values >= 2 are the reference's "
+                         "'one in N' ratio (BenchmarkKmerIndex.cpp:454-457 "
+                         "keeps size/N shuffled kmers; its default is 100), "
+                         "values in (0,1) a fraction; 1 keeps all queries")
     ap.add_argument("-A", "--algo", type=int, default=7,
                     help="reader algorithm id, accepted for drop-in "
                          "compatibility (reference: 2=loader, 5=mmap, "
@@ -60,6 +64,13 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (virtual devices)")
     ap.add_argument("--format", default=None, choices=["fastq", "fasta"])
+    ap.add_argument("--save", default=None, metavar="DIR",
+                    help="after building, write a sharded Orbax checkpoint "
+                         "of the index under DIR (utils.checkpoint)")
+    ap.add_argument("--load", default=None, metavar="DIR",
+                    help="restore the index from a --save checkpoint "
+                         "instead of building; index-config flags are taken "
+                         "from the checkpoint, -F becomes optional")
     ap.add_argument("--no-erase", action="store_true")
     ap.add_argument("--json", action="store_true",
                     help="emit a summary JSON line")
@@ -67,7 +78,12 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
-    args = build_argparser().parse_args(argv)
+    ap = build_argparser()
+    args = ap.parse_args(argv)
+    if args.file is None and args.load is None:
+        ap.error("-F/--file is required unless --load is given")
+    if args.file is None and args.query is None:
+        ap.error("--load without -F needs -Q/--query for the query kmers")
 
     if args.cpu:
         import jax
@@ -100,28 +116,63 @@ def main(argv=None):
         strands=strands,
         distribution="range" if args.map == "sorted" else "hash",
         hash_name=args.hash, id_kind=id_kind, fmt=args.format)
-    idx = cfg.make_index(mesh=mesh, timer=timer)
+    idx = None if args.load is not None else cfg.make_index(mesh=mesh,
+                                                            timer=timer)
+
+    # ---- build (or restore a checkpoint, --load)
+    if args.load is not None:
+        from ..utils.checkpoint import load_index
+        t0 = time.perf_counter()
+        idx = load_index(args.load, mesh=mesh)
+        build_s = time.perf_counter() - t0
+        # queries and reporting follow the CHECKPOINT's configuration,
+        # not the CLI flags
+        spec, alpha = idx.spec, idx.spec.alphabet
+        args.index = {"CountIndex": "count", "BimoleculeCountIndex": "count",
+                      "SortedCountIndex": "count",
+                      "PositionIndex": "position",
+                      "SortedPositionIndex": "position",
+                      "PositionQualityIndex": "posqual",
+                      "SortedPositionQualityIndex": "posqual",
+                      "KmerValueIndex": "value",
+                      "SortedKmerValueIndex": "value",
+                      "DeBruijnGraph": "debruijn"}[type(idx).__name__]
+        mem.mark("after_build")
+        size = idx.size()
+        print(f"index restored: {size} entries in {build_s:.3f}s",
+              file=sys.stderr)
+    else:
+        t0 = time.perf_counter()
+        idx.build(args.file, fmt=args.format)
+        build_s = time.perf_counter() - t0
+        mem.mark("after_build")
+        size = idx.size()
+        print(f"index built: {size} entries in {build_s:.3f}s",
+              file=sys.stderr)
+    if args.save is not None:
+        from ..utils.checkpoint import save_index
+        with timer.phase("save"):
+            save_index(idx, args.save)
+        print(f"checkpoint saved to {args.save}", file=sys.stderr)
 
     # ---- read query sample (readForQuery + sample, BenchmarkKmerIndex
-    # :486-492): extract all kmers of the query file, sample a fraction
+    # :486-497): extract all kmers of the query file, then sample
     qpath = args.query or args.file
     with timer.phase("read_query"):
         qbatch = read_file(qpath, alpha, args.format)
         tup = extract_tuples(batch_to_arrays(qbatch), spec, canonical=False)
         qwords = np.asarray(tup.words)[np.asarray(tup.valid)]
-    if args.sample < 1.0:
+    if args.sample >= 2:
+        # the reference's -S: shuffle, keep size/N (sample(),
+        # BenchmarkKmerIndex.cpp:373-392 via :497)
+        take = max(1, len(qwords) // int(args.sample))
+        rng = np.random.default_rng(0)
+        qwords = qwords[rng.permutation(len(qwords))[:take]]
+    elif args.sample < 1.0:
         rng = np.random.default_rng(0)
         take = max(1, int(len(qwords) * args.sample))
         qwords = qwords[rng.choice(len(qwords), size=take, replace=False)]
     print(f"queries: {len(qwords)} kmers", file=sys.stderr)
-
-    # ---- build
-    t0 = time.perf_counter()
-    idx.build(args.file, fmt=args.format)
-    build_s = time.perf_counter() - t0
-    mem.mark("after_build")
-    size = idx.size()
-    print(f"index built: {size} entries in {build_s:.3f}s", file=sys.stderr)
 
     # ---- queries
     results = {"size": size, "build_s": round(build_s, 4)}

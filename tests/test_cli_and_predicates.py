@@ -42,6 +42,49 @@ def test_cli_debruijn(ref_data_dir):
     assert res["nodes_found"] > 0
 
 
+def test_cli_sample_one_in_n(ref_data_dir, capsys):
+    """-S >= 2 is the reference's 'one in N' query-sample ratio
+    (BenchmarkKmerIndex.cpp:454-457, sample() at :373-392)."""
+    res_all = cli_main([
+        "-F", str(ref_data_dir / "test.small.fastq"),
+        "--index", "count", "-k", "15", "--no-erase",
+    ])
+    res = cli_main([
+        "-F", str(ref_data_dir / "test.small.fastq"),
+        "--index", "count", "-k", "15", "-S", "100", "--no-erase",
+    ])
+    # count_total counts hits over the sampled queries only
+    assert res["size"] == res_all["size"]
+    assert 0 < res["count_total"] < res_all["count_total"]
+    err = capsys.readouterr().err
+    lines = [ln for ln in err.splitlines() if ln.startswith("queries:")]
+    n_all = int(lines[0].split()[1])
+    n_sampled = int(lines[-1].split()[1])
+    assert n_sampled == max(1, n_all // 100)
+
+
+def test_cli_save_load_roundtrip(ref_data_dir, tmp_path):
+    """--save then --load reach the sharded checkpoint path from the app
+    layer; the restored index answers queries identically with no -F."""
+    ckpt = str(tmp_path / "ckpt")
+    res_build = cli_main([
+        "-F", str(ref_data_dir / "test.small.fastq"),
+        "--index", "count", "-k", "15", "--no-erase", "--save", ckpt,
+    ])
+    res_load = cli_main([
+        "--load", ckpt, "-Q", str(ref_data_dir / "test.small.fastq"),
+        "--no-erase",
+    ])
+    assert res_load["size"] == res_build["size"]
+    assert res_load["count_hits"] == res_build["count_hits"]
+    assert res_load["count_total"] == res_build["count_total"]
+
+
+def test_cli_load_requires_query():
+    with pytest.raises(SystemExit):
+        cli_main(["--load", "/nonexistent"])
+
+
 def test_cli_fasta(ref_data_dir):
     res = cli_main([
         "-F", str(ref_data_dir / "test.fasta"), "--index", "count",
