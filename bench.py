@@ -94,7 +94,13 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--inner", type=int, default=40,
                     help="builds per dispatch in --mode ingest")
-    ap.add_argument("--mode", choices=("e2e", "ingest"), default="e2e")
+    ap.add_argument("--mode", default="e2e",
+                    choices=("e2e", "ingest", "count_query",
+                             "multimap_find"))
+    ap.add_argument("--queries", type=int, default=1 << 20,
+                    help="query rows in the query-rate modes")
+    ap.add_argument("--max-per-query", type=int, default=16,
+                    help="multimap find gather width")
     ap.add_argument("--baseline-bases", type=int, default=1 << 21)
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--json-only", action="store_true")
@@ -145,8 +151,9 @@ def main():
         tup = extract_tuples(bases, spec, canonical=True)
         s_words, _, s_valid = sortops.sort_rows(
             tup.words, (), tup.valid, is_stable=False,
-            sentinel_ok=spec.sentinel_safe, word_bits=spec.word_bits())
-        s_words = jnp.where(s_valid[:, None], s_words,
+            sentinel_ok=spec.sentinel_safe, word_bits=spec.word_bits(),
+            as_cols=True)
+        s_words = jnp.where(s_valid[None, :], s_words,
                             jnp.uint32(0xFFFFFFFF))
         return s_words, s_valid.astype(jnp.int32)
 
@@ -154,7 +161,145 @@ def main():
     dvalid = jax.device_put(valid, dev)
     dseg = jax.device_put(seg, dev)
 
-    if args.mode == "e2e":
+    base_rate = None  # query modes compute their own numpy baseline
+
+    def synth_read_batch():
+        """The bench corpus as a host ReadBatch (for index.build paths)."""
+        from kmerind_tpu.io.batch import ReadBatch
+        n, rl = args.bases, args.read_len
+        r = (n + rl - 1) // rl
+        return ReadBatch(
+            codes=codes, valid=valid, owned=np.ones(n, bool), seg_id=seg,
+            offset_in_record=(np.arange(n) % rl).astype(np.uint32),
+            global_pos=np.arange(n, dtype=np.uint64),
+            qual=np.zeros(n, np.uint8),
+            record_start=np.arange(r, dtype=np.uint64) * rl,
+            seq_index=np.arange(r, dtype=np.uint32),
+            file_id=np.zeros(r, np.uint16), alphabet=DNA)
+
+    def sample_query_words():
+        """args.queries in-read windows of the corpus, as host word rows."""
+        from kmerind_tpu.ops import packing
+        w_all = np.asarray(jax.jit(
+            packing.extract_kmers, static_argnames=("spec",))(dcodes, spec))
+        starts = np.random.default_rng(1).integers(
+            0, args.bases - args.k + 1, args.queries)
+        in_read = seg[starts] == seg[starts + args.k - 1]
+        # replace boundary-crossing picks with aligned ones (guaranteed
+        # hits, matching the reference's query-from-same-file setup)
+        starts = np.where(in_read, starts,
+                          (starts // args.read_len) * args.read_len)
+        return w_all[starts]
+
+    def timed_step(run, force):
+        """min-of-iters wall time of run(), forced-readback synced."""
+        run()  # warm (compile already done by the caller loop)
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            out = run()
+            np.asarray(force(out))  # truthful sync through the tunnel
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    if args.mode == "count_query":
+        # Distributed count-query rate at a 16.7M-row store / 1M queries
+        # (BenchmarkKmerIndex count phase, :524-535).  Queries are staged
+        # to the device once; the timed program is the full routed query
+        # step (hash -> all_to_all -> per-run csum lookups -> reply).
+        from kmerind_tpu.index import distributed as dxm
+        from kmerind_tpu.index.api import CountIndex
+        idx = CountIndex(spec)
+        _log(f"building {args.bases >> 20}M-base store…", quiet)
+        idx.insert_batch(synth_read_batch())
+        idx._flush()
+        qw = idx._maybe_canonicalize_queries(sample_query_words())
+        _log(f"store: {idx.size()} kmers over {len(idx.runs)} runs; "
+             f"{len(qw)} queries", quiet)
+        (wsh,), vsh, m = idx._shard_rows(qw)
+        mq = wsh.shape[1]
+        bucket_cap = idx._bucket_capacity(mq)
+        while True:
+            step = dxm.make_runs_count_query_step(
+                idx.mesh, idx.nparts, bucket_cap, idx.hash_name,
+                idx.saturate, len(idx.runs))
+            counts, ovf = step(tuple(idx.runs), wsh, vsh)
+            if int(np.asarray(ovf).max()) == 0:
+                break
+            bucket_cap *= 2
+        assert int(np.asarray(counts).sum()) >= m  # all sampled hits hit
+        best = timed_step(lambda: step(tuple(idx.runs), wsh, vsh),
+                          lambda out: out[0].sum())
+        n_windows = m
+        tpu_rate = m / best
+        metric = ("queries/s/chip (distributed count query, %dM-row "
+                  "store, %dk queries, k=%d)"
+                  % (idx.size() >> 20, m >> 10, args.k))
+        # numpy baseline: binary search of the same queries over the
+        # same-size sorted u64 key set (single thread)
+        skeys = np.sort(np.random.default_rng(2).integers(
+            0, 1 << 42, idx.size(), dtype=np.uint64))
+        bq = skeys[np.random.default_rng(3).integers(0, len(skeys), m)]
+        t0 = time.perf_counter()
+        pos = np.searchsorted(skeys, bq)
+        hit = skeys[np.minimum(pos, len(skeys) - 1)] == bq
+        bt = time.perf_counter() - t0
+        assert hit.all()
+        base_rate = m / bt
+        _log(f"numpy searchsorted baseline: {base_rate/1e6:.2f} Mq/s",
+             quiet)
+    elif args.mode == "multimap_find":
+        # Multimap find rate (position lists) at a 16.7M-pair store / 1M
+        # queries (BenchmarkKmerIndex find phase, :536-548).
+        from kmerind_tpu.index import distributed as dxm
+        from kmerind_tpu.index.api import PositionIndex
+        idx = PositionIndex(spec)
+        _log(f"building {args.bases >> 20}M-base position store…", quiet)
+        idx.insert_batch(synth_read_batch())
+        idx._flush()
+        qw = idx._maybe_canonicalize_queries(sample_query_words())
+        _log(f"store: {idx.size()} pairs; {len(qw)} queries", quiet)
+        (wsh,), vsh, m = idx._shard_rows(qw)
+        mq = wsh.shape[1]
+        bucket_cap = idx._bucket_capacity(mq)
+        mpq = args.max_per_query
+        while True:
+            step = dxm.make_multi_find_step(
+                idx.mesh, idx.nparts, bucket_cap, idx.hash_name, mpq)
+            hi, lo, q, mask, nfound, ovf = step(idx.store, wsh, vsh)
+            if int(np.asarray(ovf).max()) != 0:
+                bucket_cap *= 2
+                continue
+            worst = int(np.asarray(nfound).max())
+            if worst > mpq:
+                mpq = 1 << (worst - 1).bit_length()
+                continue
+            break
+        pairs = int(np.asarray(nfound).sum())
+        assert pairs >= m
+        best = timed_step(lambda: step(idx.store, wsh, vsh),
+                          lambda out: out[4].sum())
+        n_windows = m
+        tpu_rate = m / best
+        metric = ("queries/s/chip (multimap find, %dM-pair store, %dk "
+                  "queries, max_per_query=%d, k=%d)"
+                  % (idx.size() >> 20, m >> 10, mpq, args.k))
+        # numpy baseline: searchsorted range + bounded gather of the
+        # payload lists over same-size sorted u64 keys
+        skeys = np.sort(np.random.default_rng(2).integers(
+            0, 1 << 42, idx.size(), dtype=np.uint64))
+        vals = np.arange(len(skeys), dtype=np.uint64)
+        bq = skeys[np.random.default_rng(3).integers(0, len(skeys), m)]
+        t0 = time.perf_counter()
+        lo_ = np.searchsorted(skeys, bq, side="left")
+        hi_ = np.searchsorted(skeys, bq, side="right")
+        take = np.minimum(hi_ - lo_, mpq)
+        out = vals[np.minimum(lo_[:, None] + np.arange(mpq), len(vals) - 1)]
+        _ = out * (np.arange(mpq) < take[:, None])
+        bt = time.perf_counter() - t0
+        base_rate = m / bt
+        _log(f"numpy find baseline: {base_rate/1e6:.2f} Mq/s", quiet)
+    elif args.mode == "e2e":
         C, MAX_RUNS = args.chunks, args.max_runs
 
         @jax.jit
@@ -168,10 +313,10 @@ def main():
                               salt0 + jnp.uint8(i))
                 runs.append((w, t))
                 while len(runs) > MAX_RUNS:
-                    runs.sort(key=lambda r: r[0].shape[0], reverse=True)
+                    runs.sort(key=lambda r: r[0].shape[-1], reverse=True)
                     b = runs.pop()
                     a = runs.pop()
-                    k2, (wt,) = sortops.merge_sorted_runs(
+                    k2, (wt,) = sortops.merge_sorted_runs_cols(
                         a[0], (a[1],), b[0], (b[1],))
                     runs.append((k2, wt))
             acc = jnp.uint32(0)
@@ -232,7 +377,9 @@ def main():
                   % args.k)
 
     PINNED_BASELINE = 2.0e6  # median numpy k-mers/s on this host class
-    if args.measure_baseline:
+    if base_rate is not None:
+        pass  # query modes measured their own numpy baseline above
+    elif args.measure_baseline:
         _log("running numpy baseline…", quiet)
         bcodes, _, bseg = make_batch(args.baseline_bases, args.read_len)
         rates = []
@@ -248,7 +395,9 @@ def main():
     print(json.dumps({
         "metric": metric,
         "value": round(tpu_rate, 1),
-        "unit": "kmers/s",
+        "unit": ("queries/s" if args.mode in ("count_query",
+                                              "multimap_find")
+                 else "kmers/s"),
         "vs_baseline": round(tpu_rate / base_rate, 3),
     }), flush=True)
 

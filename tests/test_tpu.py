@@ -41,7 +41,7 @@ def test_compiled_kernels_and_index_on_tpu():
     try:
         proc = subprocess.run(
             [sys.executable, str(HERE / "tpu_driver.py")],
-            env=env, cwd=str(HERE.parent), timeout=900,
+            env=env, cwd=str(HERE.parent), timeout=2400,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     except subprocess.TimeoutExpired as e:
         pytest.skip(f"TPU driver unresponsive (tunnel down?): "

@@ -91,25 +91,95 @@ def main():
     # 3. one ingest + one query step compiled on TPU (count index e2e)
     from kmerind_tpu.index.api import CountIndex
     fq = pathlib.Path("/root/reference/test/data/test.small.fastq")
-    idx_ = CountIndex(spec)
-    if fq.exists():
-        idx_.build(str(fq))
-    else:
-        kmers = ["ACGTACGTACGTACGTACGTA", "TTTTTTTTTTTTTTTTTTTTT"]
-        idx_.insert(kmers + kmers[:1])
+
+    def words_of(sp, ints):
+        """Pack dict-key ints back into kmer word rows."""
+        return np.stack([
+            sp.pack_codes(np.array(
+                [(v >> (2 * (sp.k - 1 - i))) & 3 for i in range(sp.k)],
+                np.uint8)) for v in ints])
+
+    def build_or_insert(ix):
+        if fq.exists():
+            ix.build(str(fq))
+        else:
+            kmers = ["ACGTACGTACGTACGTACGTA", "TTTTTTTTTTTTTTTTTTTTT"]
+            ix.insert(kmers + kmers[:1])
+        return ix
+
+    idx_ = build_or_insert(CountIndex(spec))
     total = idx_.size()
     assert total > 0
     d = idx_.to_dict()
     assert len(d) == total
     # query every stored key: counts must match the dump
     ints = sorted(d)[:256]
-    qwords = np.stack([
-        spec.pack_codes(np.array(
-            [(v >> (2 * (spec.k - 1 - i))) & 3 for i in range(spec.k)],
-            np.uint8)) for v in ints])
-    counts = idx_.count(qwords)
+    counts = idx_.count(words_of(spec, ints))
     assert [int(c) for c in counts] == [d[v] for v in ints]
     print("ingest+query on TPU: ok", file=sys.stderr)
+
+    # 4. sorted (range-partitioned) family: samplesort flush + the
+    # splitter-routed count path, contents equal to the hash build
+    from kmerind_tpu.index.sorted_api import SortedCountIndex
+    sidx = build_or_insert(SortedCountIndex(spec))
+    sd = sidx.to_dict()
+    assert sd == d
+    ints_s = sorted(sd)[:128]
+    counts_s = sidx.count(words_of(spec, ints_s))
+    assert [int(c) for c in counts_s] == [sd[v] for v in ints_s]
+    print("sorted flush + splitter query on TPU: ok", file=sys.stderr)
+
+    # 5. multimap find with true multiplicities (grow-to-fit retry is
+    # exercised by the small max_per_query)
+    from kmerind_tpu.index.api import PositionIndex
+    pidx = build_or_insert(PositionIndex(spec))
+    pd = pidx.to_dict()
+    ints_p = sorted(pd)[:64]
+    ids, mask = pidx.find(words_of(spec, ints_p), max_per_query=4)
+    for i, v in enumerate(ints_p):
+        assert sorted(ids[i][mask[i]].tolist()) == pd[v]
+    print("multimap find on TPU: ok", file=sys.stderr)
+
+    # 6. Bimolecule preset: canonical hashing, stored-orientation answers
+    from kmerind_tpu.index.api import BimoleculeCountIndex
+    bidx = build_or_insert(BimoleculeCountIndex(spec))
+    bd = bidx.to_dict()
+    ints_b = sorted(bd)[:64]
+    out_w, out_c = bidx.find(words_of(spec, ints_b))
+    got = {spec.to_int(out_w[i]): int(out_c[i])
+           for i in range(out_w.shape[0])}
+    assert got == {v: bd[v] for v in ints_b}
+    print("bimolecule find on TPU: ok", file=sys.stderr)
+
+    # 7. de Bruijn ingest (dual-LUT raw path) + node-counter lookup
+    from kmerind_tpu.debruijn import DeBruijnGraph
+    g = build_or_insert(DeBruijnGraph(spec))
+    gd = g.to_dict()
+    nodes = sorted(gd)[:64]
+    vals, found = g.node_counts(words_of(spec, nodes))
+    assert found.all()
+    for i, v in enumerate(nodes):
+        assert tuple(int(x) for x in vals[i]) == gd[v]
+    print("debruijn ingest + node query on TPU: ok", file=sys.stderr)
+
+    # 8. multi-word kmers (k=63 -> 4 words): build + query on hardware
+    # (fixture reads are 60 bp < k, so synthesize 200 bp reads)
+    spec63 = KmerSpec(63, DNA)
+    import tempfile
+    rng63 = np.random.default_rng(63)
+    with tempfile.NamedTemporaryFile("w", suffix=".fastq",
+                                     delete=False) as f:
+        for i in range(40):
+            seq = "".join(rng63.choice(list("ACGT"), size=200))
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * 200}\n")
+        fq63 = f.name
+    idx63 = CountIndex(spec63).build(fq63)
+    d63 = idx63.to_dict()
+    assert len(d63) == idx63.size() > 0
+    ints63 = sorted(d63)[:64]
+    counts63 = idx63.count(words_of(spec63, ints63))
+    assert [int(c) for c in counts63] == [d63[v] for v in ints63]
+    print("k=63 multi-word build+query on TPU: ok", file=sys.stderr)
     return 0
 
 
