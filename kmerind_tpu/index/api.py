@@ -557,10 +557,10 @@ class CountIndex(_IndexBase):
     # ------------------------------------------------------------------
     @property
     def capacity(self) -> int:
-        return sum(r.keys.shape[1] for r in self.runs)
+        return sum(r.keys.shape[-1] for r in self.runs)
 
     def _run_caps(self) -> tuple:
-        return tuple(r.keys.shape[1] for r in self.runs)
+        return tuple(r.keys.shape[-1] for r in self.runs)
 
     def _distinct(self) -> np.ndarray:
         """int32[p] distinct live keys per shard (single-run stores)."""
@@ -599,17 +599,17 @@ class CountIndex(_IndexBase):
         self._consolidate()
 
     def _merge_two_smallest(self):
-        self.runs.sort(key=lambda r: r.keys.shape[1], reverse=True)
+        self.runs.sort(key=lambda r: r.keys.shape[-1], reverse=True)
         b = self.runs.pop()
         a = self.runs.pop()
-        key = ("run_merge_pair", a.keys.shape[1], b.keys.shape[1])
+        key = ("run_merge_pair", a.keys.shape[-1], b.keys.shape[-1])
         if key not in self._step_cache:
             self._step_cache[key] = dx.make_run_merge_pair_step(self.mesh)
         with self.timer.phase("merge"):
             self.runs.append(self._step_cache[key](a, b))
 
     def _append_run(self, words, weights):
-        key = ("run_adopt", words.shape[1])
+        key = ("run_adopt", words.shape[-1])
         if key not in self._step_cache:
             self._step_cache[key] = dx.make_run_adopt_step(self.mesh)
         run = self._step_cache[key](words, weights)
@@ -676,7 +676,7 @@ class CountIndex(_IndexBase):
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(
                 lambda s: st.RunCountStore(
-                    keys=jnp.pad(s.keys, ((0, 0), (0, pad), (0, 0)),
+                    keys=jnp.pad(s.keys, ((0, 0), (0, 0), (0, pad)),
                                  constant_values=np.uint32(_SENTINEL)),
                     weights=jnp.pad(s.weights, ((0, 0), (0, pad))),
                     csum=jnp.pad(s.csum, ((0, 0), (0, pad)), mode="edge"),
@@ -921,7 +921,7 @@ class CountIndex(_IndexBase):
         weights = self._fetch(self.runs[0].weights)
         rows, cnts = [], []
         for p in range(self.nparts):
-            k = keys[p]
+            k = keys[p].T  # column-major store -> [cap, w] rows
             w = weights[p].astype(np.int64)
             neq_prev = np.ones(k.shape[0], bool)
             neq_prev[1:] = (k[1:] != k[:-1]).any(axis=1)

@@ -699,11 +699,11 @@ def make_run_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
             (tup.words,), owner, tup.valid, nparts, capacity, axes_of(mesh))
         s_words, _, s_valid = sortops.sort_rows(
             rw, (), rvalid, is_stable=False, sentinel_ok=spec.sentinel_safe,
-            word_bits=spec.word_bits())
+            word_bits=spec.word_bits(), as_cols=True)
         # weights are positional (valid rows sort to the front in both
         # sort modes); flag-mode tails keep their key bits — force the
         # sentinel so the run invariant (sorted incl. padding) holds
-        s_words = jnp.where(s_valid[:, None], s_words,
+        s_words = jnp.where(s_valid[None, :], s_words,
                             jnp.uint32(0xFFFFFFFF))
         weights = s_valid.astype(jnp.int32)
         return s_words[None], weights[None], route.overflow[None]
@@ -712,40 +712,6 @@ def make_run_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
         body, mesh=mesh,
         in_specs=(P(axes_of(mesh)),) * 4,
         out_specs=(P(axes_of(mesh)),) * 3,
-    ))
-
-
-def make_run_pair_merge_step(mesh: Mesh):
-    """Jitted: merge two sorted weighted runs (the tree-merge of pending
-    chunks before the store merge)."""
-    from ..ops import sortops
-
-    def body(w1_blk, t1_blk, w2_blk, t2_blk):
-        keys, (wts,) = sortops.merge_sorted_runs(
-            w1_blk[0], (t1_blk[0],), w2_blk[0], (t2_blk[0],))
-        return keys[None], wts[None]
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axes_of(mesh)),) * 4,
-        out_specs=(P(axes_of(mesh)),) * 2,
-    ))
-
-
-def make_run_store_merge_step(mesh: Mesh):
-    """Jitted: merge a sorted weighted run into the store (bitonic merge +
-    prefix-sum rebuild).  Never overflows — capacity grows by
-    construction."""
-
-    def body(stores_blk, words_blk, weights_blk):
-        new = st.run_merge(_unstack(stores_blk), words_blk[0],
-                           weights_blk[0])
-        return _stack(new)
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axes_of(mesh)),) * 3,
-        out_specs=P(axes_of(mesh)),
     ))
 
 
@@ -833,8 +799,8 @@ def make_run_insert_step(mesh: Mesh, nparts: int, capacity: int,
             (words, weights), owner, valid, nparts, capacity, axes_of(mesh))
         rwt = jnp.where(rvalid, rwt, 0)
         s_words, (s_wt,), s_valid = sortops.sort_rows(
-            rw, (rwt,), rvalid, is_stable=False)
-        s_words = jnp.where(s_valid[:, None], s_words,
+            rw, (rwt,), rvalid, is_stable=False, as_cols=True)
+        s_words = jnp.where(s_valid[None, :], s_words,
                             jnp.uint32(0xFFFFFFFF))
         s_wt = jnp.where(s_valid, s_wt, 0)
         return s_words[None], s_wt[None], route.overflow[None]
@@ -856,7 +822,9 @@ def make_run_filter_step(mesh: Mesh, pred, saturate: int | None = None):
         store = _unstack(stores_blk)
         _, is_last, total = st.run_totals(store)
         counts = total if saturate is None else jnp.minimum(total, saturate)
-        keep = pred(store.keys, counts)
+        # user predicates see row-major keys [cap, w]; XLA drops the
+        # transpose when the predicate ignores the keys
+        keep = pred(jnp.swapaxes(store.keys, 0, 1), counts)
         live = total > 0
         kill = live & ~keep
         new_w = jnp.where(kill, 0, store.weights)
@@ -884,7 +852,8 @@ def make_run_scan_step(mesh: Mesh, pred, saturate: int | None = None):
         store = _unstack(stores_blk)
         _, is_last, total = st.run_totals(store)
         counts = total if saturate is None else jnp.minimum(total, saturate)
-        mask = is_last & (total > 0) & pred(store.keys, counts)
+        mask = is_last & (total > 0) & pred(
+            jnp.swapaxes(store.keys, 0, 1), counts)
         return mask[None], counts[None]
 
     return jax.jit(jax.shard_map(
@@ -1263,14 +1232,15 @@ def make_run_select_step(mesh: Mesh, pred, saturate: int | None = None):
 
     def body(stores_blk):
         store = _unstack(stores_blk)
-        cap, w = store.keys.shape
+        w, cap = store.keys.shape
         _, is_last, total = st.run_totals(store)
         counts = total if saturate is None else jnp.minimum(total, saturate)
-        emit = is_last & (total > 0) & pred(store.keys, counts)
+        emit = is_last & (total > 0) & pred(
+            jnp.swapaxes(store.keys, 0, 1), counts)
         n_emit = jnp.sum(emit.astype(jnp.int32))
         front_key = (~emit).astype(jnp.uint32)
         ops = jax.lax.sort(
-            (front_key,) + tuple(store.keys[:, j] for j in range(w))
+            (front_key,) + tuple(store.keys[j] for j in range(w))
             + (counts,), num_keys=1, is_stable=True)
         keys_out = jnp.stack(ops[1:1 + w], axis=1)
         return keys_out[None], ops[1 + w][None], n_emit[None]

@@ -536,13 +536,35 @@ def bitonic_merge_pallas(keys: jax.Array, payloads=(), interpret: bool = False):
     the XLA path), payloads carried through the exchanges.
     """
     n, w = keys.shape
+    kcols = jnp.stack([keys[:, j] for j in range(w)], axis=0)
+    out_cols, out_payloads = _bitonic_merge_pallas_cols(
+        kcols, tuple(payloads), interpret)
+    return (jnp.stack([out_cols[j] for j in range(w)], axis=1),
+            out_payloads)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bitonic_merge_pallas_cols(kcols: jax.Array, payloads=(),
+                              interpret: bool = False):
+    """`bitonic_merge_pallas` over COLUMN-major keys (uint32[w, n]).
+
+    The run store's native layout: every operand is a contiguous [n]
+    vector, so the (rows, 128) VMEM blocking is a free reshape — none of
+    the strided [n, w] column extract / restack the row-major wrapper
+    pays (measured ~13 ms per 33M-row merge)."""
+    return _bitonic_merge_pallas_cols(kcols, tuple(payloads), interpret)
+
+
+def _bitonic_merge_pallas_cols(kcols, payloads, interpret):
+    w, n = kcols.shape
     assert n & (n - 1) == 0 and n % _MG_BLOCK == 0
     rows_total = n // _LANES
     brows = _MG_BLOCK // _LANES
-    cols = [keys[:, j].reshape(rows_total, _LANES) for j in range(w)]
+    cols = [kcols[j].reshape(rows_total, _LANES) for j in range(w)]
     for p in payloads:
         cols.append(p.reshape(rows_total, _LANES))
     ncols = len(cols)
+    keys = kcols  # vma probe below needs a representative operand
     try:
         vma = jax.typeof(keys).vma
     except AttributeError:
@@ -581,7 +603,7 @@ def bitonic_merge_pallas(keys: jax.Array, payloads=(), interpret: bool = False):
         interpret=interpret,
     )(*cols)
 
-    out_keys = jnp.stack([cols[j].reshape(n) for j in range(w)], axis=1)
+    out_keys = jnp.stack([cols[j].reshape(n) for j in range(w)], axis=0)
     out_payloads = tuple(c.reshape(n) for c in cols[w:])
     return out_keys, out_payloads
 

@@ -28,8 +28,13 @@ __all__ = [
     "upper_bound",
     "rows_equal_at",
     "bitonic_merge",
+    "bitonic_merge_cols",
     "merge_sorted_runs",
+    "merge_sorted_runs_cols",
     "lookup_join_runs",
+    "lookup_join_runs_cols",
+    "lower_bound_cols",
+    "upper_bound_cols",
 ]
 
 
@@ -47,7 +52,7 @@ def _narrow_dtype(bits: int | None):
 
 def sort_rows(words: jax.Array, payloads=(), valid: jax.Array | None = None,
               is_stable: bool = True, sentinel_ok: bool = False,
-              word_bits: tuple | None = None):
+              word_bits: tuple | None = None, as_cols: bool = False):
     """Sort rows of uint32[n, w] lexicographically, carrying payloads.
 
     Invalid rows sort after all valid rows (regardless of key bits) — via a
@@ -61,9 +66,16 @@ def sort_rows(words: jax.Array, payloads=(), valid: jax.Array | None = None,
     comparator-width-bound (measured ~11% faster for the 2-word k=21 key),
     and narrow columns widen back losslessly.
 
+    as_cols: return the sorted keys COLUMN-major (uint32[w, n], word 0
+    first) instead of row-major [n, w].  lax.sort operates per column, so
+    the column form skips the interleaving [n, w] stack — the layout the
+    run store keeps (store.RunCountStore) so merges never de-interleave.
+
     Returns (sorted_words, sorted_payloads_tuple, sorted_valid).
     """
     n, w = words.shape
+    _stack_keys = (lambda cols: jnp.stack(cols, axis=0)) if as_cols \
+        else (lambda cols: jnp.stack(cols, axis=1))
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
     narrow = [None] * w
@@ -91,9 +103,8 @@ def sort_rows(words: jax.Array, payloads=(), valid: jax.Array | None = None,
         ) + tuple(payloads)
         out = jax.lax.sort(operands, num_keys=w, is_stable=is_stable)
         sorted_valid = jnp.arange(n) < total_valid
-        sorted_words = jnp.stack(
-            [_widen(out[j], narrow[j], sorted_valid) for j in range(w)],
-            axis=1)
+        sorted_words = _stack_keys(
+            [_widen(out[j], narrow[j], sorted_valid) for j in range(w)])
         sorted_payloads = tuple(out[w:])
         return sorted_words, sorted_payloads, sorted_valid
     invalid_key = (~valid).astype(jnp.uint32)
@@ -101,9 +112,8 @@ def sort_rows(words: jax.Array, payloads=(), valid: jax.Array | None = None,
         _shrink(words[:, j], narrow[j]) for j in range(w)) + tuple(payloads)
     out = jax.lax.sort(operands, num_keys=1 + w, is_stable=is_stable)
     sorted_valid = out[0] == 0
-    sorted_words = jnp.stack(
-        [_widen(out[1 + j], narrow[j], sorted_valid) for j in range(w)],
-        axis=1)
+    sorted_words = _stack_keys(
+        [_widen(out[1 + j], narrow[j], sorted_valid) for j in range(w)])
     sorted_payloads = tuple(out[1 + w:])
     return sorted_words, sorted_payloads, sorted_valid
 
@@ -374,6 +384,67 @@ def merge_sorted_runs(a_keys: jax.Array, a_payloads, b_keys: jax.Array,
     return bitonic_merge(keys, payloads)
 
 
+def bitonic_merge_cols(kcols: jax.Array, payloads=()):
+    """`bitonic_merge` over COLUMN-major keys: kcols uint32[w, n] (word 0
+    most significant), n a power of two.  Returns ([w, n], payloads)."""
+    w, n = kcols.shape
+    assert n & (n - 1) == 0, "bitonic_merge needs power-of-two length"
+    cols = tuple(kcols[j] for j in range(w)) + tuple(payloads)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    nstages = n.bit_length() - 1
+
+    def stage(s, cols):
+        d = jnp.int32(n) >> (s + 1)
+        is_lo = (idx & d) == 0
+        partner = tuple(jnp.where(is_lo, jnp.roll(c, -d), jnp.roll(c, d))
+                        for c in cols)
+        less = jnp.zeros(n, bool)
+        gt = jnp.zeros(n, bool)
+        for j in reversed(range(w)):
+            a, b = cols[j], partner[j]
+            less = jnp.where(a != b, a < b, less)
+            gt = jnp.where(a != b, a > b, gt)
+        take_partner = jnp.where(is_lo, gt, less)
+        return tuple(jnp.where(take_partner, p, c)
+                     for c, p in zip(cols, partner))
+
+    cols = jax.lax.fori_loop(0, nstages, stage, cols)
+    return jnp.stack(cols[:w], axis=0), tuple(cols[w:])
+
+
+def merge_sorted_runs_cols(a_kcols: jax.Array, a_payloads,
+                           b_kcols: jax.Array, b_payloads,
+                           sentinel: int = 0xFFFFFFFF):
+    """`merge_sorted_runs` over COLUMN-major runs (the run store's native
+    layout): each run is uint32[w, n_i] key columns plus aligned [n_i]
+    payloads.  Column layout keeps every merge operand a long contiguous
+    [n] vector — no interleaved [n, w] extract/stack around the kernels
+    (measured ~13 ms of glue per 33M-row merge in the row-major form).
+
+    Returns (kcols [w, n], payloads) with n = next_pow2(n_a + n_b).
+    """
+    w, na = a_kcols.shape
+    nb = b_kcols.shape[1]
+    total = na + nb
+    n = 1 << max(1, (total - 1).bit_length())
+    pad = n - total
+    if pad:
+        b_kcols = jnp.concatenate(
+            [b_kcols, jnp.full((w, pad), sentinel, jnp.uint32)], axis=1)
+        b_payloads = tuple(
+            jnp.concatenate([p, jnp.zeros((pad,), p.dtype)])
+            for p in b_payloads)
+    # reversed b makes a+b bitonic; XLA fuses the flip into the concat copy
+    kcols = jnp.concatenate([a_kcols, b_kcols[:, ::-1]], axis=1)
+    payloads = tuple(jnp.concatenate([pa, pb[::-1]])
+                     for pa, pb in zip(a_payloads, b_payloads))
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import _MG_BLOCK, bitonic_merge_pallas_cols
+        if n >= 2 * _MG_BLOCK:
+            return bitonic_merge_pallas_cols(kcols, payloads)
+    return bitonic_merge_cols(kcols, payloads)
+
+
 def lookup_join_runs(keys: jax.Array, csum: jax.Array,
                      queries: jax.Array) -> jax.Array:
     """Batched count lookup over a RUN store (sorted keys with duplicates,
@@ -416,6 +487,42 @@ def lookup_join_runs(keys: jax.Array, csum: jax.Array,
     # csum value at each row's run start (psum_excl is nondecreasing in
     # total-weight terms only when weights >= 0; erased rows are 0 and
     # explicit negative counts are excluded from the join path by api)
+    start_excl = jax.lax.cummax(
+        jnp.where(neq_prev, psum_excl, jnp.int32(-2147483648)), axis=0)
+    counts = jnp.where(s_flag == 1, psum_incl - start_excl, 0)
+
+    back = jax.lax.sort((jnp.uint32(1) - s_flag, s_qidx.astype(jnp.uint32),
+                         counts), num_keys=2, is_stable=True)
+    return back[2][:m]
+
+
+def lookup_join_runs_cols(kcols: jax.Array, csum: jax.Array,
+                          queries: jax.Array) -> jax.Array:
+    """`lookup_join_runs` over COLUMN-major store keys (uint32[w, cap]);
+    queries stay row-major [m, w].  The store-side operands feed the sort
+    as the contiguous columns they already are."""
+    w, cap = kcols.shape
+    m = queries.shape[0]
+    total = cap + m
+    q = queries.astype(jnp.uint32)
+
+    all_cols = tuple(jnp.concatenate([kcols[j], q[:, j]]) for j in range(w))
+    flag = jnp.concatenate([jnp.zeros(cap, jnp.uint32),
+                            jnp.ones(m, jnp.uint32)])
+    wts = jnp.concatenate([csum[1:] - csum[:-1], jnp.zeros(m, jnp.int32)])
+    qidx = jnp.concatenate([
+        jnp.zeros(cap, jnp.int32), jnp.arange(m, dtype=jnp.int32)])
+
+    ops = jax.lax.sort(all_cols + (flag, wts, qidx),
+                       num_keys=w + 1, is_stable=True)
+    s_cols, s_flag = ops[:w], ops[w]
+    s_wts, s_qidx = ops[w + 1], ops[w + 2]
+
+    neq_prev = jnp.zeros(total, bool).at[0].set(True)
+    for j in range(w):
+        neq_prev = neq_prev | (s_cols[j] != jnp.roll(s_cols[j], 1))
+    psum_incl = jnp.cumsum(s_wts)
+    psum_excl = psum_incl - s_wts
     start_excl = jax.lax.cummax(
         jnp.where(neq_prev, psum_excl, jnp.int32(-2147483648)), axis=0)
     counts = jnp.where(s_flag == 1, psum_incl - start_excl, 0)
@@ -469,6 +576,47 @@ def lower_bound(keys, size, queries):
 
 def upper_bound(keys, size, queries):
     return _bsearch(keys, size, queries, side="right")
+
+
+def _bsearch_cols(kcols: jax.Array, size, queries: jax.Array, side: str):
+    """`_bsearch` over COLUMN-major store keys (uint32[w, cap]); queries
+    stay row-major [m, w] (the API shape).  The per-round gather fetches
+    one [m] slice per word column — long-vector gathers instead of [m, w]
+    row gathers."""
+    w, cap = kcols.shape
+    m = queries.shape[0]
+    q_cols = tuple(queries[:, j].astype(jnp.uint32) for j in range(w))
+    zero = jnp.asarray(size, jnp.int32) * 0
+    lo = jnp.zeros((m,), jnp.int32) + zero
+    hi = jnp.broadcast_to(jnp.asarray(size, jnp.int32), (m,)) + zero
+    steps = max(1, cap.bit_length())
+
+    def body(_, lohi):
+        lo, hi = lohi
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        midc = jnp.clip(mid, 0, cap - 1)
+        less = jnp.zeros(m, bool)   # kmid < q
+        gt = jnp.zeros(m, bool)     # kmid > q
+        for j in reversed(range(w)):
+            kj = kcols[j][midc]
+            less = jnp.where(kj != q_cols[j], kj < q_cols[j], less)
+            gt = jnp.where(kj != q_cols[j], kj > q_cols[j], gt)
+        go_right = less if side == "left" else ~gt
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps + 1, body, (lo, hi))
+    return lo
+
+
+def lower_bound_cols(kcols, size, queries):
+    return _bsearch_cols(kcols, size, queries, side="left")
+
+
+def upper_bound_cols(kcols, size, queries):
+    return _bsearch_cols(kcols, size, queries, side="right")
 
 
 def rows_equal_at(keys: jax.Array, idx: jax.Array, queries: jax.Array,

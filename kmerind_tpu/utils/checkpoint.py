@@ -109,7 +109,9 @@ def save_index(idx, path) -> None:
     meta = {
         "config": _config_of(idx),
         "nparts": idx.nparts,
-        "format": 1,
+        # 2: run-store keys are column-major [p, w, cap] (format-1
+        # checkpoints stored [p, cap, w] and cannot restore silently)
+        "format": 2,
     }
     # the store is saved as a flat LIST of leaves: restore then targets
     # the live (possibly different-capacity) index's treedef without
@@ -136,6 +138,11 @@ def load_index(path, mesh=None):
 
     path = pathlib.Path(path).absolute()
     meta = json.loads((path / _META).read_text())
+    if meta.get("format", 1) != 2:
+        raise ValueError(
+            f"checkpoint format {meta.get('format', 1)} predates the "
+            "column-major run-store layout; rebuild or convert via the "
+            "npz save/load path")
     cfgd = dict(meta["config"])
     if cfgd.get("saturate", 0) == 0:
         cfgd.pop("saturate", None)
