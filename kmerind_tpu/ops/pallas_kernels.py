@@ -491,6 +491,67 @@ def _make_global_stage_kernel(ncols: int, w: int, rows: int, db: int):
     return kernel
 
 
+def _make_global_stage2_kernel(ncols: int, w: int, rows: int, db: int):
+    """TWO consecutive global stages (block distances db, db/2) fused in
+    one pass: 4 blocks resident in VMEM, compare-exchange (x, x+db) and
+    (x+db/2, x+db+db/2), then (x, x+db/2) and (x+db, x+db+db/2).  Halves
+    both the HBM traffic and the per-stage DMA latency of the global
+    phase (measured 2.4 ms marginal per single-stage pass vs ~1 ms of
+    pure bandwidth)."""
+    db2 = db // 2
+
+    def kernel(*refs):
+        ins = refs[:ncols]
+        outs = refs[ncols:2 * ncols]
+        bufs = [refs[(2 + b) * ncols:(3 + b) * ncols] for b in range(4)]
+        sem = refs[6 * ncols]
+        j = pl.program_id(0)
+        # base block x: group index j with zero bits inserted at the db2
+        # and db block-bit positions
+        x = (j % db2) + (j // db2) * (2 * db2)
+        x = (x % db) + (x // db) * (2 * db)
+        blks = (x, x + db2, x + db, x + db + db2)
+        for b in range(4):
+            for c in range(ncols):
+                pltpu.make_async_copy(
+                    ins[c].at[pl.ds(blks[b] * rows, rows)], bufs[b][c],
+                    sem.at[b, c]).start()
+        for b in range(4):
+            for c in range(ncols):
+                pltpu.make_async_copy(
+                    ins[c].at[pl.ds(blks[b] * rows, rows)], bufs[b][c],
+                    sem.at[b, c]).wait()
+        vals = [[bufs[b][c][...] for c in range(ncols)] for b in range(4)]
+
+        def cmpex(lo, hi):
+            swap = _lex_gt(lo, hi, w)
+            new_lo = [jnp.where(swap, h, l) for l, h in zip(lo, hi)]
+            new_hi = [jnp.where(swap, l, h) for l, h in zip(lo, hi)]
+            return new_lo, new_hi
+
+        # stage with distance db (blocks 0<->2, 1<->3)
+        vals[0], vals[2] = cmpex(vals[0], vals[2])
+        vals[1], vals[3] = cmpex(vals[1], vals[3])
+        # stage with distance db/2 (blocks 0<->1, 2<->3)
+        vals[0], vals[1] = cmpex(vals[0], vals[1])
+        vals[2], vals[3] = cmpex(vals[2], vals[3])
+        for b in range(4):
+            for c in range(ncols):
+                bufs[b][c][...] = vals[b][c]
+        for b in range(4):
+            for c in range(ncols):
+                pltpu.make_async_copy(
+                    bufs[b][c], outs[c].at[pl.ds(blks[b] * rows, rows)],
+                    sem.at[b, c]).start()
+        for b in range(4):
+            for c in range(ncols):
+                pltpu.make_async_copy(
+                    bufs[b][c], outs[c].at[pl.ds(blks[b] * rows, rows)],
+                    sem.at[b, c]).wait()
+
+    return kernel
+
+
 def _make_local_stages_kernel(ncols: int, w: int, rows: int, first_d: int):
     """All stages with distance first_d, first_d/2, …, 1 inside one VMEM
     block of rows*128 elements (flat order element i at [i//128, i%128])."""
@@ -572,10 +633,30 @@ def _bitonic_merge_pallas_cols(kcols, payloads, interpret):
     shapes = [jax.ShapeDtypeStruct((rows_total, _LANES), c.dtype, vma=vma)
               for c in cols]
 
-    # global stages: d = n/2 … _MG_BLOCK, one in-place pallas_call each
+    # global stages: d = n/2 … _MG_BLOCK, fused in PAIRS (4 blocks in
+    # VMEM, two compare-exchange stages per HBM pass) while two stages
+    # remain; a single odd stage falls back to the pair-exchange kernel
     d = n // 2
     while d >= _MG_BLOCK:
         db = d // _MG_BLOCK
+        if d >= 2 * _MG_BLOCK:
+            cols = pl.pallas_call(
+                _make_global_stage2_kernel(ncols, w, brows, db),
+                grid=(n // (4 * _MG_BLOCK),),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * ncols,
+                out_specs=tuple(
+                    [pl.BlockSpec(memory_space=pl.ANY)] * ncols),
+                out_shape=tuple(shapes),
+                input_output_aliases={c: c for c in range(ncols)},
+                scratch_shapes=(
+                    [pltpu.VMEM((brows, _LANES), c.dtype)
+                     for _ in range(4) for c in cols]
+                    + [pltpu.SemaphoreType.DMA((4, ncols))]),
+                interpret=interpret,
+            )(*cols)
+            cols = list(cols)
+            d //= 4
+            continue
         cols = pl.pallas_call(
             _make_global_stage_kernel(ncols, w, brows, db),
             grid=(n // (2 * _MG_BLOCK),),

@@ -73,3 +73,46 @@ def test_weights_sum_and_first_invalid_equal_key():
         jnp.asarray(swords), jnp.int32(tv), interpret=True))
     assert got.sum() == tv
     assert got[tv - 1] == tv
+
+
+@pytest.mark.parametrize("nblocks", [4, 8])
+def test_bitonic_merge_cols_fused_global_stages(monkeypatch, nblocks):
+    """The column-native Pallas bitonic merge in interpret mode, at sizes
+    that exercise BOTH global-stage parities: nblocks=4 runs one fused
+    two-stage pass (4 VMEM blocks); nblocks=8 runs one fused pass then
+    one single-stage fallback.  _MG_BLOCK is shrunk so the test stays
+    fast."""
+    from kmerind_tpu.ops import pallas_kernels as pk
+
+    small_block = 1 << 10
+    monkeypatch.setattr(pk, "_MG_BLOCK", small_block)
+    n = nblocks * small_block
+    half = n // 2
+    rng = np.random.default_rng(nblocks)
+    hi = rng.integers(0, 4, (2, half), dtype=np.uint32)
+    lo = rng.integers(0, 2**32, (2, half), dtype=np.uint32)
+    pay = rng.integers(0, 100, (2, half)).astype(np.int32)
+    runs = []
+    for r in range(2):
+        order = np.lexsort((lo[r], hi[r]))
+        runs.append((hi[r][order], lo[r][order], pay[r][order]))
+    (ha, la, pa), (hb, lb, pb) = runs
+    kcols = np.stack([np.concatenate([ha, hb[::-1]]),
+                      np.concatenate([la, lb[::-1]])])
+    payload = np.concatenate([pa, pb[::-1]])
+    out_k, (out_p,) = pk._bitonic_merge_pallas_cols(
+        jnp.asarray(kcols), (jnp.asarray(payload),), True)
+    got = np.asarray(out_k)
+    allhi = np.concatenate([ha, hb])
+    alllo = np.concatenate([la, lb])
+    allp = np.concatenate([pa, pb])
+    order = np.lexsort((alllo, allhi))
+    assert np.array_equal(got[0], allhi[order])
+    assert np.array_equal(got[1], alllo[order])
+    import collections
+    gm = collections.Counter(zip(got[0].tolist(), got[1].tolist(),
+                                 np.asarray(out_p).tolist()))
+    em = collections.Counter(zip(allhi[order].tolist(),
+                                 alllo[order].tolist(),
+                                 allp[order].tolist()))
+    assert gm == em
