@@ -13,7 +13,8 @@ from .files import (
     read_file,
     sniff_format,
 )
-from .filters import drop_records_with_invalid, records_with_invalid
+from .filters import (drop_records_with_invalid,
+                      records_with_invalid, split_records_at_invalid)
 from .kmer_parsers import DeviceBases, KmerTuples, batch_to_arrays, extract_tuples
 
 __all__ = [
@@ -33,6 +34,7 @@ __all__ = [
     "sniff_format",
     "drop_records_with_invalid",
     "records_with_invalid",
+    "split_records_at_invalid",
     "DeviceBases",
     "KmerTuples",
     "batch_to_arrays",

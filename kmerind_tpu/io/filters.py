@@ -21,7 +21,8 @@ import numpy as np
 from ..alphabets import Alphabet
 from .batch import ReadBatch
 
-__all__ = ["drop_records_with_invalid", "records_with_invalid"]
+__all__ = ["drop_records_with_invalid", "records_with_invalid",
+           "split_records_at_invalid"]
 
 
 def records_with_invalid(batch: ReadBatch, raw_data: np.ndarray,
@@ -56,3 +57,24 @@ def drop_records_with_invalid(batch: ReadBatch, raw_data: np.ndarray,
         global_pos=batch.global_pos[keep],
         qual=batch.qual[keep],
     )
+
+
+def split_records_at_invalid(batch: ReadBatch, raw_data: np.ndarray,
+                             alphabet: Alphabet,
+                             file_offset: int = 0) -> ReadBatch:
+    """Split records wherever a base fails the alphabet's letter test —
+    the SplitSequencesIterator semantics
+    (filtered_sequence_iterator.hpp:168-247: "EFFECTIVELY BREAKS THE
+    SEQUENCE INTO PARTS WHERE PREDICATE FAILS").
+
+    Tensor form: offending bases are marked invalid in place.  The window
+    machinery (`extract_tuples` requires every base of a k-mer window to
+    be valid) then yields exactly the k-mers of the split parts — no
+    k-mer spans a failing base — while positions (`offset_in_record`,
+    record ids) keep their original-record values, matching the
+    reference's split parts which retain their offsets within the parent
+    sequence."""
+    pos = (batch.global_pos - np.uint64(file_offset)).astype(np.int64)
+    raw = np.asarray(raw_data, dtype=np.uint8)[pos]
+    good = alphabet.valid_ascii[raw]
+    return dataclasses.replace(batch, valid=batch.valid & good)

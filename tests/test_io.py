@@ -357,3 +357,28 @@ def test_fasta_block_with_explicit_context(ref_data_dir):
             hidx = int(np.searchsorted(full, bs, side="right")) - 1
             want = (hidx, int(full[hidx])) if hidx >= 0 else (-1, -1)
             assert ctx == want, f"np={nparts} part={part}"
+
+
+def test_split_records_at_invalid(ref_data_dir):
+    """SplitSequencesIterator semantics: reads containing N split into
+    parts at each N; k-mers never span an N and parts shorter than k
+    contribute nothing (filtered_sequence_iterator.hpp:168-247)."""
+    from kmerind_tpu.io.filters import split_records_at_invalid
+    from kmerind_tpu.index.api import CountIndex
+    from kmerind_tpu import KmerSpec
+    import oracle
+
+    path = ref_data_dir / "natural.withN.fastq"
+    data = np.fromfile(path, np.uint8)
+    b = read_file(path, DNA)
+    sb = split_records_at_invalid(b, data, DNA)
+    k = 21
+    idx = CountIndex(KmerSpec(k, DNA)).insert_batch(sb)
+    # oracle: every N-free piece of every read, counted separately
+    pieces = []
+    for rec in py_parse_fastq(path.read_text()):
+        pieces.extend(p for p in rec[1].split("N") if len(p) >= k)
+    expect = oracle.count_index(pieces, k, DNA, canonical=True)
+    got = idx.to_dict()
+    assert got == {kk: int(v) for kk, v in expect.items()}
+    assert len(got) > 0
