@@ -1152,11 +1152,18 @@ def make_bimol_find_step(mesh: Mesh, nparts: int, capacity: int,
         (rq,), rvalid, route = dist.distribute(
             (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
         q = rq.astype(jnp.uint32)
-        idx = sortops.lower_bound(store.keys, store.size, q)
-        hit = sortops.rows_equal_at(store.keys, idx, q, store.size) & rvalid
-        ic = jnp.clip(idx, 0, store.capacity - 1)
-        counts = jnp.where(hit, store.counts[ic], 0)
-        strand = jnp.where(hit, store.rep_strand[ic], 0)
+        idx = sortops.lower_bound_bucketed(store.keys, store.size, q)
+        cap, w = store.keys.shape
+        # fused [m, w+2] row gather: key words + count + strand
+        ext = jnp.concatenate(
+            [store.keys, store.counts.astype(jnp.uint32)[:, None],
+             store.rep_strand.astype(jnp.uint32)[:, None]], axis=1)
+        g = ext[jnp.clip(idx, 0, cap - 1)]
+        hit = rvalid & (idx < jnp.asarray(store.size, jnp.int32)) & jnp.all(
+            g[:, :w] == q, axis=-1)
+        counts = jnp.where(hit, g[:, w].astype(jnp.int32), 0)
+        strand = jnp.where(hit, g[:, w + 1].astype(store.rep_strand.dtype),
+                           0)
         back_c, back_s = dist.undistribute(
             (counts, strand), route, nparts, capacity, axes_of(mesh))
         return back_c[None], back_s[None], route.overflow[None]

@@ -161,12 +161,17 @@ def count_lookup(store: CountStore, queries: jax.Array) -> jax.Array:
     if m * 8 >= store.capacity:
         return sortops.lookup_join(store.keys, store.size, store.counts,
                                    queries)
-    idx = sortops.lower_bound(store.keys, store.size, queries.astype(jnp.uint32))
-    hit = sortops.rows_equal_at(store.keys, idx, queries.astype(jnp.uint32),
-                                store.size)
-    cap = store.capacity
-    vals = store.counts[jnp.clip(idx, 0, cap - 1)]
-    return jnp.where(hit, vals, 0)
+    q = queries.astype(jnp.uint32)
+    idx = sortops.lower_bound_bucketed(store.keys, store.size, q)
+    cap, w = store.keys.shape
+    # one fused [m, w+1] row gather: key words + count as a bitcast
+    # column (separate 1-D gathers lower 2.7x slower on TPU)
+    ext = jnp.concatenate(
+        [store.keys, store.counts.astype(jnp.uint32)[:, None]], axis=1)
+    g = ext[jnp.clip(idx, 0, cap - 1)]
+    hit = (idx < jnp.asarray(store.size, jnp.int32)) & jnp.all(
+        g[:, :w] == q, axis=-1)
+    return jnp.where(hit, g[:, w].astype(jnp.int32), 0)
 
 
 @jax.jit
@@ -222,10 +227,38 @@ def multi_insert(store: MultiStore, words, val_hi, val_lo, valid,
 
 @jax.jit
 def multi_lookup_ranges(store: MultiStore, queries):
-    """(lo, hi) int32[m]: contiguous range of pairs per query key."""
+    """(lo, hi) int32[m]: contiguous range of pairs per query key.
+
+    ONE binary search: lower_bound lands on the run's first row; the run
+    ROW-LENGTH (broadcast per row by two elementwise scans) gives hi =
+    lo + len — replacing the upper-bound search's log2(cap) gather rounds
+    (the dominant cost at large query batches) with ~2 passes + one
+    gather round."""
+    cap, w = store.keys.shape
     q = queries.astype(jnp.uint32)
-    lo = sortops.lower_bound(store.keys, store.size, q)
-    hi = sortops.upper_bound(store.keys, store.size, q)
+    size = jnp.asarray(store.size, jnp.int32)
+    lo = sortops.lower_bound_bucketed(store.keys, size, q)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    prev = jnp.roll(store.keys, 1, axis=0)
+    neq_prev = jnp.any(store.keys != prev, axis=1).at[0].set(True)
+    start = jax.lax.cummax(jnp.where(neq_prev, idx, -1), axis=0)
+    nxt = jnp.roll(store.keys, -1, axis=0)
+    neq_next = jnp.any(store.keys != nxt, axis=1).at[cap - 1].set(True)
+    end = jax.lax.cummin(
+        jnp.where(neq_next, idx + 1, jnp.int32(2147483647))[::-1],
+        axis=0)[::-1]
+    runlen = end - start
+    lofc = jnp.clip(lo, 0, cap - 1)
+    # one fused [m, w+1] row gather: key words + run length as an extra
+    # bitcast column (a separate 1-D runlen gather lowers 2.7x slower)
+    ext = jnp.concatenate(
+        [store.keys, runlen.astype(jnp.uint32)[:, None]], axis=1)
+    g = ext[lofc]
+    hit = (lo < size) & jnp.all(g[:, :w] == q, axis=-1)
+    # clip to size: a live run whose key bit-equals the sentinel padding
+    # would otherwise extend into the dead tail
+    hi = jnp.where(hit,
+                   jnp.minimum(lo + g[:, w].astype(jnp.int32), size), lo)
     return lo, hi
 
 
@@ -244,7 +277,17 @@ def multi_gather(store: MultiStore, lo, hi, max_per_query: int):
     idx = lo[:, None] + offs
     mask = idx < hi[:, None]
     idx_c = jnp.clip(idx, 0, store.capacity - 1)
-    return store.val_hi[idx_c], store.val_lo[idx_c], store.val_q[idx_c], mask
+    # ONE fused row gather of all three payload columns (separate
+    # per-column gathers of the same indices lower ~3x slower on TPU).
+    # val_q is float32: BITCAST to uint32 for the stack — dtype
+    # promotion would silently round the 32-bit ids through float32
+    ext = jnp.stack(
+        [store.val_hi, store.val_lo,
+         jax.lax.bitcast_convert_type(store.val_q, jnp.uint32)], axis=1)
+    g = ext[idx_c]
+    return (g[..., 0], g[..., 1],
+            jax.lax.bitcast_convert_type(g[..., 2], store.val_q.dtype),
+            mask)
 
 
 @jax.jit
@@ -339,10 +382,17 @@ def vec_insert(store: VecStore, words: jax.Array, vecs: jax.Array,
 @jax.jit
 def vec_lookup(store: VecStore, queries: jax.Array):
     """(vals int32[m, d], found bool[m]) per query key."""
-    idx = sortops.lower_bound(store.keys, store.size, queries.astype(jnp.uint32))
-    hit = sortops.rows_equal_at(store.keys, idx, queries.astype(jnp.uint32),
-                                store.size)
-    vals = store.vals[jnp.clip(idx, 0, store.capacity - 1)]
+    q = queries.astype(jnp.uint32)
+    idx = sortops.lower_bound_bucketed(store.keys, store.size, q)
+    cap, w = store.keys.shape
+    d = store.vals.shape[1]
+    # fused [m, w+d] row gather: key words + the counter vector
+    ext = jnp.concatenate(
+        [store.keys, store.vals.astype(jnp.uint32)], axis=1)
+    g = ext[jnp.clip(idx, 0, cap - 1)]
+    hit = (idx < jnp.asarray(store.size, jnp.int32)) & jnp.all(
+        g[:, :w] == q, axis=-1)
+    vals = g[:, w:].astype(jnp.int32)
     return jnp.where(hit[:, None], vals, 0), hit
 
 
@@ -617,17 +667,33 @@ def run_lookup(store: RunCountStore, queries: jax.Array,
     because counts only grow between erases."""
     m = queries.shape[0]
     cap = store.capacity
+    w = store.keys.shape[0]
     q = queries.astype(jnp.uint32)
     if m * 8 >= cap:
         counts = sortops.lookup_join_runs_cols(store.keys, store.csum, q)
     else:
-        # the whole key array (sentinel tail included) is sorted: search
-        # over all cap rows.  `size` must be a traced scalar so shard_map
+        # ONE binary search, not two: lower_bound lands on the first row
+        # of the query's key run, where the per-row RUN TOTAL (weight sum
+        # broadcast over the run by run_totals' elementwise scans) already
+        # holds count(q).  The second (upper-bound) search — another
+        # log2(cap) gather rounds, the dominant cost at 1M queries — is
+        # replaced by ~2 elementwise passes + one gather round.  The
+        # whole key array (sentinel tail included) is sorted: search over
+        # all cap rows.  `size` must be a traced scalar so shard_map
         # varying-axis metadata propagates into the bsearch carry.
         size = store.csum[0] * 0 + cap
-        lo = sortops.lower_bound_cols(store.keys, size, q)
-        hi = sortops.upper_bound_cols(store.keys, size, q)
-        counts = store.csum[hi] - store.csum[lo]
+        lo = sortops.lower_bound_cols_bucketed(store.keys, size, q)
+        _, _, total = run_totals(store)
+        lofc = jnp.clip(lo, 0, cap - 1)
+        # one fused [w+1, m] gather: key words + run total as an extra
+        # bitcast row (separate 1-D gathers lower 2.7x slower on TPU)
+        ext = jnp.concatenate(
+            [store.keys, total.astype(jnp.uint32)[None, :]], axis=0)
+        g = ext[:, lofc]
+        hit = lo < cap
+        for j in range(w):
+            hit &= g[j] == q[:, j]
+        counts = jnp.where(hit, g[w].astype(jnp.int32), 0)
     if saturate is not None:
         counts = jnp.minimum(counts, saturate)
     return counts
@@ -827,12 +893,16 @@ def kv_insert(store: KVStore, words, val_hi, val_lo, valid,
 def kv_lookup(store: KVStore, queries):
     """(val_hi, val_lo, found) per query key."""
     q = queries.astype(jnp.uint32)
-    idx = sortops.lower_bound(store.keys, store.size, q)
-    hit = sortops.rows_equal_at(store.keys, idx, q, store.size)
-    cap = store.capacity
-    ic = jnp.clip(idx, 0, cap - 1)
-    return (jnp.where(hit, store.val_hi[ic], 0),
-            jnp.where(hit, store.val_lo[ic], 0), hit)
+    idx = sortops.lower_bound_bucketed(store.keys, store.size, q)
+    cap, w = store.keys.shape
+    # fused [m, w+2] row gather: key words + both value halves
+    ext = jnp.concatenate(
+        [store.keys, store.val_hi[:, None], store.val_lo[:, None]], axis=1)
+    g = ext[jnp.clip(idx, 0, cap - 1)]
+    hit = (idx < jnp.asarray(store.size, jnp.int32)) & jnp.all(
+        g[:, :w] == q, axis=-1)
+    return (jnp.where(hit, g[:, w], 0),
+            jnp.where(hit, g[:, w + 1], 0), hit)
 
 
 @jax.jit

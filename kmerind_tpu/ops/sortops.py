@@ -35,6 +35,8 @@ __all__ = [
     "lookup_join_runs_cols",
     "lower_bound_cols",
     "upper_bound_cols",
+    "lower_bound_cols_bucketed",
+    "lower_bound_bucketed",
 ]
 
 
@@ -596,10 +598,14 @@ def _bsearch_cols(kcols: jax.Array, size, queries: jax.Array, side: str):
         active = lo < hi
         mid = (lo + hi) >> 1
         midc = jnp.clip(mid, 0, cap - 1)
+        # ONE [w, m] gather for all word columns: separate per-column 1-D
+        # gathers lower pathologically on TPU (measured 2.7x slower than
+        # this axis-1 batched form at 1M indices)
+        kmid = kcols[:, midc]
         less = jnp.zeros(m, bool)   # kmid < q
         gt = jnp.zeros(m, bool)     # kmid > q
         for j in reversed(range(w)):
-            kj = kcols[j][midc]
+            kj = kmid[j]
             less = jnp.where(kj != q_cols[j], kj < q_cols[j], less)
             gt = jnp.where(kj != q_cols[j], kj > q_cols[j], gt)
         go_right = less if side == "left" else ~gt
@@ -617,6 +623,88 @@ def lower_bound_cols(kcols, size, queries):
 
 def upper_bound_cols(kcols, size, queries):
     return _bsearch_cols(kcols, size, queries, side="right")
+
+
+def _bsearch_rounds(kcols_or_rows, queries, lo, hi, side, cols: bool):
+    """Shared bsearch refinement: run compare-exchange rounds from the
+    given (lo, hi) until EVERY query converges (while_loop — the round
+    count adapts to the actual range widths, so a bucketed start pays
+    only ~log2(bucket) gather rounds instead of log2(cap))."""
+    if cols:
+        w, cap = kcols_or_rows.shape
+    else:
+        cap, w = kcols_or_rows.shape
+    m = queries.shape[0]
+    q_cols = tuple(queries[:, j].astype(jnp.uint32) for j in range(w))
+
+    def round_(lo, hi):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        midc = jnp.clip(mid, 0, cap - 1)
+        kmid = kcols_or_rows[:, midc] if cols else kcols_or_rows[midc].T
+        less = jnp.zeros(m, bool)
+        gt = jnp.zeros(m, bool)
+        for j in reversed(range(w)):
+            kj = kmid[j]
+            less = jnp.where(kj != q_cols[j], kj < q_cols[j], less)
+            gt = jnp.where(kj != q_cols[j], kj > q_cols[j], gt)
+        go_right = less if side == "left" else ~gt
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+        return lo, hi
+
+    return jax.lax.while_loop(
+        lambda s: jnp.any(s[0] < s[1]),
+        lambda s: round_(*s), (lo, hi))[0]
+
+
+def _prefix_starts(hi_word: jax.Array, tbits: int) -> jax.Array:
+    """int32[2^tbits + 1] bucket table over a SORTED most-significant
+    word column: starts[b] = first row whose top tbits >= b."""
+    buck = (hi_word >> jnp.uint32(32 - tbits)).astype(jnp.int32)
+    probes = jnp.arange((1 << tbits) + 1, dtype=jnp.int32)
+    return jnp.searchsorted(buck, probes, side="left").astype(jnp.int32)
+
+
+def lower_bound_cols_bucketed(kcols: jax.Array, size, queries: jax.Array,
+                              tbits: int = 16):
+    """`lower_bound_cols` seeded by a 2^tbits-entry prefix-bucket table
+    (the reference's splitter idea applied locally): the search starts at
+    the query's top-tbits bucket bounds, so the expected gather rounds
+    drop from log2(cap) to ~log2(cap / 2^tbits); a while_loop keeps it
+    correct for arbitrarily skewed buckets.  Searches the FULL cap rows
+    like lower_bound_cols with size == cap (the run store's invariant:
+    the sentinel tail is sorted too)."""
+    w, cap = kcols.shape
+    m = queries.shape[0]
+    starts = _prefix_starts(kcols[0], tbits)
+    b = (queries[:, 0].astype(jnp.uint32)
+         >> jnp.uint32(32 - tbits)).astype(jnp.int32)
+    # one fused [2, m] gather of (bucket start, bucket end)
+    t2 = jnp.stack([starts[:-1], starts[1:]], axis=0)
+    g = t2[:, b]
+    zero = jnp.asarray(size, jnp.int32) * 0
+    lo = g[0] + zero
+    hi = g[1] + zero
+    return _bsearch_rounds(kcols, queries, lo, hi, "left", cols=True)
+
+
+def lower_bound_bucketed(keys: jax.Array, size, queries: jax.Array,
+                         tbits: int = 16):
+    """Row-major twin of `lower_bound_cols_bucketed` — searches the live
+    [0, size) rows with a bucket-seeded start.  Rows >= size must hold
+    the all-ones sentinel (every store's invariant), so clipping the
+    bucket bounds to `size` preserves the lower_bound result."""
+    cap, w = keys.shape
+    starts = _prefix_starts(keys[:, 0], tbits)
+    b = (queries[:, 0].astype(jnp.uint32)
+         >> jnp.uint32(32 - tbits)).astype(jnp.int32)
+    t2 = jnp.stack([starts[:-1], starts[1:]], axis=0)
+    g = t2[:, b]
+    size_i = jnp.asarray(size, jnp.int32)
+    lo = jnp.minimum(g[0], size_i)
+    hi = jnp.minimum(g[1], size_i)
+    return _bsearch_rounds(keys, queries, lo, hi, "left", cols=False)
 
 
 def rows_equal_at(keys: jax.Array, idx: jax.Array, queries: jax.Array,
