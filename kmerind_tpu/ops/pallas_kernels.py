@@ -552,6 +552,118 @@ def _make_global_stage2_kernel(ncols: int, w: int, rows: int, db: int):
     return kernel
 
 
+def _make_global_stage2_db_kernel(ncols: int, w: int, rows: int, db: int,
+                                  ngroups: int):
+    """Double-buffered twin of `_make_global_stage2_kernel`: grid steps
+    run sequentially on the core, so step j prefetches group j+1's four
+    blocks into the OTHER buffer set while computing group j — the
+    per-pass DMA latency (~1.4 ms beyond bandwidth at 33.5M rows) hides
+    behind compute.  Needs 2x the VMEM (8 blocks resident), so the
+    dispatcher gates it to ncols <= 3."""
+    db2 = db // 2
+
+    def kernel(*refs):
+        ins = refs[:ncols]
+        outs = refs[ncols:2 * ncols]
+        # two buffer sets of 4 blocks x ncols
+        bufs = [[refs[2 * ncols + (s * 4 + b) * ncols:
+                      2 * ncols + (s * 4 + b + 1) * ncols]
+                 for b in range(4)] for s in range(2)]
+        sem_r = refs[10 * ncols]      # (2, 4, ncols) read DMAs
+        sem_w = refs[10 * ncols + 1]  # (2, 4, ncols) write DMAs
+        j = pl.program_id(0)
+        cur = jax.lax.rem(j, 2)
+
+        def blocks_of(g):
+            x = (g % db2) + (g // db2) * (2 * db2)
+            x = (x % db) + (x // db) * (2 * db)
+            return (x, x + db2, x + db, x + db + db2)
+
+        def start_reads(g, s):
+            blks = blocks_of(g)
+            for b in range(4):
+                for c in range(ncols):
+                    pltpu.make_async_copy(
+                        ins[c].at[pl.ds(blks[b] * rows, rows)],
+                        bufs_sel(s)[b][c], sem_r.at[s, b, c]).start()
+
+        def bufs_sel(s):
+            # s is traced (0/1); pick buffers via lax.cond-free python
+            # branch is impossible — instead both sets are addressed with
+            # pl.when below, so this helper takes a PYTHON int
+            return bufs[s]
+
+        # j == 0 prologue: fetch group 0 into set 0
+        @pl.when(j == 0)
+        def _():
+            start_reads(0, 0)
+
+        # prefetch group j+1 into set (j+1)%2 — after that set's previous
+        # writes (group j-1) have drained
+        for s in range(2):  # python-unrolled over the two sets
+            @pl.when((cur == 1 - s) & (j + 1 < ngroups))
+            def _(s=s):
+                if ngroups >= 2:
+                    @pl.when(j >= 1)
+                    def _():
+                        for b in range(4):
+                            for c in range(ncols):
+                                pltpu.make_async_copy(
+                                    bufs[s][b][c],
+                                    outs[c].at[pl.ds(0, rows)],
+                                    sem_w.at[s, b, c]).wait()
+                start_reads(j + 1, s)
+
+        def cmpex(lo, hi):
+            swap = _lex_gt(lo, hi, w)
+            new_lo = [jnp.where(swap, h, l) for l, h in zip(lo, hi)]
+            new_hi = [jnp.where(swap, l, h) for l, h in zip(lo, hi)]
+            return new_lo, new_hi
+
+        for s in range(2):
+            @pl.when(cur == s)
+            def _(s=s):
+                for b in range(4):
+                    for c in range(ncols):
+                        pltpu.make_async_copy(
+                            ins[c].at[pl.ds(0, rows)], bufs[s][b][c],
+                            sem_r.at[s, b, c]).wait()
+                vals = [[bufs[s][b][c][...] for c in range(ncols)]
+                        for b in range(4)]
+                vals[0], vals[2] = cmpex(vals[0], vals[2])
+                vals[1], vals[3] = cmpex(vals[1], vals[3])
+                vals[0], vals[1] = cmpex(vals[0], vals[1])
+                vals[2], vals[3] = cmpex(vals[2], vals[3])
+                blks = blocks_of(j)
+                for b in range(4):
+                    for c in range(ncols):
+                        bufs[s][b][c][...] = vals[b][c]
+                for b in range(4):
+                    for c in range(ncols):
+                        pltpu.make_async_copy(
+                            bufs[s][b][c],
+                            outs[c].at[pl.ds(blks[b] * rows, rows)],
+                            sem_w.at[s, b, c]).start()
+                # final step(s): drain writes before the kernel ends
+                @pl.when(j == ngroups - 1)
+                def _():
+                    for b in range(4):
+                        for c in range(ncols):
+                            pltpu.make_async_copy(
+                                bufs[s][b][c],
+                                outs[c].at[pl.ds(blks[b] * rows, rows)],
+                                sem_w.at[s, b, c]).wait()
+                    if ngroups >= 2:
+                        for b in range(4):
+                            for c in range(ncols):
+                                pltpu.make_async_copy(
+                                    bufs[1 - s][b][c],
+                                    outs[c].at[pl.ds(0, rows)],
+                                    sem_w.at[1 - s, b, c]).wait()
+
+    return kernel
+
+
 def _make_local_stages_kernel(ncols: int, w: int, rows: int, first_d: int):
     """All stages with distance first_d, first_d/2, …, 1 inside one VMEM
     block of rows*128 elements (flat order element i at [i//128, i%128])."""
@@ -640,20 +752,45 @@ def _bitonic_merge_pallas_cols(kcols, payloads, interpret):
     while d >= _MG_BLOCK:
         db = d // _MG_BLOCK
         if d >= 2 * _MG_BLOCK:
-            cols = pl.pallas_call(
-                _make_global_stage2_kernel(ncols, w, brows, db),
-                grid=(n // (4 * _MG_BLOCK),),
-                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * ncols,
-                out_specs=tuple(
-                    [pl.BlockSpec(memory_space=pl.ANY)] * ncols),
-                out_shape=tuple(shapes),
-                input_output_aliases={c: c for c in range(ncols)},
-                scratch_shapes=(
-                    [pltpu.VMEM((brows, _LANES), c.dtype)
-                     for _ in range(4) for c in cols]
-                    + [pltpu.SemaphoreType.DMA((4, ncols))]),
-                interpret=interpret,
-            )(*cols)
+            ngroups = n // (4 * _MG_BLOCK)
+            if ncols <= 3 and ngroups >= 2:
+                # double-buffered: 8 blocks resident (<= 12 MB at
+                # ncols=3), next group prefetches during compute
+                cols = pl.pallas_call(
+                    _make_global_stage2_db_kernel(ncols, w, brows, db,
+                                                  ngroups),
+                    grid=(ngroups,),
+                    in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * ncols,
+                    out_specs=tuple(
+                        [pl.BlockSpec(memory_space=pl.ANY)] * ncols),
+                    out_shape=tuple(shapes),
+                    input_output_aliases={c: c for c in range(ncols)},
+                    scratch_shapes=(
+                        [pltpu.VMEM((brows, _LANES), c.dtype)
+                         for _ in range(8) for c in cols]
+                        + [pltpu.SemaphoreType.DMA((2, 4, ncols)),
+                           pltpu.SemaphoreType.DMA((2, 4, ncols))]),
+                    # 8 resident blocks exceed the 16 MB scoped-vmem
+                    # default; v5e physical VMEM accommodates this
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=28 * 1024 * 1024),
+                    interpret=interpret,
+                )(*cols)
+            else:
+                cols = pl.pallas_call(
+                    _make_global_stage2_kernel(ncols, w, brows, db),
+                    grid=(ngroups,),
+                    in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * ncols,
+                    out_specs=tuple(
+                        [pl.BlockSpec(memory_space=pl.ANY)] * ncols),
+                    out_shape=tuple(shapes),
+                    input_output_aliases={c: c for c in range(ncols)},
+                    scratch_shapes=(
+                        [pltpu.VMEM((brows, _LANES), c.dtype)
+                         for _ in range(4) for c in cols]
+                        + [pltpu.SemaphoreType.DMA((4, ncols))]),
+                    interpret=interpret,
+                )(*cols)
             cols = list(cols)
             d //= 4
             continue

@@ -75,13 +75,15 @@ def test_weights_sum_and_first_invalid_equal_key():
     assert got[tv - 1] == tv
 
 
-@pytest.mark.parametrize("nblocks", [4, 8])
+@pytest.mark.parametrize("nblocks", [4, 8, 16])
 def test_bitonic_merge_cols_fused_global_stages(monkeypatch, nblocks):
     """The column-native Pallas bitonic merge in interpret mode, at sizes
-    that exercise BOTH global-stage parities: nblocks=4 runs one fused
-    two-stage pass (4 VMEM blocks); nblocks=8 runs one fused pass then
-    one single-stage fallback.  _MG_BLOCK is shrunk so the test stays
-    fast."""
+    that exercise BOTH global-stage parities and both fused kernels:
+    nblocks=4 runs one fused two-stage pass (ngroups=1, single-buffered);
+    nblocks=8 runs a double-buffered fused pass (ngroups=2) then a
+    single-stage fallback; nblocks=16 runs two double-buffered passes at
+    ngroups=4 (the steady-state prefetch + write-drain pattern).
+    _MG_BLOCK is shrunk so the test stays fast."""
     from kmerind_tpu.ops import pallas_kernels as pk
 
     small_block = 1 << 10
