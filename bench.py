@@ -96,7 +96,7 @@ def main():
                     help="builds per dispatch in --mode ingest")
     ap.add_argument("--mode", default="e2e",
                     choices=("e2e", "ingest", "count_query",
-                             "multimap_find"))
+                             "multimap_find", "erase"))
     ap.add_argument("--queries", type=int, default=1 << 20,
                     help="query rows in the query-rate modes")
     ap.add_argument("--max-per-query", type=int, default=16,
@@ -248,6 +248,48 @@ def main():
         base_rate = m / bt
         _log(f"numpy searchsorted baseline: {base_rate/1e6:.2f} Mq/s",
              quiet)
+    elif args.mode == "erase":
+        # Distributed erase rate at a 16.7M-row store / 1M keys
+        # (BenchmarkKmerIndex erase phase, :549-560).  The erase step is
+        # functional (returns new stores), so repeated timing runs hit
+        # the same store snapshot.
+        from kmerind_tpu.index import distributed as dxm
+        from kmerind_tpu.index.api import CountIndex
+        idx = CountIndex(spec)
+        _log(f"building {args.bases >> 20}M-base store…", quiet)
+        idx.insert_batch(synth_read_batch())
+        idx._flush()
+        qw = idx._maybe_canonicalize_queries(sample_query_words())
+        (wsh,), vsh, m = idx._shard_rows(qw)
+        mq = wsh.shape[1]
+        bucket_cap = idx._bucket_capacity(mq)
+        while True:
+            step = dxm.make_runs_erase_step(
+                idx.mesh, idx.nparts, bucket_cap, idx.hash_name,
+                len(idx.runs))
+            _, nerased, ovf = step(tuple(idx.runs), wsh, vsh)
+            if int(np.asarray(ovf).max()) == 0:
+                break
+            bucket_cap *= 2
+        assert int(np.asarray(nerased).sum()) > 0
+        best = timed_step(lambda: step(tuple(idx.runs), wsh, vsh),
+                          lambda out: out[1].sum())
+        n_windows = m
+        tpu_rate = m / best
+        metric = ("keys/s/chip (distributed erase, %dM-row store, %dk "
+                  "keys, k=%d)" % (idx.size() >> 20, m >> 10, args.k))
+        # numpy baseline: searchsorted + boolean-mask compaction
+        skeys = np.sort(np.random.default_rng(2).integers(
+            0, 1 << 42, idx.size(), dtype=np.uint64))
+        bq = skeys[np.random.default_rng(3).integers(0, len(skeys), m)]
+        t0 = time.perf_counter()
+        pos = np.searchsorted(skeys, bq)
+        kill = np.zeros(len(skeys) + 1, bool)
+        kill[np.minimum(pos, len(skeys) - 1)] = True
+        _ = skeys[~kill[:-1]]
+        bt = time.perf_counter() - t0
+        base_rate = m / bt
+        _log(f"numpy erase baseline: {base_rate/1e6:.2f} Mkeys/s", quiet)
     elif args.mode == "multimap_find":
         # Multimap find rate (position lists) at a 16.7M-pair store / 1M
         # queries (BenchmarkKmerIndex find phase, :536-548).
@@ -397,6 +439,7 @@ def main():
         "value": round(tpu_rate, 1),
         "unit": ("queries/s" if args.mode in ("count_query",
                                               "multimap_find")
+                 else "keys/s" if args.mode == "erase"
                  else "kmers/s"),
         "vs_baseline": round(tpu_rate / base_rate, 3),
     }), flush=True)

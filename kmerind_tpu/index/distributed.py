@@ -1194,8 +1194,7 @@ def make_multi_erase_if_keys_step(mesh: Mesh, nparts: int, capacity: int,
             (keys,), owner, valid, nparts, capacity, axes_of(mesh))
         q = rk.astype(jnp.uint32)
         cap = store.capacity
-        lo = sortops.lower_bound(store.keys, store.size, q)
-        hi = sortops.upper_bound(store.keys, store.size, q)
+        lo, hi = st.multi_lookup_ranges(store, q)
         lo = jnp.where(rvalid, lo, 0)
         hi = jnp.where(rvalid, hi, 0)
         diff = jnp.zeros((cap + 1,), jnp.int32)

@@ -178,9 +178,9 @@ def count_lookup(store: CountStore, queries: jax.Array) -> jax.Array:
 def count_erase(store: CountStore, queries: jax.Array, qvalid: jax.Array):
     """Remove query keys; returns (new_store, n_erased int32)
     (erase path, distributed_densehash_map.hpp:1603+)."""
-    idx = sortops.lower_bound(store.keys, store.size, queries.astype(jnp.uint32))
-    hit = sortops.rows_equal_at(store.keys, idx, queries.astype(jnp.uint32),
-                                store.size) & qvalid
+    q = queries.astype(jnp.uint32)
+    idx = sortops.lower_bound_bucketed(store.keys, store.size, q)
+    hit = sortops.rows_equal_at(store.keys, idx, q, store.size) & qvalid
     cap = store.capacity
     kill = jnp.zeros((cap + 1,), bool).at[jnp.where(hit, idx, cap)].set(True)[:cap]
     keep = (jnp.arange(cap) < store.size) & ~kill
@@ -295,8 +295,7 @@ def multi_erase(store: MultiStore, queries, qvalid):
     """Remove ALL pairs whose key matches a query key; returns
     (new_store, n_erased)."""
     q = queries.astype(jnp.uint32)
-    lo = sortops.lower_bound(store.keys, store.size, q)
-    hi = sortops.upper_bound(store.keys, store.size, q)
+    lo, hi = multi_lookup_ranges(store, q)
     lo = jnp.where(qvalid, lo, 0)
     hi = jnp.where(qvalid, hi, 0)
     cap = store.capacity
@@ -441,10 +440,9 @@ def empty_bimol_store(capacity: int, nwords: int) -> BimolStore:
 def bimol_erase(store: BimolStore, queries: jax.Array, qvalid: jax.Array):
     """Remove query keys (canonical form); returns (new_store, n_erased) —
     the Bimolecule-preserving analog of `count_erase`."""
-    idx = sortops.lower_bound(store.keys, store.size,
-                              queries.astype(jnp.uint32))
-    hit = sortops.rows_equal_at(store.keys, idx, queries.astype(jnp.uint32),
-                                store.size) & qvalid
+    q = queries.astype(jnp.uint32)
+    idx = sortops.lower_bound_bucketed(store.keys, store.size, q)
+    hit = sortops.rows_equal_at(store.keys, idx, q, store.size) & qvalid
     cap = store.capacity
     kill = jnp.zeros((cap + 1,), bool).at[
         jnp.where(hit, idx, cap)].set(True)[:cap]
@@ -699,6 +697,35 @@ def run_lookup(store: RunCountStore, queries: jax.Array,
     return counts
 
 
+def _run_query_bounds(store: RunCountStore, q: jax.Array):
+    """(lo, hi, hit, total) per query over the run store with ONE
+    bucketed lower_bound: hi comes from the run's row-length and `total`
+    from its weight sum (both broadcast per row by elementwise scans and
+    fetched in the same fused gather as the hit check)."""
+    cap = store.capacity
+    w = store.keys.shape[0]
+    size = store.csum[0] * 0 + cap
+    lo = sortops.lower_bound_cols_bucketed(store.keys, size, q)
+    neq_prev, neq_next = _adjacent_neq(store.keys)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    start = jax.lax.cummax(jnp.where(neq_prev, idx, -1), axis=0)
+    end = jax.lax.cummin(
+        jnp.where(neq_next, idx + 1, jnp.int32(2147483647))[::-1],
+        axis=0)[::-1]
+    runlen = end - start
+    _, _, total = run_totals(store)
+    # one fused [w+2, m] gather: key words + run length + run total
+    ext = jnp.concatenate(
+        [store.keys, runlen.astype(jnp.uint32)[None, :],
+         total.astype(jnp.uint32)[None, :]], axis=0)
+    g = ext[:, jnp.clip(lo, 0, cap - 1)]
+    hit = lo < cap
+    for j in range(w):
+        hit &= g[j] == q[:, j]
+    hi = jnp.where(hit, jnp.minimum(lo + g[w].astype(jnp.int32), cap), lo)
+    return lo, hi, hit, jnp.where(hit, g[w + 1].astype(jnp.int32), 0)
+
+
 @jax.jit
 def run_erase_cover(store: RunCountStore, queries: jax.Array,
                     qvalid: jax.Array) -> RunCountStore:
@@ -707,9 +734,7 @@ def run_erase_cover(store: RunCountStore, queries: jax.Array,
     multi-run erase counts across runs in the step)."""
     cap = store.capacity
     q = queries.astype(jnp.uint32)
-    size = store.csum[0] * 0 + cap
-    lo = sortops.lower_bound_cols(store.keys, size, q)
-    hi = sortops.upper_bound_cols(store.keys, size, q)
+    lo, hi, _, _ = _run_query_bounds(store, q)
     lo = jnp.where(qvalid, lo, 0)
     hi = jnp.where(qvalid, hi, 0)
     diff = jnp.zeros((cap + 1,), jnp.int32)
@@ -735,15 +760,13 @@ def run_erase(store: RunCountStore, queries: jax.Array, qvalid: jax.Array):
     reference's erase return, distributed_densehash_map.hpp:1603+)."""
     cap = store.capacity
     q = queries.astype(jnp.uint32)
-    size = store.csum[0] * 0 + cap
-    lo = sortops.lower_bound_cols(store.keys, size, q)
-    hi = sortops.upper_bound_cols(store.keys, size, q)
+    lo, hi, _, total = _run_query_bounds(store, q)
     lo = jnp.where(qvalid, lo, 0)
     hi = jnp.where(qvalid, hi, 0)
     # distinct keys actually erased: positive-count queries, deduplicated
     # by counting only queries whose lower_bound differs (equal keys have
     # equal bounds)
-    had = (store.csum[hi] - store.csum[lo]) > 0
+    had = total > 0
     diff = jnp.zeros((cap + 1,), jnp.int32)
     diff = diff.at[lo].add(jnp.where(qvalid, 1, 0))
     diff = diff.at[hi].add(jnp.where(qvalid, -1, 0))
@@ -909,7 +932,7 @@ def kv_lookup(store: KVStore, queries):
 def kv_erase(store: KVStore, queries, qvalid):
     """Remove query keys; returns (new_store, n_erased)."""
     q = queries.astype(jnp.uint32)
-    idx = sortops.lower_bound(store.keys, store.size, q)
+    idx = sortops.lower_bound_bucketed(store.keys, store.size, q)
     hit = sortops.rows_equal_at(store.keys, idx, q, store.size) & qvalid
     cap = store.capacity
     kill = jnp.zeros((cap + 1,), bool).at[
