@@ -71,6 +71,13 @@ elif kind == "sorted_count":
 elif kind == "debruijn":
     from kmerind_tpu.debruijn import DeBruijnGraph
     idx = DeBruijnGraph(spec, mesh=mesh, canonical=True, timer=timer)
+elif kind == "value_min":
+    # the generic unique-key value map; reduce="min" is order-independent
+    # so contents are comparable across process counts (the reference's
+    # "first" is arrival-order-dependent under different np too)
+    from kmerind_tpu.index.value_api import KmerValueIndex
+    idx = KmerValueIndex(spec, mesh=mesh, canonical=True, reduce="min",
+                         id_kind="short", timer=timer)
 else:
     idx = PositionIndex(spec, mesh=mesh, id_kind="short", timer=timer)
 

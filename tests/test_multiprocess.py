@@ -129,6 +129,23 @@ def test_multiprocess_sorted_count_index(ref_data_dir, tmp_path):
     assert res["counts"] == want_counts
 
 
+def test_multiprocess_value_index(ref_data_dir, tmp_path):
+    """Generic unique-key value map under real jax.distributed processes:
+    kmer -> min 64-bit position id must equal the single-process build
+    (min is order-independent, so contents are np-invariant)."""
+    path = ref_data_dir / "test.small.fastq"
+    res = _run_workers(2, 2, path, "value_min", tmp_path)
+    from kmerind_tpu import DNA, KmerSpec
+    from kmerind_tpu.index.value_api import KmerValueIndex
+    idx = KmerValueIndex(KmerSpec(21, DNA), reduce="min", id_kind="short")
+    idx.build(str(path))
+    expect = {str(k): v for k, v in idx.to_dict().items()}
+    assert res["contents"] == expect
+    assert res["size"] == len(expect)
+    # count() on a value map answers membership (0/1)
+    assert res["counts"] == [1] * len(res["queried"])
+
+
 def test_multiprocess_debruijn(ref_data_dir, tmp_path):
     """De Bruijn node counters under real multi-process execution must
     equal the single-process build of the same file."""
