@@ -753,9 +753,10 @@ def _bitonic_merge_pallas_cols(kcols, payloads, interpret):
         db = d // _MG_BLOCK
         if d >= 2 * _MG_BLOCK:
             ngroups = n // (4 * _MG_BLOCK)
-            if ncols <= 3 and ngroups >= 2:
-                # double-buffered: 8 blocks resident (<= 12 MB at
-                # ncols=3), next group prefetches during compute
+            if ncols <= 5 and ngroups >= 2:
+                # double-buffered: 8 blocks resident (12 MB at ncols=3,
+                # 20 MB at k=63's ncols=5), next group prefetches during
+                # compute
                 cols = pl.pallas_call(
                     _make_global_stage2_db_kernel(ncols, w, brows, db,
                                                   ngroups),
@@ -773,7 +774,8 @@ def _bitonic_merge_pallas_cols(kcols, payloads, interpret):
                     # 8 resident blocks exceed the 16 MB scoped-vmem
                     # default; v5e physical VMEM accommodates this
                     compiler_params=pltpu.CompilerParams(
-                        vmem_limit_bytes=28 * 1024 * 1024),
+                        vmem_limit_bytes=8 * ncols * _MG_BLOCK * 4
+                        + 8 * 1024 * 1024),
                     interpret=interpret,
                 )(*cols)
             else:

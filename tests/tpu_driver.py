@@ -162,6 +162,20 @@ def main():
         assert tuple(int(x) for x in vals[i]) == gd[v]
     print("debruijn ingest + node query on TPU: ok", file=sys.stderr)
 
+    # 7b. generic unique-key value map: insert + lookup on hardware
+    from kmerind_tpu.index.value_api import KmerValueIndex
+    vidx = KmerValueIndex(spec, reduce="min")
+    vk = sorted(d)[:128]
+    vw = words_of(spec, vk)
+    vals = np.arange(len(vk), dtype=np.uint64) * 7 + 3
+    vidx.insert(vw, vals)
+    vd = vidx.to_dict()
+    assert vd == {k_: int(v) for k_, v in zip(vk, vals)}
+    got_v, got_f = vidx.find(vw[:32])
+    assert got_f.all()
+    assert [int(x) for x in got_v] == [int(v) for v in vals[:32]]
+    print("value map insert+find on TPU: ok", file=sys.stderr)
+
     # 8. multi-word kmers (k=63 -> 4 words): build + query on hardware
     # (fixture reads are 60 bp < k, so synthesize 200 bp reads)
     spec63 = KmerSpec(63, DNA)
