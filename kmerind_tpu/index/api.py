@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -166,46 +167,134 @@ class _IndexBase:
         Multi-process: `batch` is THIS process's file block
         (`parallel.multihost.host_block_batch`); it is split over the
         process's local shards and the per-shard length is padded to the
-        max across processes so the global shape agrees."""
+        max across processes so the global shape agrees.
+
+        Marshalling writes each needed byte exactly ONCE into pooled
+        [shards, L] buffers (2-generation ring — the previous chunk's
+        async transfer may still read its buffers).  The old
+        shard_with_halo + pad_to + np.stack flow copied every per-base
+        column (19 B/base) twice through fresh allocations; measured
+        ~310M bases/s vs ~1.5G for the direct fill."""
         p = self.nparts
         if halo is None:
             halo = self.spec.k - 1
-        lo, hi = self._local_shard_range()
-        n_local_shards = hi - lo
-        shards, owned = batch.shard_with_halo(n_local_shards, halo, halo_left)
-        pad_to = shards[0].num_bases
+        lo_sh, hi_sh = self._local_shard_range()
+        n_local_shards = hi_sh - lo_sh
+        n = batch.num_bases
+        owned = -(-n // n_local_shards)
+        pad_to = halo_left + owned + halo
         if self._multiprocess:
             from jax.experimental import multihost_utils
             pad_to = int(multihost_utils.process_allgather(
                 np.int64(pad_to)).max())
-            shards = [s.pad_to(pad_to) for s in shards]
-        cols = {}
-        names = ["codes", "valid", "owned", "seg_id"]
-        # NOTE: the stack COPY below is load-bearing with reuse=True
-        # batches: device_put may transfer asynchronously while the parser
-        # ring overwrites the source views, so columns must not alias ring
-        # memory when handed to the device.
-        for name in names:
-            stacked = np.stack([getattr(s, name) for s in shards])
-            cols[name] = self._put_global(stacked, p)
-        if need_ids:
-            if id_kind is None:
-                cols["id_hi"] = self._zero_col((n_local_shards, pad_to),
-                                               np.uint32)
-                cols["id_lo"] = cols["id_hi"]
+        # (source column, pad fill) per marshalled output
+        srcs = [("codes", batch.codes, 0),
+                ("valid", batch.valid, False),
+                ("seg_id", batch.seg_id, -1)]
+        if need_ids and id_kind is not None:
+            ids_full = self._pooled_ids(batch, id_kind)
+            if sys.byteorder == "little":
+                # zero-copy u64 -> (hi, lo) u32 halves
+                v = ids_full.view(np.uint32).reshape(-1, 2)
+                srcs.append(("id_hi", v[:, 1], 0))
+                srcs.append(("id_lo", v[:, 0], 0))
             else:
-                ids = np.stack([s.ids(id_kind) for s in shards])
-                cols["id_hi"] = self._put_global(
-                    (ids >> np.uint64(32)).astype(np.uint32), p)
-                cols["id_lo"] = self._put_global(ids.astype(np.uint32), p)
-        if need_qual:
-            if real_qual:
-                quals = np.stack([s.qual for s in shards])
-                cols["qual"] = self._put_global(quals, p)
-            else:
-                cols["qual"] = self._zero_col((n_local_shards, pad_to),
-                                              np.uint8)
+                srcs.append(("id_hi", (ids_full >> np.uint64(32))
+                             .astype(np.uint32), 0))
+                srcs.append(("id_lo", ids_full.astype(np.uint32), 0))
+        if need_qual and real_qual:
+            srcs.append(("qual", batch.qual, 0))
+        bufs = self._marshal_bufs(
+            n_local_shards, pad_to,
+            tuple((nm, a.dtype) for nm, a, _ in srcs) + (("owned", bool),))
+        for s in range(n_local_shards):
+            own_start = min(s * owned, n)
+            lo = max(0, own_start - halo_left)
+            left = own_start - lo
+            hi = min(own_start + owned + halo, n)
+            ln = hi - lo
+            for nm, src, fill in srcs:
+                d = bufs[nm][s]
+                d[:ln] = src[lo:hi]
+                d[ln:] = fill
+            ob = bufs["owned"][s]
+            ob[:ln] = batch.owned[lo:hi]
+            ob[ln:] = False
+            ob[:left] = False
+            ob[left + owned:] = False
+        cols = {nm: self._put_global(bufs[nm], p)
+                for nm, _, _ in srcs}
+        cols["owned"] = self._put_global(bufs["owned"], p)
+        if need_ids and id_kind is None:
+            cols["id_hi"] = self._zero_col((n_local_shards, pad_to),
+                                           np.uint32)
+            cols["id_lo"] = cols["id_hi"]
+        if need_qual and not real_qual:
+            cols["qual"] = self._zero_col((n_local_shards, pad_to),
+                                          np.uint8)
         return cols, owned
+
+    def _pooled_ids(self, batch: ReadBatch, id_kind: str) -> np.ndarray:
+        """64-bit position ids over the whole batch, computed into pooled
+        buffers with in-place ops — `ReadBatch.ids()` allocates ~7 fresh
+        [n] u64 temporaries whose first-touch page faults dominated the
+        position-family marshal (measured ~30x the in-place cost)."""
+        n = batch.num_bases
+        pool = getattr(self, "_ids_pool", None)
+        if pool is None:
+            pool = self._ids_pool = {}
+        bufs = pool.get(n)
+        if bufs is None:
+            bufs = pool[n] = (np.empty(n, np.uint64), np.empty(n, np.uint64))
+        out, tmp = bufs
+        if batch.num_records == 0:
+            out[:] = 0
+            return out
+        _POS40 = np.uint64((1 << 40) - 1)
+        if id_kind == "short":
+            # fid<<56 | (record_start & POS40)<<16 | offset16
+            np.take(batch.record_start, batch.seg_id, out=out)
+            out &= _POS40
+            out <<= np.uint64(16)
+            np.copyto(tmp, batch.offset_in_record, casting="unsafe")
+            tmp &= np.uint64(0xFFFF)
+            out |= tmp
+            np.take(batch.file_id.astype(np.uint64), batch.seg_id, out=tmp)
+            tmp <<= np.uint64(56)
+            out |= tmp
+        elif id_kind == "long":
+            # fid<<56 | seq_index<<40 | (global_pos & POS40)
+            np.copyto(out, batch.global_pos)
+            out &= _POS40
+            np.take(batch.seq_index.astype(np.uint64), batch.seg_id,
+                    out=tmp)
+            tmp <<= np.uint64(40)
+            out |= tmp
+            np.take(batch.file_id.astype(np.uint64), batch.seg_id, out=tmp)
+            tmp <<= np.uint64(56)
+            out |= tmp
+        else:
+            raise ValueError(f"unknown id kind {id_kind!r}")
+        return out
+
+    def _marshal_bufs(self, nshards: int, pad_to: int, layout: tuple):
+        """Pooled marshal buffers: one [nshards, pad_to] array per column,
+        alternating between two generations so the previous chunk's
+        (possibly still in-flight) device transfer never reads memory the
+        current marshal is overwriting.  Reuse avoids the fresh-allocation
+        first-touch faults that dominated the old flow."""
+        pool = getattr(self, "_marshal_pool", None)
+        if pool is None:
+            pool = self._marshal_pool = {}
+        key = (nshards, pad_to, layout)
+        gens = pool.get(key)
+        if gens is None:
+            gens = pool[key] = [
+                {nm: np.empty((nshards, pad_to), dt) for nm, dt in layout}
+                for _ in range(2)], [0]
+        ring, ctr = gens
+        ctr[0] ^= 1
+        return ring[ctr[0]]
 
     def _bucket_capacity(self, n_per_shard: int) -> int:
         """Per-destination exchange bucket for n_per_shard routed rows:
