@@ -161,6 +161,8 @@ def main():
     dvalid = jax.device_put(valid, dev)
     dseg = jax.device_put(seg, dev)
 
+    compile_s = [0.0]  # wall time to first result (compile or cache load)
+
     base_rate = None  # query modes compute their own numpy baseline
 
     def synth_read_batch():
@@ -219,6 +221,7 @@ def main():
         (wsh,), vsh, m = idx._shard_rows(qw)
         mq = wsh.shape[1]
         bucket_cap = idx._bucket_capacity(mq)
+        t0 = time.perf_counter()
         while True:
             step = dxm.make_runs_count_query_step(
                 idx.mesh, idx.nparts, bucket_cap, idx.hash_name,
@@ -227,6 +230,7 @@ def main():
             if int(np.asarray(ovf).max()) == 0:
                 break
             bucket_cap *= 2
+        compile_s[0] = time.perf_counter() - t0
         assert int(np.asarray(counts).sum()) >= m  # all sampled hits hit
         best = timed_step(lambda: step(tuple(idx.runs), wsh, vsh),
                           lambda out: out[0].sum())
@@ -263,6 +267,7 @@ def main():
         (wsh,), vsh, m = idx._shard_rows(qw)
         mq = wsh.shape[1]
         bucket_cap = idx._bucket_capacity(mq)
+        t0 = time.perf_counter()
         while True:
             step = dxm.make_runs_erase_step(
                 idx.mesh, idx.nparts, bucket_cap, idx.hash_name,
@@ -271,6 +276,7 @@ def main():
             if int(np.asarray(ovf).max()) == 0:
                 break
             bucket_cap *= 2
+        compile_s[0] = time.perf_counter() - t0
         assert int(np.asarray(nerased).sum()) > 0
         best = timed_step(lambda: step(tuple(idx.runs), wsh, vsh),
                           lambda out: out[1].sum())
@@ -305,6 +311,7 @@ def main():
         mq = wsh.shape[1]
         bucket_cap = idx._bucket_capacity(mq)
         mpq = args.max_per_query
+        t0 = time.perf_counter()
         while True:
             step = dxm.make_multi_find_step(
                 idx.mesh, idx.nparts, bucket_cap, idx.hash_name, mpq)
@@ -317,6 +324,7 @@ def main():
                 mpq = 1 << (worst - 1).bit_length()
                 continue
             break
+        compile_s[0] = time.perf_counter() - t0
         pairs = int(np.asarray(nfound).sum())
         assert pairs >= m
         best = timed_step(lambda: step(idx.store, wsh, vsh),
@@ -374,7 +382,8 @@ def main():
         t0 = time.perf_counter()
         r = build(dcodes, dvalid, dseg, jnp.uint8(0))
         total = int(np.asarray(r[1]))
-        _log(f"compile+first run: {time.perf_counter() - t0:.1f}s "
+        compile_s[0] = time.perf_counter() - t0
+        _log(f"compile+first run: {compile_s[0]:.1f}s "
              f"(total kmers in store: {total})", quiet)
         times = []
         for i in range(args.iters):
@@ -404,7 +413,8 @@ def main():
         t0 = time.perf_counter()
         r = jax.block_until_ready(build_i(dcodes, dvalid, dseg))
         total = int(np.asarray(r[1])) // INNER
-        _log(f"compile+first run: {time.perf_counter() - t0:.1f}s", quiet)
+        compile_s[0] = time.perf_counter() - t0
+        _log(f"compile+first run: {compile_s[0]:.1f}s", quiet)
         times = []
         for i in range(args.iters):
             t0 = time.perf_counter()
@@ -442,6 +452,7 @@ def main():
                  else "keys/s" if args.mode == "erase"
                  else "kmers/s"),
         "vs_baseline": round(tpu_rate / base_rate, 3),
+        "compile_s": round(compile_s[0], 1),
     }), flush=True)
 
 

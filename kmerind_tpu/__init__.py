@@ -23,6 +23,11 @@ from . import alphabets
 from .alphabets import ASCII, DNA, DNA5, DNA6, DNA16, DNA_IUPAC, RNA, RNA5, RNA6
 from .config import IndexConfig
 from .kmer import KmerSpec
+from .utils import compile_cache as _compile_cache
+
+# compile-once-per-config economics (the reference pre-compiles its type
+# matrix offline); opt out with KMERIND_TPU_NO_COMPILE_CACHE=1
+_compile_cache.enable()
 
 __version__ = "0.1.0"
 

@@ -1238,19 +1238,25 @@ class BimoleculeCountIndex(CountIndex):
 
     def count_if(self, pred, kmers=None):
         if kmers is None:
+            # device-side selection: matching entries compact to the front
+            # per shard, the host slices n rows (no cap-sized Python scans)
             self._flush()
-            key = ("scan_if", pred, self.capacity)
+            key = ("select_if", pred, self.capacity)
             if key not in self._step_cache:
-                self._step_cache[key] = dx.make_count_scan_step(
+                self._step_cache[key] = dx.make_count_select_step(
                     self.mesh, pred)
-            mask = self._fetch(self._step_cache[key](self.store))
-            keys = self._fetch(self.store.keys)
-            counts = self._fetch(self.store.counts)
+            keys_out, counts_out, n = self._step_cache[key](self.store)
+            keys_out = self._fetch(keys_out)
+            counts_out = self._fetch(counts_out)
+            n = self._fetch(n)
             out = []
             for p in range(self.nparts):
-                for i in np.flatnonzero(mask[p]):
-                    out.append((self.spec.to_int(keys[p, i]),
-                                int(counts[p, i])))
+                c = int(n[p])
+                if c == 0:
+                    continue
+                ints = self.spec.to_ints(keys_out[p, :c])
+                out.extend(zip(ints.tolist(),
+                               counts_out[p, :c].astype(int).tolist()))
             return out
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         counts = self.count(words)
@@ -1501,21 +1507,28 @@ class _MultimapSurfaceMixin:
         kmers: per-query multiplicities, zeroed where pred(words, counts)
         fails (count_if(query, pred), kmer_index.hpp:175)."""
         if kmers is None:
+            # device-side: per distinct key the number of matching pairs,
+            # compacted to the front per shard (the host slices n rows —
+            # no cap-sized mask fetch + np.unique per shard)
             self._flush()
-            key = ("scan_if", pred, self.capacity)
+            key = ("select_if", pred, self.capacity)
             if key not in self._step_cache:
-                self._step_cache[key] = dx.make_multi_scan_step(
+                self._step_cache[key] = dx.make_multi_select_step(
                     self.mesh, pred)
-            mask = self._fetch(self._step_cache[key](self.store))
-            keys = self._fetch(self.store.keys)
+            keys_out, mcounts, n = self._step_cache[key](self.store)
+            keys_out = self._fetch(keys_out)
+            mcounts = self._fetch(mcounts)
+            n = self._fetch(n)
             out: dict = {}
             for p in range(self.nparts):
-                idxs = np.flatnonzero(mask[p])
-                if idxs.size == 0:
+                c = int(n[p])
+                if c == 0:
                     continue
-                u, c = np.unique(self.spec.to_ints(keys[p, idxs]),
-                                 return_counts=True)
-                for v, m in zip(u.tolist(), c.tolist()):
+                ints = self.spec.to_ints(keys_out[p, :c])
+                # a key's run may straddle shard boundaries under the
+                # sorted (range) distribution: aggregate across shards
+                for v, m in zip(ints.tolist(),
+                                mcounts[p, :c].astype(int).tolist()):
                     out[v] = out.get(v, 0) + m
             return sorted(out.items())
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
@@ -1660,18 +1673,13 @@ class PositionIndex(_MultimapSurfaceMixin, _IndexBase):
 
     def unique_size(self) -> int:
         """Number of distinct keys in the multimap (map_base::unique_size):
-        counted on device per shard as key-change boundaries."""
+        counted on device per shard as key-change boundaries + psum —
+        only one scalar reaches the host."""
         self._flush()
-        uniq = 0
-        keys = self._fetch(self.store.keys)
-        sizes = self._fetch(self.store.size)
-        for p in range(self.nparts):
-            n = int(sizes[p])
-            if n == 0:
-                continue
-            k = keys[p, :n]
-            uniq += 1 + int(np.any(k[1:] != k[:-1], axis=1).sum())
-        return uniq
+        key = ("unique_size", self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = dx.make_unique_size_step(self.mesh)
+        return int(self._fetch(self._step_cache[key](self.store)))
 
     def get_multiplicity(self, kmers) -> np.ndarray:
         return self.count(kmers)

@@ -265,24 +265,6 @@ def make_multi_filter_step(mesh: Mesh, pred):
     ))
 
 
-def make_multi_scan_step(mesh: Mesh, pred):
-    """Jitted predicate scan over every local (key, id, quality) pair of a
-    MultiStore WITHOUT mutating — the multimap count_if/find_if(pred)
-    path (kmer_index.hpp:170-186 applied to the multimap).  pred as in
-    make_multi_filter_step.  Returns mask[p, cap] aligned with store rows."""
-
-    def body(stores_blk):
-        store = _unstack(stores_blk)
-        live = jnp.arange(store.capacity) < store.size
-        return (pred(store.keys, store.val_hi, store.val_lo,
-                     store.val_q) & live)[None]
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
-        out_specs=P(axes_of(mesh)),
-    ))
-
-
 def make_count_filter_step(mesh: Mesh, pred):
     """Jitted predicate filter over every local entry of a CountStore —
     the erase_if/filter(pred) path (kmer_index.hpp:192, densehash filter).
@@ -311,21 +293,6 @@ def make_count_filter_step(mesh: Mesh, pred):
     return jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
         out_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
-    ))
-
-
-def make_count_scan_step(mesh: Mesh, pred):
-    """Jitted predicate scan: marks local entries satisfying pred without
-    mutating (count_if/find_if(pred), kmer_index.hpp:170-186).
-    Returns mask[p, cap] aligned with store rows."""
-
-    def body(stores_blk):
-        store = _unstack(stores_blk)
-        live = jnp.arange(store.capacity) < store.size
-        return (pred(store.keys, store.counts) & live)[None]
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(P(axes_of(mesh)),), out_specs=P(axes_of(mesh)),
     ))
 
 
@@ -843,25 +810,6 @@ def make_run_filter_step(mesh: Mesh, pred, saturate: int | None = None):
     ))
 
 
-def make_run_scan_step(mesh: Mesh, pred, saturate: int | None = None):
-    """Jitted predicate scan (count_if/find_if without mutation): returns
-    (mask[p, cap] marking ONE row per matching distinct key,
-    totals[p, cap] with that key's count on the marked row)."""
-
-    def body(stores_blk):
-        store = _unstack(stores_blk)
-        _, is_last, total = st.run_totals(store)
-        counts = total if saturate is None else jnp.minimum(total, saturate)
-        mask = is_last & (total > 0) & pred(
-            jnp.swapaxes(store.keys, 0, 1), counts)
-        return mask[None], counts[None]
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
-        out_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
-    ))
-
-
 def make_run_histogram_step(mesh: Mesh, nbins: int,
                             saturate: int | None = None):
     """Jitted frequency spectrum over the run store (one bincount per
@@ -1122,20 +1070,6 @@ def make_kv_filter_step(mesh: Mesh, pred):
     ))
 
 
-def make_kv_scan_step(mesh: Mesh, pred):
-    """Jitted predicate scan (count_if/find_if without mutation)."""
-
-    def body(stores_blk):
-        store = _unstack(stores_blk)
-        live = jnp.arange(store.capacity) < store.size
-        return (pred(store.keys, store.val_hi, store.val_lo) & live)[None]
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
-        out_specs=P(axes_of(mesh)),
-    ))
-
-
 def make_bimol_find_step(mesh: Mesh, nparts: int, capacity: int,
                          hash_name: str):
     """Jitted Bimolecule lookup: (counts[p,m], strand[p,m], overflow[p]) in
@@ -1226,6 +1160,128 @@ def make_multi_erase_if_keys_step(mesh: Mesh, nparts: int, capacity: int,
         body, mesh=mesh,
         in_specs=(P(axes_of(mesh)),) * 3,
         out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_count_select_step(mesh: Mesh, pred):
+    """Jitted device-side selection over a compacted (unique-key) counting
+    store: entries satisfying pred(keys, counts) are COMPACTED to the
+    front per shard with one stable sort, so the host slices n rows
+    instead of scanning cap-sized masks in Python (owner-side predicate
+    evaluation, distributed_densehash_map.hpp:1603+).  Works on any store
+    with `keys[cap, w]`/`counts`/`size` leaves (CountStore, BimolStore).
+    Returns (keys_out[p, cap, w], counts_out[p, cap], n[p])."""
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        cap, w = store.keys.shape
+        live = jnp.arange(cap) < store.size
+        emit = pred(store.keys, store.counts) & live
+        n_emit = jnp.sum(emit.astype(jnp.int32))
+        front_key = (~emit).astype(jnp.uint32)
+        ops = jax.lax.sort(
+            (front_key,) + tuple(store.keys[:, j] for j in range(w))
+            + (store.counts,), num_keys=1, is_stable=True)
+        keys_out = jnp.stack(ops[1:1 + w], axis=1)
+        return keys_out[None], ops[1 + w][None], n_emit[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_kv_select_step(mesh: Mesh, pred):
+    """Jitted device-side selection over a KVStore: entries satisfying
+    pred(keys, val_hi, val_lo) compact to the front per shard.
+    Returns (keys_out[p, cap, w], hi_out[p, cap], lo_out[p, cap], n[p])."""
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        cap, w = store.keys.shape
+        live = jnp.arange(cap) < store.size
+        emit = pred(store.keys, store.val_hi, store.val_lo) & live
+        n_emit = jnp.sum(emit.astype(jnp.int32))
+        front_key = (~emit).astype(jnp.uint32)
+        ops = jax.lax.sort(
+            (front_key,) + tuple(store.keys[:, j] for j in range(w))
+            + (store.val_hi, store.val_lo), num_keys=1, is_stable=True)
+        keys_out = jnp.stack(ops[1:1 + w], axis=1)
+        return (keys_out[None], ops[1 + w][None], ops[2 + w][None],
+                n_emit[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)),) * 4,
+    ))
+
+
+def make_multi_select_step(mesh: Mesh, pred):
+    """Jitted device-side count_if over a MultiStore: per DISTINCT key, the
+    number of its (key, id, quality) pairs satisfying pred — one output row
+    per key with >= 1 match, compacted to the front per shard (replaces the
+    host np.unique over a fetched cap-sized mask).  The per-run match count
+    is computed gather-free with the same cummax/cummin scans as
+    store.run_totals (the match-prefix-sum is nondecreasing).
+    Returns (keys_out[p, cap, w], match_counts[p, cap], n[p])."""
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        cap, w = store.keys.shape
+        live = jnp.arange(cap) < store.size
+        match = pred(store.keys, store.val_hi, store.val_lo,
+                     store.val_q) & live
+        mi = match.astype(jnp.int32)
+        csum_incl = jnp.cumsum(mi)
+        csum_excl = csum_incl - mi
+        prev = jnp.roll(store.keys, 1, axis=0)
+        neq_prev = jnp.any(store.keys != prev, axis=1).at[0].set(True)
+        nxt = jnp.roll(store.keys, -1, axis=0)
+        neq_next = jnp.any(store.keys != nxt, axis=1).at[cap - 1].set(True)
+        start_c = jax.lax.cummax(
+            jnp.where(neq_prev, csum_excl, jnp.int32(-2147483648)), axis=0)
+        end_c = jax.lax.cummin(
+            jnp.where(neq_next, csum_incl,
+                      jnp.int32(2147483647))[::-1], axis=0)[::-1]
+        runcount = end_c - start_c
+        # a key run may straddle the live/dead boundary only via sentinel
+        # collision; dead rows contribute 0 matches so runcount is exact,
+        # but the emit row must then be the last LIVE row of the run (the
+        # run's neq_next row would be dead and never emit)
+        next_live = jnp.roll(live, -1).at[cap - 1].set(False)
+        emit = live & (neq_next | ~next_live) & (runcount > 0)
+        n_emit = jnp.sum(emit.astype(jnp.int32))
+        front_key = (~emit).astype(jnp.uint32)
+        ops = jax.lax.sort(
+            (front_key,) + tuple(store.keys[:, j] for j in range(w))
+            + (runcount,), num_keys=1, is_stable=True)
+        keys_out = jnp.stack(ops[1:1 + w], axis=1)
+        return keys_out[None], ops[1 + w][None], n_emit[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_unique_size_step(mesh: Mesh):
+    """Jitted distinct-key count over any store with sorted
+    `keys[cap, w]` + `size` leaves (map_base::unique_size,
+    distributed_map_base.hpp:149-302): per shard, key-change boundaries
+    within the live prefix, psum'd across the mesh — no host gather of
+    the store.  Returns a replicated int32 scalar."""
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        cap = store.keys.shape[0]
+        live = jnp.arange(cap) < store.size
+        prev = jnp.roll(store.keys, 1, axis=0)
+        neq_prev = jnp.any(store.keys != prev, axis=1).at[0].set(True)
+        local = jnp.sum((neq_prev & live).astype(jnp.int32))
+        return jax.lax.psum(local, axes_of(mesh))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),), out_specs=P(),
     ))
 
 

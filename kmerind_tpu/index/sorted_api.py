@@ -282,19 +282,25 @@ class SortedCountIndex(_SortedBase):
 
     def count_if(self, pred, kmers=None):
         if kmers is None:
+            # device-side selection: matching entries compact to the front
+            # per shard, the host slices n rows (no cap-sized mask scans)
             self._flush()
-            key = ("scan_if", pred, self.capacity)
+            key = ("select_if", pred, self.capacity)
             if key not in self._step_cache:
-                self._step_cache[key] = dx.make_count_scan_step(
+                self._step_cache[key] = dx.make_count_select_step(
                     self.mesh, pred)
-            mask = self._fetch(self._step_cache[key](self.store))
-            keys = self._fetch(self.store.keys)
-            counts = self._fetch(self.store.counts)
+            keys_out, counts_out, n = self._step_cache[key](self.store)
+            keys_out = self._fetch(keys_out)
+            counts_out = self._fetch(counts_out)
+            n = self._fetch(n)
             out = []
             for p in range(self.nparts):
-                for i in np.flatnonzero(mask[p]):
-                    out.append((self.spec.to_int(keys[p, i]),
-                                int(counts[p, i])))
+                c = int(n[p])
+                if c == 0:
+                    continue
+                ints = self.spec.to_ints(keys_out[p, :c])
+                out.extend(zip(ints.tolist(),
+                               counts_out[p, :c].astype(int).tolist()))
             return out
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         counts = self.count(words)
@@ -320,19 +326,37 @@ class SortedCountIndex(_SortedBase):
         ranges (the sorted strategy's raison d'être,
         distributed_sorted_map.hpp:114-141)."""
         self._flush()
-        lo_w = self._to_words([lo_kmer])[0]
-        hi_w = self._to_words([hi_kmer])[0]
-        lo_i = self.spec.to_int(lo_w)
-        hi_i = self.spec.to_int(hi_w)
+        lo_w = tuple(int(x) for x in self._to_words([lo_kmer])[0])
+        hi_w = tuple(int(x) for x in self._to_words([hi_kmer])[0])
+
+        def _ge(keys, bound):  # lexicographic keys >= bound, elementwise
+            ge = jnp.ones(keys.shape[0], bool)
+            for j in reversed(range(keys.shape[1])):
+                b = jnp.uint32(bound[j])
+                ge = jnp.where(keys[:, j] != b, keys[:, j] > b, ge)
+            return ge
+
+        # range membership as a device-side select (the range scan is the
+        # sorted strategy's raison d'être; keys in [lo, hi) compact to the
+        # front per shard, the host slices n rows)
+        key = ("range_scan", lo_w, hi_w, self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = dx.make_count_select_step(
+                self.mesh,
+                lambda k, c, lo_w=lo_w, hi_w=hi_w:
+                    _ge(k, lo_w) & ~_ge(k, hi_w))
+        keys_out, counts_out, n = self._step_cache[key](self.store)
+        keys_out = self._fetch(keys_out)
+        counts_out = self._fetch(counts_out)
+        n = self._fetch(n)
         out = []
-        keys = self._fetch(self.store.keys)
-        counts = self._fetch(self.store.counts)
-        sizes = self._fetch(self.store.size)
         for p in range(self.nparts):
-            for i in range(int(sizes[p])):
-                v = self.spec.to_int(keys[p, i])
-                if lo_i <= v < hi_i:
-                    out.append((v, int(counts[p, i])))
+            c = int(n[p])
+            if c == 0:
+                continue
+            ints = self.spec.to_ints(keys_out[p, :c])
+            out.extend(zip(ints.tolist(),
+                           counts_out[p, :c].astype(int).tolist()))
         return sorted(out)
 
     def histogram(self, max_count: int = 255) -> np.ndarray:
@@ -529,17 +553,14 @@ class SortedPositionIndex(_MultimapSurfaceMixin, _SortedBase):
         return self.count(kmers)
 
     def unique_size(self) -> int:
+        """Distinct keys, counted on device (key-change boundaries + psum;
+        the samplesort colocates equal keys, so per-shard counts sum
+        exactly)."""
         self._flush()
-        uniq = 0
-        keys = self._fetch(self.store.keys)
-        sizes = self._fetch(self.store.size)
-        for p in range(self.nparts):
-            n = int(sizes[p])
-            if n == 0:
-                continue
-            k = keys[p, :n]
-            uniq += 1 + int(np.any(k[1:] != k[:-1], axis=1).sum())
-        return uniq
+        key = ("unique_size", self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = dx.make_unique_size_step(self.mesh)
+        return int(self._fetch(self._step_cache[key](self.store)))
 
     def find(self, kmers, max_per_query: int = 64, with_quality: bool = False,
              grow_to_fit: bool = True):

@@ -339,18 +339,28 @@ class KmerValueIndex(_KVCommon, _IndexBase):
     def count_if(self, pred, kmers=None):
         """Without kmers: [(kmer_int, value)] entries satisfying pred."""
         if kmers is None:
-            key = ("scan_if", pred, self.capacity)
+            # device-side selection: matching entries compact to the front
+            # per shard, the host slices n rows (no cap-sized mask scans)
+            self._flush()
+            key = ("select_if", pred, self.capacity)
             if key not in self._step_cache:
-                self._step_cache[key] = dx.make_kv_scan_step(self.mesh, pred)
-            mask = self._fetch(self._step_cache[key](self.store))
-            keys = self._fetch(self.store.keys)
-            hi = self._fetch(self.store.val_hi)
-            lo = self._fetch(self.store.val_lo)
+                self._step_cache[key] = dx.make_kv_select_step(
+                    self.mesh, pred)
+            keys_out, hi_out, lo_out, n = self._step_cache[key](self.store)
+            keys_out = self._fetch(keys_out)
+            hi_out = self._fetch(hi_out)
+            lo_out = self._fetch(lo_out)
+            n = self._fetch(n)
             out = []
             for p in range(self.nparts):
-                for i in np.flatnonzero(mask[p]):
-                    out.append((self.spec.to_int(keys[p, i]),
-                                (int(hi[p, i]) << 32) | int(lo[p, i])))
+                c = int(n[p])
+                if c == 0:
+                    continue
+                ints = self.spec.to_ints(keys_out[p, :c])
+                vals = ((hi_out[p, :c].astype(np.uint64) << np.uint64(32))
+                        | lo_out[p, :c].astype(np.uint64))
+                out.extend(zip(ints.tolist(),
+                               vals.astype(int).tolist()))
             return out
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         vals, found = self._find_words(words)
