@@ -39,6 +39,12 @@ def enable(path: str | None = None) -> str | None:
     """
     if os.environ.get("KMERIND_TPU_NO_COMPILE_CACHE"):
         return None
+    # CPU runs (tests' virtual mesh, the driver dryrun) skip the cache:
+    # XLA:CPU AOT deserialization logs a machine-feature-mismatch warning
+    # per load (pseudo-features like +prefer-no-scatter fail the host
+    # check), and CPU compiles are seconds, not minutes
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return None
     if path is None:
         path = os.environ.get("KMERIND_TPU_COMPILE_CACHE", _DEFAULT)
     try:
