@@ -233,9 +233,12 @@ def multi_lookup_ranges(store: MultiStore, queries):
     ROW-LENGTH (broadcast per row by two elementwise scans) gives hi =
     lo + len — replacing the upper-bound search's log2(cap) gather rounds
     (the dominant cost at large query batches) with ~2 passes + one
-    gather round."""
+    gather round.  Large batches (m*8 >= cap) switch to the gather-free
+    sort-merge join (`sortops.lookup_join_ranges`)."""
     cap, w = store.keys.shape
     q = queries.astype(jnp.uint32)
+    if queries.shape[0] * 8 >= cap:
+        return sortops.lookup_join_ranges(store.keys, store.size, q)
     size = jnp.asarray(store.size, jnp.int32)
     lo = sortops.lower_bound_bucketed(store.keys, size, q)
     idx = jnp.arange(cap, dtype=jnp.int32)
@@ -380,8 +383,15 @@ def vec_insert(store: VecStore, words: jax.Array, vecs: jax.Array,
 
 @jax.jit
 def vec_lookup(store: VecStore, queries: jax.Array):
-    """(vals int32[m, d], found bool[m]) per query key."""
+    """(vals int32[m, d], found bool[m]) per query key.  Large batches
+    (m*8 >= cap) use the gather-free sort-merge join."""
     q = queries.astype(jnp.uint32)
+    if queries.shape[0] * 8 >= store.capacity:
+        d = store.vals.shape[1]
+        cols, found = sortops.lookup_join_vals(
+            store.keys, store.size,
+            tuple(store.vals[:, j] for j in range(d)), q)
+        return jnp.stack(cols, axis=1), found
     idx = sortops.lower_bound_bucketed(store.keys, store.size, q)
     cap, w = store.keys.shape
     d = store.vals.shape[1]
@@ -914,8 +924,13 @@ def kv_insert(store: KVStore, words, val_hi, val_lo, valid,
 
 @jax.jit
 def kv_lookup(store: KVStore, queries):
-    """(val_hi, val_lo, found) per query key."""
+    """(val_hi, val_lo, found) per query key.  Large batches
+    (m*8 >= cap) use the gather-free sort-merge join."""
     q = queries.astype(jnp.uint32)
+    if queries.shape[0] * 8 >= store.capacity:
+        (hi, lo), found = sortops.lookup_join_vals(
+            store.keys, store.size, (store.val_hi, store.val_lo), q)
+        return hi, lo, found
     idx = sortops.lower_bound_bucketed(store.keys, store.size, q)
     cap, w = store.keys.shape
     # fused [m, w+2] row gather: key words + both value halves

@@ -37,6 +37,9 @@ __all__ = [
     "upper_bound_cols",
     "lower_bound_cols_bucketed",
     "lower_bound_bucketed",
+    "lookup_join",
+    "lookup_join_vals",
+    "lookup_join_ranges",
 ]
 
 
@@ -713,6 +716,112 @@ def rows_equal_at(keys: jax.Array, idx: jax.Array, queries: jax.Array,
     cap = keys.shape[0]
     rows = keys[jnp.clip(idx, 0, cap - 1)]
     return (idx < size) & jnp.all(rows == queries, axis=-1)
+
+
+def lookup_join_vals(keys: jax.Array, size: jax.Array, vals: tuple,
+                     queries: jax.Array):
+    """Generalized `lookup_join`: gather-free batched lookup over a
+    unique-key store carrying ANY number of 32-bit value columns
+    (the kv map's (hi, lo), the vec map's d counters).
+
+    vals: tuple of [cap] arrays (uint32/int32; float32 callers bitcast).
+    Returns (matched: tuple of [m] columns, 0 where missing;
+    found bool[m]) in original query order.  Same crossover rationale as
+    `lookup_join` (the m*8 >= cap rule): two sorts + scans + ONE fused row
+    gather replace log2(cap) gather rounds.
+    """
+    cap, w = keys.shape
+    m = queries.shape[0]
+    total = cap + m
+    q = queries.astype(jnp.uint32)
+
+    all_words = jnp.concatenate([keys, q], axis=0)
+    store_flag = jnp.where(jnp.arange(cap) < jnp.asarray(size, jnp.int32),
+                           jnp.uint32(0), jnp.uint32(2))
+    flag = jnp.concatenate([store_flag, jnp.ones(m, jnp.uint32)])
+    vcols = tuple(
+        jnp.concatenate([jax.lax.bitcast_convert_type(v, jnp.uint32),
+                         jnp.zeros(m, jnp.uint32)]) for v in vals)
+    qidx = jnp.concatenate([
+        jnp.zeros(cap, jnp.int32), jnp.arange(m, dtype=jnp.int32)])
+
+    ops = jax.lax.sort(
+        tuple(all_words[:, j] for j in range(w)) + (flag,) + vcols + (qidx,),
+        num_keys=w + 1, is_stable=True)
+    s_cols = ops[:w]
+    s_flag = ops[w]
+    s_vals = ops[w + 1:w + 1 + len(vals)]
+    s_qidx = ops[-1]
+    is_store = s_flag == 0
+
+    idx = jnp.arange(total, dtype=jnp.int32)
+    neq_prev = jnp.zeros(total, bool).at[0].set(True)
+    for j in range(w):
+        neq_prev = neq_prev | (s_cols[j] != jnp.roll(s_cols[j], 1))
+    run_start = jax.lax.cummax(jnp.where(neq_prev, idx, -1), axis=0)
+    last_store = jax.lax.cummax(jnp.where(is_store, idx, -1), axis=0)
+    match = (s_flag == 1) & (last_store >= run_start)
+    # ONE fused row gather of every value column (separate 1-D gathers of
+    # the same indices lower 2.7x slower on TPU)
+    ext = jnp.stack(s_vals, axis=1)
+    g = ext[jnp.clip(last_store, 0, total - 1)]
+    matched = tuple(jnp.where(match, g[:, c], 0)
+                    for c in range(len(vals)))
+
+    back = jax.lax.sort(
+        (jnp.uint32(1) - s_flag, s_qidx.astype(jnp.uint32))
+        + matched + (match.astype(jnp.uint32),),
+        num_keys=2, is_stable=True)
+    out = tuple(jax.lax.bitcast_convert_type(back[2 + c][:m], v.dtype)
+                for c, v in enumerate(vals))
+    return out, back[-1][:m] != 0
+
+
+def lookup_join_ranges(keys: jax.Array, size: jax.Array,
+                       queries: jax.Array):
+    """Gather-free (lo, hi) run ranges per query over a sorted MULTIMAP
+    store (duplicates allowed) — the large-batch twin of
+    `store.multi_lookup_ranges`.
+
+    Because the store's live rows are globally sorted and the join sort is
+    stable, the i-th live store row in the joined order is store row i; a
+    cumulative count of live store rows therefore yields store INDICES
+    directly: lo = count of live rows before the query's key run,
+    hi = count up to the query's position (store rows of the run sort
+    before the query by flag).  Returns (lo int32[m], hi int32[m]) with
+    hi == lo for absent keys — valid inputs for `store.multi_gather`.
+    """
+    cap, w = keys.shape
+    m = queries.shape[0]
+    total = cap + m
+    q = queries.astype(jnp.uint32)
+
+    all_words = jnp.concatenate([keys, q], axis=0)
+    store_flag = jnp.where(jnp.arange(cap) < jnp.asarray(size, jnp.int32),
+                           jnp.uint32(0), jnp.uint32(2))
+    flag = jnp.concatenate([store_flag, jnp.ones(m, jnp.uint32)])
+    qidx = jnp.concatenate([
+        jnp.zeros(cap, jnp.int32), jnp.arange(m, dtype=jnp.int32)])
+
+    ops = jax.lax.sort(
+        tuple(all_words[:, j] for j in range(w)) + (flag, qidx),
+        num_keys=w + 1, is_stable=True)
+    s_cols, s_flag, s_qidx = ops[:w], ops[w], ops[w + 1]
+    is_store = (s_flag == 0).astype(jnp.int32)
+    csum_incl = jnp.cumsum(is_store)
+    csum_excl = csum_incl - is_store
+    neq_prev = jnp.zeros(total, bool).at[0].set(True)
+    for j in range(w):
+        neq_prev = neq_prev | (s_cols[j] != jnp.roll(s_cols[j], 1))
+    # live-store-row count at each run's start (nondecreasing -> cummax)
+    start_c = jax.lax.cummax(
+        jnp.where(neq_prev, csum_excl, jnp.int32(-2147483648)), axis=0)
+    lo = start_c
+    hi = csum_incl  # at a query position: all live rows of its run counted
+
+    back = jax.lax.sort((jnp.uint32(1) - s_flag, s_qidx.astype(jnp.uint32),
+                         lo, hi), num_keys=2, is_stable=True)
+    return back[2][:m], back[3][:m]
 
 
 def lookup_join(keys: jax.Array, size: jax.Array, vals: jax.Array,

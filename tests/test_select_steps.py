@@ -117,6 +117,93 @@ def test_kv_count_if_device_1m(kmer_rows):
     assert dict(out) == oracle
 
 
+def test_lookup_join_crossover_parity(kmer_rows):
+    """Every lookup family answers identically through the binary-search
+    path (small m) and the gather-free join path (m*8 >= cap) — the
+    round-4 crossover routing (lookup_join_vals / lookup_join_ranges)."""
+    import jax.numpy as jnp
+    from kmerind_tpu.index import store as st
+
+    cap = 1 << 15
+    rng = np.random.default_rng(11)
+    rows = kmer_rows[: cap // 2]
+    order = np.lexsort(tuple(rows[:, j] for j in reversed(range(2))))
+    rows = rows[order]
+    size = rows.shape[0]
+
+    def q_sets():
+        small = rows[rng.integers(0, size, 1 << 10)]
+        small[::3] ^= 1  # some misses
+        big = rows[rng.integers(0, size, cap)]
+        big[::3] ^= 1
+        return jnp.asarray(small), jnp.asarray(big)
+
+    # --- multimap ranges ---
+    ms = st.empty_multi_store(cap, 2)
+    ms, ovf = st.multi_insert(
+        ms, jnp.asarray(rows), jnp.arange(size, dtype=jnp.uint32),
+        jnp.arange(size, dtype=jnp.uint32) * 7,
+        jnp.ones(size, bool))
+    assert int(ovf) == 0
+    qs, qb = q_sets()
+    for q in (qs, qb):
+        lo, hi = st.multi_lookup_ranges(ms, q)
+        # oracle via numpy searchsorted over the packed 64-bit key
+        skeys = (rows[:, 0].astype(np.uint64) << np.uint64(32)) | rows[:, 1]
+        qq = np.asarray(q)
+        qk = (qq[:, 0].astype(np.uint64) << np.uint64(32)) | qq[:, 1]
+        olo = np.searchsorted(skeys, qk, side="left")
+        ohi = np.searchsorted(skeys, qk, side="right")
+        hit = ohi > olo
+        np.testing.assert_array_equal(np.asarray(hi - lo), ohi - olo)
+        np.testing.assert_array_equal(np.asarray(lo)[hit], olo[hit])
+
+    # --- kv lookup (unique keys) ---
+    skeys_all = (rows[:, 0].astype(np.uint64) << np.uint64(32)) | rows[:, 1]
+    ukeys, first = np.unique(skeys_all, return_index=True)
+    urows = rows[first]  # sorted by key (np.unique order)
+    usize = urows.shape[0]
+    kv = st.empty_kv_store(cap, 2)
+    kv, ovf = st.kv_insert(
+        kv, jnp.asarray(urows), jnp.arange(usize, dtype=jnp.uint32),
+        jnp.arange(usize, dtype=jnp.uint32) * 3, jnp.ones(usize, bool))
+    assert int(ovf) == 0
+    for q in (qs, qb):
+        hi, lo, found = (np.asarray(x) for x in st.kv_lookup(kv, q))
+        qq = np.asarray(q)
+        qk = (qq[:, 0].astype(np.uint64) << np.uint64(32)) | qq[:, 1]
+        pos = np.searchsorted(ukeys, qk)
+        idx = np.minimum(pos, usize - 1)
+        ofound = (pos < usize) & (ukeys[idx] == qk)
+        np.testing.assert_array_equal(found, ofound)
+        np.testing.assert_array_equal(hi[ofound], idx[ofound].astype(np.uint32))
+        np.testing.assert_array_equal(
+            lo[ofound], (idx[ofound] * 3).astype(np.uint32))
+
+    # --- vec lookup ---
+    vs = st.empty_vec_store(cap, 2, 4)
+    vecs = rng.integers(0, 100, size=(size, 4)).astype(np.int32)
+    vs, ovf = st.vec_insert(vs, jnp.asarray(rows), jnp.asarray(vecs),
+                            jnp.ones(size, bool))
+    assert int(ovf) == 0
+    for q in (qs, qb):
+        vals, found = (np.asarray(x) for x in st.vec_lookup(vs, q))
+        skeys = (rows[:, 0].astype(np.uint64) << np.uint64(32)) | rows[:, 1]
+        # keys may repeat in kmer_rows -> vec_insert summed duplicates;
+        # rebuild oracle per unique key
+        qq = np.asarray(q)
+        qk = (qq[:, 0].astype(np.uint64) << np.uint64(32)) | qq[:, 1]
+        u, inv = np.unique(skeys, return_inverse=True)
+        acc = np.zeros((u.shape[0], 4), np.int64)
+        np.add.at(acc, inv, vecs)
+        pos = np.searchsorted(u, qk)
+        ofound = (pos < u.shape[0]) & (u[np.minimum(pos, u.shape[0] - 1)]
+                                       == qk)
+        np.testing.assert_array_equal(found, ofound)
+        np.testing.assert_array_equal(
+            vals[ofound], acc[np.minimum(pos, u.shape[0] - 1)][ofound])
+
+
 def test_bimol_count_if_device(kmer_rows):
     idx = BimoleculeCountIndex(SPEC)
     rows = kmer_rows[: 1 << 17]
