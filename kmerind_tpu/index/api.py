@@ -632,6 +632,11 @@ class CountIndex(_IndexBase):
         self._virgin = True
         #: compact when capacity >= compact_factor * next_pow2(2*distinct)
         self.compact_factor = 4
+        #: host-side upper bound on any shard's raw weight total — the
+        #: int32 prefix sums overflow past 2^31; the guard either forces a
+        #: clamped compact (saturating maps, exact) or raises before the
+        #: sums can wrap (see _append_run)
+        self._ingested_weight = 0
 
     # the store pytree = the run list (checkpointing flattens it)
     @property
@@ -675,6 +680,7 @@ class CountIndex(_IndexBase):
             lambda: st.empty_run_count_store(self.initial_capacity,
                                              self.spec.nwords))]
         self._virgin = True
+        self._ingested_weight = 0
         return self
 
     def _flush(self):
@@ -696,6 +702,44 @@ class CountIndex(_IndexBase):
             self._step_cache[key] = dx.make_run_merge_pair_step(self.mesh)
         with self.timer.phase("merge"):
             self.runs.append(self._step_cache[key](a, b))
+
+    #: weight budget before a pressure check: headroom under int32 max
+    _I32_WEIGHT_GUARD = (1 << 31) - (1 << 26)
+
+    def _note_weight(self, add: int):
+        """Account `add` incoming weight against the per-shard int32
+        prefix-sum budget (self._ingested_weight conservatively bounds any
+        shard's raw weight total — the worst case routes everything to one
+        shard).  On pressure, tighten the bound from the true device
+        totals / a clamped compact before the sums can wrap."""
+        if self._ingested_weight + add > self._I32_WEIGHT_GUARD:
+            self._relieve_weight_pressure(add)
+        self._ingested_weight += add
+
+    def _relieve_weight_pressure(self, incoming: int):
+        """The conservative host counter says a shard's raw int32 weight
+        total could pass 2^31 after the next append.  Saturating maps
+        compact with the clamp (exact — saturation is monotone,
+        store.run_compact) and rebound the counter; plain counting maps
+        tighten the bound to the true worst shard total and raise before
+        the prefix sums can wrap (the reference's uint32 counts overflow
+        silently at 2^32; its bounded alternative is
+        saturating_counting_densehash_map,
+        distributed_densehash_map.hpp:2947)."""
+        if self.saturate is not None and not self._virgin:
+            self.compact()
+            # after the clamp every key's weight <= saturate
+            self._ingested_weight = self.size() * int(self.saturate)
+        else:
+            totals = np.zeros(self.nparts, np.int64)
+            for r in self.runs:
+                totals += self._fetch(r.csum[..., -1]).astype(np.int64)
+            self._ingested_weight = int(totals.max())
+        if self._ingested_weight + incoming > (1 << 31) - 1:
+            raise OverflowError(
+                "count index raw weight total would overflow the int32 "
+                "prefix sums on a shard; use saturate= (clamped counts), "
+                "more shards, or smaller insert batches")
 
     def _append_run(self, words, weights):
         key = ("run_adopt", words.shape[-1])
@@ -743,7 +787,7 @@ class CountIndex(_IndexBase):
             key = ("run_compact", new_cap, self._run_caps())
             if key not in self._step_cache:
                 self._step_cache[key] = dx.make_run_compact_step(
-                    self.mesh, new_cap)
+                    self.mesh, new_cap, self.saturate)
             new_store, ovf = self._step_cache[key](self.runs[0])
             if int(self._fetch(ovf).max()) == 0:
                 self.runs = [new_store]
@@ -817,6 +861,9 @@ class CountIndex(_IndexBase):
                     cols["codes"], cols["valid"], cols["owned"],
                     cols["seg_id"])
             if int(self._fetch(route_ovf).max()) == 0:
+                # chunk weight <= its window count (pre-reduced run
+                # lengths sum to the valid windows routed here)
+                self._note_weight(self.nparts * rw.shape[-1])
                 self._append_run(rw, rwt)
                 return self
             bucket_cap = _next_pow2(
@@ -825,6 +872,7 @@ class CountIndex(_IndexBase):
     def _insert_rows(self, words: np.ndarray, counts: np.ndarray):
         """Route explicit (key, count) rows to owners, sort them into a
         pending run, and flush eagerly (Index::insert semantics)."""
+        self._note_weight(int(np.asarray(counts, np.int64).sum()))
         (wsh, csh), vsh, m = self._shard_rows(
             words, extra=(counts.astype(np.int32),))
         mq = wsh.shape[1]

@@ -830,13 +830,15 @@ def make_run_histogram_step(mesh: Mesh, nbins: int,
     ))
 
 
-def make_run_compact_step(mesh: Mesh, new_cap: int):
+def make_run_compact_step(mesh: Mesh, new_cap: int,
+                          saturate: int | None = None):
     """Jitted store compaction: collapse runs to (key, total) rows at a
-    new capacity (memory reclamation for the merge-only flush).  Returns
+    new capacity (memory reclamation for the merge-only flush; clamped
+    when `saturate` — see store.run_compact).  Returns
     (new_stores, overflow[p])."""
 
     def body(stores_blk):
-        new, ovf = st.run_compact(_unstack(stores_blk), new_cap)
+        new, ovf = st.run_compact(_unstack(stores_blk), new_cap, saturate)
         return _stack(new), ovf[None]
 
     return jax.jit(jax.shard_map(

@@ -798,17 +798,27 @@ def run_erase(store: RunCountStore, queries: jax.Array, qvalid: jax.Array):
     return new, jnp.sum(is_first.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("new_cap",))
-def run_compact(store: RunCountStore, new_cap: int):
+@functools.partial(jax.jit, static_argnames=("new_cap", "saturate"))
+def run_compact(store: RunCountStore, new_cap: int,
+                saturate: int | None = None):
     """Collapse every run to one row (key, total) and compact live rows to
     the front — the old compacted layout, produced with one stable 1-key
     sort.  Used opportunistically when distinct << capacity to reclaim the
     memory that the merge-only flush never frees.
 
+    saturate: clamp each key's total at compaction — exact for the
+    saturating map (min(min(a, s) + b, s) == min(a + b, s) for b >= 0, the
+    reference's saturating_counting_densehash_map semantics,
+    distributed_densehash_map.hpp:2947), and the mechanism that keeps raw
+    int32 weight totals bounded on unbounded streams (the host wrapper
+    forces a clamped compact when the ingested-weight guard trips).
+
     Returns (new_store[new_cap], overflow int32 = distinct - new_cap if
     positive)."""
     w, cap = store.keys.shape
     _, is_last, total = run_totals(store)
+    if saturate is not None:
+        total = jnp.minimum(total, saturate)
     emit = is_last & (total > 0)
     n_emit = jnp.sum(emit.astype(jnp.int32))
     front_key = (~emit).astype(jnp.uint32)
