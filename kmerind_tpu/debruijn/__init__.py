@@ -2,6 +2,7 @@
 test/test/debruijn)."""
 
 from .edges import edge_bytes_for_windows, revcomp_edge_byte
-from .graph import DeBruijnGraph
+from .graph import DeBruijnGraph, QualityDeBruijnGraph
 
-__all__ = ["DeBruijnGraph", "edge_bytes_for_windows", "revcomp_edge_byte"]
+__all__ = ["DeBruijnGraph", "QualityDeBruijnGraph",
+           "edge_bytes_for_windows", "revcomp_edge_byte"]

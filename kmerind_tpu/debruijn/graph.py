@@ -27,7 +27,7 @@ from ..index import store as st
 from ..index.api import _IndexBase, _next_pow2, _SENTINEL
 from .edges import edge_byte_to_vec, edge_bytes_for_windows, revcomp_edge_byte
 
-__all__ = ["DeBruijnGraph"]
+__all__ = ["DeBruijnGraph", "QualityDeBruijnGraph"]
 
 _DIM = 9  # out A C G T, in A C G T, self
 
@@ -298,6 +298,262 @@ class DeBruijnGraph(_IndexBase):
                 out[self.spec.to_int(keys[p, i])] = tuple(
                     int(x) for x in vals[p, i])
         return out
+
+
+class QualityDeBruijnGraph(DeBruijnGraph):
+    """De Bruijn graph whose tuples also carry the window's phred score —
+    the reference's `de_bruijn_quality_engine`
+    (/root/reference/test/test/debruijn/de_bruijn_construct_engine.hpp:245:
+    de_bruijn_quality_parser zips the k-mer, edge, and
+    QualityScoreGenerationIterator streams, :160-230).
+
+    The alias is DECLARED in the reference but never instantiated by any
+    test or benchmark, and its node traits define no quality reduction —
+    so the node-side semantics are defined here: per node, the 9 edge
+    counters (identical to DeBruijnGraph), the number of windows, and the
+    SUM of windowed quality scores; `node_quality` reports the mean.
+    FASTQ-only (quality bytes required), like the reference parser.
+    """
+
+    def __init__(self, spec: KmerSpec, mesh=None, canonical: bool = True,
+                 hash_name: str = "murmur", saturate: int | None = None,
+                 initial_capacity: int = 1 << 12, codec=None, **kw):
+        from ..quality import ILLUMINA18
+        super().__init__(spec, mesh, canonical, hash_name, saturate,
+                         initial_capacity, **kw)
+        self.codec = codec if codec is not None else ILLUMINA18
+        self.store = self._init_store(
+            lambda: st.empty_vecq_store(initial_capacity, spec.nwords,
+                                        _DIM + 1))
+
+    def _flush(self):
+        if not self._pending:
+            return
+        words = self._device_concat([t[0] for t in self._pending])
+        vecs = self._device_concat([t[1] for t in self._pending])
+        qsum = self._device_concat([t[2] for t in self._pending])
+        valid = self._device_concat([t[3] for t in self._pending])
+        self._pending = []
+        self._pending_rows = 0
+        n_rows = words.shape[1]
+        cap_needed = int(self._fetch(self.store.size).sum()) + n_rows
+        if cap_needed > self.capacity * self.nparts:
+            self._grow(_next_pow2(-(-cap_needed // self.nparts)))
+        while True:
+            key = ("merge", n_rows, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_vecq_merge_step(
+                    self.mesh, self.saturate)
+            new_store, ovf = self._step_cache[key](
+                self.store, words, vecs, qsum, valid)
+            if int(self._fetch(ovf).max()) == 0:
+                self.store = new_store
+                return
+            self._grow(_next_pow2(self.capacity
+                                  + int(self._fetch(ovf).max())))
+
+    def _grow(self, new_cap: int):
+        pad = new_cap - self.capacity
+        key = ("_grow", new_cap, self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                lambda s: st.VecQStore(
+                    keys=jnp.pad(s.keys, ((0, 0), (0, pad), (0, 0)),
+                                 constant_values=np.uint32(_SENTINEL)),
+                    vals=jnp.pad(s.vals, ((0, 0), (0, pad), (0, 0))),
+                    qsum=jnp.pad(s.qsum, ((0, 0), (0, pad))),
+                    size=s.size,
+                ),
+                out_shardings=self._sharding)
+        self.store = self._step_cache[key](self.store)
+
+    def _marshal_chunk(self, batch: ReadBatch):
+        with self.timer.phase("extract"):
+            cols = self._batch_to_stacked(
+                batch, id_kind=None, halo=self.spec.k, halo_left=1,
+                need_ids=False, need_qual=True)[0]
+        raw = batch.alphabet.name == "ASCII"
+        cols["raw"] = raw
+        return cols
+
+    def _insert_cols(self, cols):
+        raw = cols.pop("raw", False)
+        n_local = cols["codes"].shape[1]
+        bucket_cap = self._bucket_capacity(n_local)
+        while True:
+            key = ("ingest", n_local, bucket_cap, raw)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_debruijn_quality_ingest_step(
+                    self.mesh, self.nparts, self.spec, self.canonical,
+                    bucket_cap, self.hash_name, self.codec, raw=raw)
+            with self.timer.phase("insert"):
+                rw, rv, rq, rlive, route_ovf = self._step_cache[key](
+                    cols["codes"], cols["valid"], cols["owned"],
+                    cols["seg_id"], cols["qual"])
+            if int(self._fetch(route_ovf).max()) == 0:
+                self._pending.append((rw, rv, rq, rlive))
+                self._pending_rows += rw.shape[1]
+                if self._pending_rows >= self.flush_rows:
+                    with self.timer.phase("merge"):
+                        self._flush()
+                return self
+            bucket_cap = _next_pow2(
+                bucket_cap + int(self._fetch(route_ovf).max()))
+
+    # ------------------------------------------------------------------
+    def node_counts(self, kmers):
+        """(counts int32[m, 9], found bool[m]) — the DeBruijnGraph
+        contract (window-count column dropped)."""
+        vals, _, found = self._node_payload(kmers)
+        return vals[:, :_DIM], found
+
+    def node_quality(self, kmers):
+        """(mean_quality float32[m], n_windows int32[m], found bool[m]) —
+        the quality summary per node (mean of the windowed scores of every
+        window that touched the node)."""
+        vals, qsum, found = self._node_payload(kmers)
+        n = vals[:, _DIM]
+        mean = np.where(n > 0, qsum / np.maximum(n, 1), 0.0)
+        return mean.astype(np.float32), n, found
+
+    def _node_payload(self, kmers):
+        self._flush()
+        words = self._maybe_canonicalize_queries(self._to_words(kmers))
+        (wsh,), vsh, m = self._shard_rows(words)
+        mq = wsh.shape[1]
+        bucket_cap = _next_pow2(mq)
+        while True:
+            key = ("lookup", mq, bucket_cap, self.capacity)
+            if key not in self._step_cache:
+                self._step_cache[key] = _make_vecq_lookup_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name)
+            vals, qs, found, ovf = self._step_cache[key](
+                self.store, wsh, vsh)
+            if int(self._fetch(ovf).max()) == 0:
+                vals = self._fetch(vals).reshape(-1, _DIM + 1)[:m]
+                qs = self._fetch(qs).reshape(-1)[:m]
+                found = self._fetch(found).reshape(-1)[:m]
+                return vals, qs, found
+            bucket_cap *= 2
+
+    def save(self, path):
+        self._flush()
+        np.savez_compressed(
+            path, kind="debruijn_quality", k=self.spec.k,
+            alphabet=self.spec.alphabet.name, canonical=self.canonical,
+            hash_name=self.hash_name, nparts=self.nparts,
+            keys=self._fetch(self.store.keys),
+            vals=self._fetch(self.store.vals),
+            qsum=self._fetch(self.store.qsum),
+            sizes=self._fetch(self.store.size))
+        return self
+
+    @classmethod
+    def load(cls, path, mesh=None):
+        """Restore a saved quality graph onto any mesh (nodes re-routed;
+        quality sums merge additively like the counters)."""
+        from .. import alphabets as _al
+        from ..kmer import KmerSpec as _KS
+        z = np.load(path, allow_pickle=False)
+        spec = _KS(int(z["k"]), _al.by_name(str(z["alphabet"])))
+        g = cls(spec, mesh=mesh, canonical=bool(z["canonical"]),
+                hash_name=str(z["hash_name"]))
+        keys, vals, qsum, sizes = z["keys"], z["vals"], z["qsum"], z["sizes"]
+        P_ = keys.shape[0]
+        rows = np.concatenate([keys[p, : sizes[p]] for p in range(P_)])
+        if rows.shape[0] == 0:
+            return g
+        vv = np.concatenate([vals[p, : sizes[p]] for p in range(P_)])
+        qq = np.concatenate([qsum[p, : sizes[p]] for p in range(P_)])
+        (wsh,), vsh, m = g._shard_rows(rows.astype(np.uint32))
+        mq = wsh.shape[1]
+        d = _DIM + 1
+        vecs = np.zeros((g.nparts * mq, d), np.int32)
+        vecs[:m] = vv
+        qarr = np.zeros(g.nparts * mq, np.float32)
+        qarr[:m] = qq
+        vsh_d = jnp.asarray(vecs.reshape(g.nparts, mq, d))
+        qsh = jnp.asarray(qarr.reshape(g.nparts, mq))
+        bucket_cap = _next_pow2(mq)
+        while True:
+            key = ("load", mq, bucket_cap, g.capacity)
+            if key not in g._step_cache:
+                g._step_cache[key] = _make_vecq_route_merge_step(
+                    g.mesh, g.nparts, bucket_cap, g.hash_name, g.saturate)
+            new_store, route_ovf, store_ovf = g._step_cache[key](
+                g.store, wsh, vsh_d, qsh, vsh)
+            if int(g._fetch(route_ovf).max()) == 0 and \
+               int(g._fetch(store_ovf).max()) == 0:
+                g.store = new_store
+                return g
+            bucket_cap *= 2
+            if int(g._fetch(store_ovf).max()) > 0:
+                g._grow(g.capacity * 2)
+
+    def to_dict(self):
+        """{kmer_int: (9 counters..., n_windows, qsum)}."""
+        self._flush()
+        out = {}
+        keys = self._fetch(self.store.keys)
+        vals = self._fetch(self.store.vals)
+        qsum = self._fetch(self.store.qsum)
+        sizes = self._fetch(self.store.size)
+        for p in range(self.nparts):
+            for i in range(int(sizes[p])):
+                out[self.spec.to_int(keys[p, i])] = tuple(
+                    int(x) for x in vals[p, i]) + (float(qsum[p, i]),)
+        return out
+
+
+def _make_vecq_route_merge_step(mesh, nparts, capacity, hash_name, saturate):
+    """Route explicit (node, counters, qsum) rows to owners and merge."""
+
+    def body(stores_blk, words_blk, vecs_blk, q_blk, valid_blk):
+        store = jax.tree.map(lambda a: a[0], stores_blk)
+        words, vecs, qs, valid = (words_blk[0], vecs_blk[0], q_blk[0],
+                                  valid_blk[0])
+        owner = dx.owners_for(words, nparts, hash_name)
+        qbits = jax.lax.bitcast_convert_type(qs, jnp.uint32)
+        (rw, rv, rqb), rvalid, route = dist.distribute(
+            (words, vecs, qbits), owner, valid, nparts, capacity,
+            axes_of(mesh))
+        rq = jax.lax.bitcast_convert_type(rqb, jnp.float32)
+        new_store, ovf = st.vecq_insert(store, rw, rv, rq, rvalid,
+                                        saturate=saturate)
+        return (jax.tree.map(lambda a: a[None], new_store),
+                route.overflow[None], ovf[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 5,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def _make_vecq_lookup_step(mesh, nparts, capacity, hash_name):
+    def body(stores_blk, queries_blk, qvalid_blk):
+        store = jax.tree.map(lambda a: a[0], stores_blk)
+        queries, qvalid = queries_blk[0], qvalid_blk[0]
+        owner = dx.owners_for(queries, nparts, hash_name)
+        (rq,), rvalid, route = dist.distribute(
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
+        vals, qs, found = st.vecq_lookup(store, rq)
+        vals = jnp.where(rvalid[:, None], vals, 0)
+        qs = jnp.where(rvalid, qs, 0.0)
+        found = found & rvalid
+        qbits = jax.lax.bitcast_convert_type(qs, jnp.uint32)
+        back_vals, back_q, back_found = dist.undistribute(
+            (vals, qbits, found.astype(jnp.int8)), route, nparts, capacity,
+            axes_of(mesh))
+        return (back_vals[None],
+                jax.lax.bitcast_convert_type(back_q, jnp.float32)[None],
+                back_found.astype(bool)[None], route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 4,
+    ))
 
 
 def _make_vec_route_merge_step(mesh, nparts, capacity, hash_name, saturate):

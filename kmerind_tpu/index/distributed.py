@@ -617,6 +617,89 @@ def make_debruijn_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
     ))
 
 
+def make_debruijn_quality_ingest_step(mesh: Mesh, nparts: int, spec,
+                                      canonical: bool, capacity: int,
+                                      hash_name: str, codec,
+                                      raw: bool = False):
+    """Jitted QUALITY de Bruijn ingest: like make_debruijn_ingest_step but
+    each window also carries its windowed phred score
+    (QualityScoreGenerationIterator zip, de_bruijn_quality_parser,
+    de_bruijn_construct_engine.hpp:160-230).  The chunk-local pre-reduction
+    sums edge counters, a window count, AND the quality scores per node
+    with one shared compaction (sortops.segment_reduce_mixed).
+    Returns (uniq[p,m,w], vecs[p,m,10], qsum[p,m], live[p,m], overflow[p])
+    — vecs' last column is the window count."""
+    from ..debruijn.edges import (edge_byte_to_vec, edge_bytes_for_windows,
+                                  revcomp_edge_byte)
+    from ..ops import packing, sortops
+    from ..quality import window_quality
+
+    def body(codes_blk, valid_blk, owned_blk, seg_blk, qual_blk):
+        codes, valid, owned, seg, qual = (
+            codes_blk[0], valid_blk[0], owned_blk[0], seg_blk[0],
+            qual_blk[0])
+        if raw:
+            kcodes = jnp.take(jnp.asarray(spec.alphabet.from_ascii),
+                              codes.astype(jnp.int32))
+        else:
+            kcodes = codes
+        if canonical:
+            words, was_rc = packing.extract_canonical(kcodes, spec)
+        else:
+            words = packing.extract_kmers(kcodes, spec)
+            was_rc = jnp.zeros(codes.shape[0], bool)
+        wvalid = packing.window_valid(valid, seg, spec.k) & owned
+        edges = edge_bytes_for_windows(codes, valid, seg, spec.k,
+                                       spec.alphabet, raw=raw)
+        edges = jnp.where(was_rc, revcomp_edge_byte(edges), edges)
+        vecs = edge_byte_to_vec(edges)
+        wq = window_quality(qual, spec.k, codec)
+        owner = owners_for(words, nparts, hash_name)
+        qbits = jax.lax.bitcast_convert_type(wq, jnp.uint32)
+        (rw, rv, rqb), rvalid, route = dist.distribute(
+            (words, vecs, qbits), owner, wvalid, nparts, capacity,
+            axes_of(mesh))
+        rq = jax.lax.bitcast_convert_type(rqb, jnp.float32)
+        # chunk-local mixed reduction: 9 counters + window count + qsum
+        d = 9
+        cols = tuple(rv[:, j] for j in range(d)) + (
+            rvalid.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(rq, jnp.uint32))
+        s_words, s_cols, s_valid = sortops.sort_rows(
+            rw, cols, rvalid, is_stable=False,
+            sentinel_ok=spec.sentinel_safe)
+        s_vecs = jnp.stack(s_cols[:d + 1], axis=1)
+        s_q = jax.lax.bitcast_convert_type(s_cols[d + 1], jnp.float32)
+        uniq, ired, fred, _ = sortops.segment_reduce_mixed(
+            s_words, s_valid, s_vecs, s_q)
+        live = ired[:, d] > 0  # window count > 0 marks live rows
+        return (uniq[None], ired[None], fred[None], live[None],
+                route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 5,
+        out_specs=(P(axes_of(mesh)),) * 5,
+    ))
+
+
+def make_vecq_merge_step(mesh: Mesh, saturate: int | None = None):
+    """Jitted deferred quality-vector-store merge."""
+
+    def body(stores_blk, words_blk, vecs_blk, q_blk, valid_blk):
+        store = _unstack(stores_blk)
+        new_store, ovf = st.vecq_insert(
+            store, words_blk[0], vecs_blk[0], q_blk[0], valid_blk[0],
+            saturate=saturate)
+        return _stack(new_store), ovf[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 5,
+        out_specs=(P(axes_of(mesh)),) * 2,
+    ))
+
+
 def make_vec_merge_step(mesh: Mesh, saturate: int | None = None):
     """Jitted deferred vector-store merge."""
 

@@ -405,6 +405,99 @@ def vec_lookup(store: VecStore, queries: jax.Array):
     return jnp.where(hit[:, None], vals, 0), hit
 
 
+# -------------------------------------------- quality vector reduction map
+@dataclasses.dataclass
+class VecQStore:
+    """VecStore + a float32 quality-sum column — the node payload of the
+    QUALITY de Bruijn engine (de_bruijn_quality_engine,
+    /root/reference/test/test/debruijn/de_bruijn_construct_engine.hpp:245:
+    tuples (kmer, (edge byte, windowed quality)); the alias is declared but
+    never instantiated by any reference test, so the node-side reduction —
+    undefined there — is defined here as edge-counter sums + quality-score
+    sum + window count, from which mean node quality is queryable)."""
+
+    keys: jax.Array  # uint32[cap, w]
+    vals: jax.Array  # int32[cap, d] — edge counters + window count (last)
+    qsum: jax.Array  # float32[cap] — sum of windowed quality scores
+    size: jax.Array  # int32 scalar
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    VecQStore, data_fields=["keys", "vals", "qsum", "size"], meta_fields=[])
+
+
+def empty_vecq_store(capacity: int, nwords: int, dim: int) -> VecQStore:
+    return VecQStore(
+        keys=jnp.full((capacity, nwords), _SENTINEL, dtype=jnp.uint32),
+        vals=jnp.zeros((capacity, dim), jnp.int32),
+        qsum=jnp.zeros((capacity,), jnp.float32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("saturate",))
+def vecq_insert(store: VecQStore, words, vecs, quals, valid,
+                saturate: int | None = None):
+    """Merge (key, int32[d] vector, float32 quality) tuples, summing both
+    payloads per key.  Returns (new_store, overflow)."""
+    cap = store.capacity
+    live_store = jnp.arange(cap) < store.size
+    all_words = jnp.concatenate([store.keys, words.astype(jnp.uint32)],
+                                axis=0)
+    all_vals = jnp.concatenate([store.vals, vecs.astype(jnp.int32)], axis=0)
+    all_q = jnp.concatenate([store.qsum, quals.astype(jnp.float32)])
+    all_valid = jnp.concatenate([live_store, valid])
+    d = all_vals.shape[1]
+    s_words, s_cols, s_valid = sortops.sort_rows(
+        all_words,
+        tuple(all_vals[:, j] for j in range(d))
+        + (jax.lax.bitcast_convert_type(all_q, jnp.uint32),),
+        all_valid, is_stable=False)
+    s_vals = jnp.stack(s_cols[:d], axis=1)
+    s_q = jax.lax.bitcast_convert_type(s_cols[d], jnp.float32)
+    uniq, ired, fred, n_unique = sortops.segment_reduce_mixed(
+        s_words, s_valid, s_vals, s_q)
+    if saturate is not None:
+        ired = jnp.minimum(ired, saturate)
+    new = VecQStore(
+        keys=uniq[:cap],
+        vals=ired[:cap],
+        qsum=fred[:cap],
+        size=jnp.minimum(n_unique, cap),
+    )
+    return new, jnp.maximum(n_unique - cap, 0)
+
+
+@jax.jit
+def vecq_lookup(store: VecQStore, queries: jax.Array):
+    """(vals int32[m, d], qsum float32[m], found bool[m]) per query key.
+    Large batches (m*8 >= cap) use the gather-free sort-merge join."""
+    q = queries.astype(jnp.uint32)
+    d = store.vals.shape[1]
+    if queries.shape[0] * 8 >= store.capacity:
+        cols, found = sortops.lookup_join_vals(
+            store.keys, store.size,
+            tuple(store.vals[:, j] for j in range(d)) + (store.qsum,), q)
+        return (jnp.stack(cols[:d], axis=1), cols[d], found)
+    idx = sortops.lower_bound_bucketed(store.keys, store.size, q)
+    cap, w = store.keys.shape
+    ext = jnp.concatenate(
+        [store.keys, store.vals.astype(jnp.uint32),
+         jax.lax.bitcast_convert_type(store.qsum, jnp.uint32)[:, None]],
+        axis=1)
+    g = ext[jnp.clip(idx, 0, cap - 1)]
+    hit = (idx < jnp.asarray(store.size, jnp.int32)) & jnp.all(
+        g[:, :w] == q, axis=-1)
+    vals = jnp.where(hit[:, None], g[:, w:w + d].astype(jnp.int32), 0)
+    qs = jnp.where(hit, jax.lax.bitcast_convert_type(
+        g[:, w + d], jnp.float32), 0.0)
+    return vals, qs, hit
+
+
 # ------------------------------------------------- bimolecule counting map
 @dataclasses.dataclass
 class BimolStore:

@@ -83,11 +83,9 @@ def identity_hash(words: jax.Array, seed: int = 0) -> jax.Array:
 
 def mix32(words: jax.Array, seed: int = 0x9E3779B1) -> jax.Array:
     """Second independent hash family (xxHash32-style avalanche rounds) —
-    fills the role of the reference's farm hash slot (kmer_hash.hpp:288-330:
-    an INDEPENDENT function so distribution and storage hashes do not
-    correlate).  Values intentionally differ from Google FarmHash (exact
-    farm output is not required: shard placement is an implementation
-    detail, asserted on index contents)."""
+    kept as the cheap independent mixer (hash_name="fmix32"-adjacent).
+    The `farm` slot itself is the bit-exact FarmHash64 since round 4
+    (ops/farmhash.py; kmer_hash.hpp:288-330)."""
     P2 = jnp.uint32(0x85EBCA77)
     P3 = jnp.uint32(0xC2B2AE3D)
     P4 = jnp.uint32(0x27D4EB2F)
@@ -105,9 +103,18 @@ def mix32(words: jax.Array, seed: int = 0x9E3779B1) -> jax.Array:
     return h
 
 
+def _farm_slot(words: jax.Array, seed: int = 42) -> jax.Array:
+    """Bit-exact FarmHash64WithSeed (farmhashna) over the row's words as a
+    little-endian byte stream, folded hi^lo — the reference's farm
+    DistHash (kmer_hash.hpp:288; digest parity pinned in
+    tests/test_ref_parity.py)."""
+    from . import farmhash
+    return farmhash.farm32(words, seed)
+
+
 HASHES = {
     "murmur": murmur3_32,
-    "farm": mix32,
+    "farm": _farm_slot,
     "fmix32": lambda words, seed=0: functools.reduce(
         lambda h, w: fmix32(h ^ w),
         [words[..., i].astype(jnp.uint32) for i in range(words.shape[-1])],

@@ -149,3 +149,88 @@ def test_neighbors_of_noncanonical_query(ref_data_dir):
     a = g.neighbors(canon_str)
     b = g.neighbors(rc_str)   # same node queried via the other strand
     assert a == b
+
+
+# ---------------------------------------------------------------- quality
+def oracle_debruijn_quality(seqs, quals, k):
+    """kmer_int -> (counters..., n_windows, quality_sum) — the
+    QualityDeBruijnGraph payload: DeBruijnGraph's counters + the window
+    count + the sum of windowed scores (exp2 of the summed log2 base
+    probabilities, 0.0 when any base is 'incorrect' —
+    quality_score_iterator.hpp:162-173)."""
+    from kmerind_tpu.quality import ILLUMINA18
+    lut = ILLUMINA18.decode_lut.astype(np.float64)
+    f32_lowest = float(np.finfo(np.float32).min)
+    lut32 = np.where(lut == np.finfo(np.float64).min, f32_lowest,
+                     lut).astype(np.float32)
+    base = oracle_debruijn(seqs, k, canonical=True)
+    out = {v: list(c) + [0, 0.0] for v, c in base.items()}
+    for seq, q in zip(seqs, quals):
+        codes = [int(c) for c in DNA.encode(seq)]
+        logp = lut32[np.clip(np.frombuffer(q.encode(), np.uint8)
+                             .astype(np.int32) - ILLUMINA18.min_input,
+                             0, 95)]
+        bad = (logp <= f32_lowest) | (logp >= 0.0)
+        for i in range(len(codes) - k + 1):
+            v = oracle.kmer_int(codes[i:i + k], 2)
+            rc = oracle.revcomp_int(v, K, DNA)
+            v = min(v, rc)
+            if bad[i:i + k].any():
+                score = 0.0
+            else:
+                score = float(np.exp2(np.sum(logp[i:i + k],
+                                             dtype=np.float64)))
+            out[v][9] += 1
+            out[v][10] += score
+    return out
+
+
+def test_quality_debruijn_vs_oracle(ref_data_dir):
+    from kmerind_tpu.debruijn import QualityDeBruijnGraph
+    path = ref_data_dir / "test.debruijn.small.fastq"
+    spec = KmerSpec(K, DNA)
+    g = QualityDeBruijnGraph(spec, mesh=make_mesh(4))
+    g.build(path)
+    recs = py_parse_fastq(path.read_text())
+    seqs = [r[1] for r in recs]
+    quals = [r[2] for r in recs]
+    expect = oracle_debruijn_quality(seqs, quals, K)
+    got = g.to_dict()
+    assert set(got) == set(expect)
+    for v, exp in expect.items():
+        assert got[v][:10] == tuple(exp[:10]), f"node {v:x}"
+        np.testing.assert_allclose(got[v][10], exp[10], rtol=2e-4,
+                                   atol=1e-6)
+
+    # plain counters agree with the quality-free graph
+    g0 = DeBruijnGraph(spec, mesh=make_mesh(4)).build(path)
+    base = g0.to_dict()
+    for v in base:
+        assert got[v][:9] == base[v]
+
+    # node_quality reports the mean window score
+    items = [v for v in expect if expect[v][9] > 0][:16]
+    qwords = np.stack([
+        spec.pack_codes(oracle.int_to_codes(v, K, 2)) for v in items])
+    mean, n, found = g.node_quality(qwords)
+    assert found.all()
+    for j, v in enumerate(items):
+        assert int(n[j]) == expect[v][9]
+        np.testing.assert_allclose(
+            mean[j], expect[v][10] / expect[v][9], rtol=2e-4, atol=1e-6)
+
+
+def test_quality_debruijn_save_load(ref_data_dir, tmp_path):
+    from kmerind_tpu.debruijn import QualityDeBruijnGraph
+    path = ref_data_dir / "test.debruijn.small.fastq"
+    spec = KmerSpec(K, DNA)
+    g = QualityDeBruijnGraph(spec, mesh=make_mesh(4)).build(path)
+    f = tmp_path / "qdbg.npz"
+    g.save(f)
+    back = QualityDeBruijnGraph.load(f, mesh=make_mesh(8))
+    a, b = g.to_dict(), back.to_dict()
+    assert set(a) == set(b)
+    for v in a:
+        assert a[v][:10] == b[v][:10]
+        # float32 sums re-accumulate in routed order after load
+        np.testing.assert_allclose(a[v][10], b[v][10], rtol=1e-4)

@@ -175,6 +175,7 @@ def _compile(build: pathlib.Path, name: str, *extra_srcs: str) -> pathlib.Path:
         ["g++", "-std=c++14", "-O1", "-march=native", f"-I{gen}",
          f"-I{REF}/src", f"-I{REF}/ext", f"-I{REF}/ext/Nadeau",
          f"-I{REF}/test/test",  # debruijn/edge_iterator.hpp
+         "-DFARMHASH_DEBUG=0",  # production farmhash values (no DebugTweak)
          "-o", str(exe),
          str(HERE / f"native_parity/{name}.cpp"), *extra_srcs],
         check=True, capture_output=True, text=True)
@@ -259,6 +260,88 @@ def test_kmer_ops_bit_exact(ref_output, tag):
         for name, a, b in zip(names, rv, ov):
             assert a == b, (f"{tag} window {rp} {name}: "
                             f"ref={a:#x} ours={b:#x}")
+
+
+@pytest.fixture(scope="module")
+def ref_farm_output(tmp_path_factory) -> dict:
+    """Compile the reference's own farmhash (ext/farmhash, farmhashna,
+    FARMHASH_DEBUG=0) + Kmer packing and dump Hash64WithSeed digests —
+    raw buffers 1..64 bytes and real k-mer byte streams (the farm
+    functor's exact call, kmer_hash.hpp:288)."""
+    build = tmp_path_factory.mktemp("reffarm")
+    exe = _compile(build, "ref_farm",
+                   str(REF / "ext/farmhash/src/farmhash.cc"))
+    seqs = _sequences()
+    out = subprocess.run(
+        [str(exe)], input="\n".join(seqs) + "\n",
+        check=True, capture_output=True, text=True).stdout
+    bufs, kmers = [], {}
+    for line in out.splitlines():
+        f = line.split()
+        if f[0] == "F":
+            bufs.append((int(f[1]), int(f[2]), int(f[3], 16)))
+        elif f[0] == "KF":
+            kmers.setdefault(f[1], []).append(
+                (int(f[2]), int(f[3]), int(f[4], 16)))
+    return {"bufs": bufs, "kmers": kmers, "seqs": seqs}
+
+
+def test_farmhash64_buffers_bit_exact(ref_farm_output):
+    """Our u32-pair FarmHash64 == the compiled reference farmhash over
+    every length 1..64 and four seeds (all three HashLen* branches)."""
+    from kmerind_tpu.ops import farmhash
+    assert len(ref_farm_output["bufs"]) == 64 * 4
+    for length, seed, want in ref_farm_output["bufs"]:
+        data = bytes((i * 167 + length * 13 + 5) & 0xFF
+                     for i in range(length))
+        got = farmhash.hash64_bytes(data, seed)
+        assert got == want, (length, seed, hex(got), hex(want))
+
+
+_FARM_CONFIGS = {
+    "DNA_k21_w64": (21, al.DNA),
+    "DNA_k21_w32": (21, al.DNA),
+    "DNA_k15_w64": (15, al.DNA),
+    "DNA_k12_w64": (12, al.DNA),
+    "DNA_k31_w64": (31, al.DNA),
+    "DNA_k32_w64": (32, al.DNA),
+    "DNA_k63_w64": (63, al.DNA),
+    "DNA6_k21_w64": (21, al.DNA6),
+    "DNA16_k15_w64": (15, al.DNA16),
+    "DNA16_k16_w64": (16, al.DNA16),
+}
+
+
+@pytest.mark.parametrize("tag", sorted(_FARM_CONFIGS))
+def test_farmhash64_kmer_bit_exact(ref_farm_output, tag):
+    """hash64_kmers over OUR packed windows == Hash64WithSeed over the
+    REFERENCE's kmer.getData() bytes — pins both the farmhash algorithm
+    and the byte-stream reconstruction from the char-aligned word layout
+    (incl. the 3-bit DNA6 case where the layouts differ)."""
+    from kmerind_tpu.ops import farmhash
+    ref = ref_farm_output["kmers"].get(tag)
+    assert ref, f"reference produced no farm digests for {tag}"
+    k, alph = _FARM_CONFIGS[tag]
+    spec = KmerSpec(k, alph)
+    rows = []
+    for s in ref_farm_output["seqs"]:
+        if len(s) < k:
+            continue
+        codes = alph.encode(s)
+        rows.extend(np.atleast_1d(spec.pack_codes(codes[i:i + k]))
+                    for i in range(len(s) - k + 1))
+    rows = np.stack(rows).reshape(-1, spec.nwords)
+    j = jnp.asarray(rows)
+    by_seed = {}
+    for seed in (42, 83, 0, 0x12345678):
+        hi, lo = farmhash.hash64_kmers(j, spec, seed)
+        by_seed[seed] = ((np.asarray(hi).astype(np.uint64) << np.uint64(32))
+                         | np.asarray(lo).astype(np.uint64))
+    n = rows.shape[0]
+    assert len(ref) == 4 * n
+    for i, (pos, seed, want) in enumerate(ref):
+        got = int(by_seed[seed][i // 4])
+        assert got == want, (tag, pos, seed, hex(got), hex(want))
 
 
 def test_murmur3_x86_32_bit_exact(ref_output):
