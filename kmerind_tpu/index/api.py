@@ -479,14 +479,28 @@ class _IndexBase:
         Files above `stream_threshold_bytes` stream block-by-block
         (`build_stream`) so host memory stays O(block); smaller files are
         parsed whole into zero-copy parser-ring views (reuse=True — the
-        batch is fully consumed by insert_batch before this returns)."""
+        batch is fully consumed by insert_batch before this returns).
+
+        Multi-process (`jax.distributed`): collective — every process
+        must call build() on the same path.  Each host parses only ITS
+        byte block (record-boundary repaired, the partitioned_file
+        contract) and the index lands sharded over the global mesh, like
+        the reference's build_mpiio over MPI ranks."""
         fmt = fmt or sniff_format(path)
         if (file_size(path) > self.stream_threshold_bytes
                 and self._stream_supported(fmt)):
             return self.build_stream(path, fmt, file_id)
-        with self.timer.phase("read"):
-            batch = read_file(path, self.parse_alphabet, fmt, file_id,
-                              reuse=True)
+        if self._multiprocess:
+            from ..parallel.multihost import host_block_batch
+            halo, halo_left = self._chunk_halo()
+            with self.timer.phase("read"):
+                batch = host_block_batch(path, self.parse_alphabet, fmt,
+                                         halo=halo, file_id=file_id,
+                                         halo_left=halo_left)
+        else:
+            with self.timer.phase("read"):
+                batch = read_file(path, self.parse_alphabet, fmt, file_id,
+                                  reuse=True)
         self.insert_batch(batch)
         return self
 
@@ -521,9 +535,9 @@ class _IndexBase:
         return self.spec.k - 1, 0
 
     def _stream_supported(self, fmt: str) -> bool:
-        # multi-process hosts read their own blocks via parallel.multihost
-        # instead of self-streaming
-        return not self._multiprocess
+        # every family/format streams, single- and multi-process alike;
+        # subclasses may veto (hook kept for future format restrictions)
+        return True
 
     def build_stream(self, path, fmt: str | None = None, file_id: int = 0,
                      block_bytes: int | None = None):
@@ -547,6 +561,10 @@ class _IndexBase:
         # more than block_bytes bases, so cap the chunk size accordingly
         chunk_bases = min(self.default_chunk_bases, block_bytes)
         total = file_size(path)
+        if self._multiprocess:
+            return self._build_stream_spmd(path, fmt, file_id, block_bytes,
+                                           chunk_bases, halo, halo_left,
+                                           total)
         nblocks = max(1, -(-total // block_bytes))
 
         def chunks():
@@ -568,6 +586,85 @@ class _IndexBase:
         self._stream_chunks_iter(chunks(), self._marshal_chunk,
                                  self._insert_cols)
         return self
+
+    def _build_stream_spmd(self, path, fmt, file_id, block_bytes,
+                           chunk_bases, halo, halo_left, total):
+        """Streamed build under `jax.distributed`: each host streams ITS
+        byte range of the file through the parser ring in sub-blocks, so
+        host memory stays O(block) no matter how large the corpus — the
+        multi-process analog of `build_stream` (the reference's
+        block-partitioned parallel reads, file.hpp:1216-1432, with the
+        rank block further subdivided for streaming).
+
+        SPMD discipline: the ingest step and its overflow fetch are
+        collectives, so every process must run the SAME number of jit
+        steps even though hosts' blocks parse into different chunk counts
+        — `_stream_chunks_lockstep` keeps the group in step with one tiny
+        allgathered continue-flag per chunk, exhausted hosts feeding
+        all-invalid chunks of the shared static shape."""
+        from ..parallel.multihost import distributed_fasta_grid_context
+        nh = jax.process_count()
+        h = jax.process_index()
+        # identical on every process (total/block_bytes agree), so the
+        # grid — and the collective call pattern — is globally consistent
+        bph = max(1, -(-total // (nh * block_bytes)))
+        nblocks = nh * bph
+        ctxs = (distributed_fasta_grid_context(path, bph)
+                if fmt == "fasta" else None)
+
+        def chunks():
+            for j in range(bph):
+                p = h * bph + j
+                with self.timer.phase("read"):
+                    if fmt == "fastq":
+                        b = read_fastq_block(path, self.parse_alphabet, p,
+                                             nblocks, file_id=file_id,
+                                             reuse=True)
+                    else:
+                        b = read_fasta_block(path, self.parse_alphabet, p,
+                                             nblocks, file_id=file_id,
+                                             halo=halo, halo_left=halo_left,
+                                             context=ctxs[j], reuse=True)
+                if b.num_bases == 0:
+                    continue
+                yield from b.iter_chunks(chunk_bases, halo, halo_left)
+
+        self._stream_chunks_lockstep(chunks(), self._marshal_chunk,
+                                     self._insert_cols,
+                                     chunk_bases, halo, halo_left)
+        return self
+
+    def _invalid_chunk(self, chunk_bases, halo, halo_left):
+        """All-invalid chunk of the shared static stream shape (no valid
+        bases, no owned windows) — what an exhausted host feeds the
+        lockstep loop so its jit steps mirror the group's."""
+        from ..io.fasta import parse_fasta
+        empty = parse_fasta(np.zeros(0, np.uint8), self.parse_alphabet)
+        return empty.pad_to(halo_left + chunk_bases + halo)
+
+    def _stream_chunks_lockstep(self, it, marshal, consume,
+                                chunk_bases, halo, halo_left):
+        """SPMD streaming driver: per chunk, one small allgather decides
+        whether ANY process still has data; everyone then runs exactly one
+        marshal+consume step (exhausted hosts on an all-invalid chunk) —
+        the streaming analog of `_equalize_chunks`.  Serial loop, no
+        marshal worker thread: marshalling itself runs collectives
+        (`_batch_to_stacked`'s pad_to allgather) that must stay on the
+        main thread in program order."""
+        from jax.experimental import multihost_utils
+        dummy = None
+        while True:
+            b = next(it, None)
+            more = np.asarray(multihost_utils.process_allgather(
+                np.int64(0 if b is None else 1)))
+            if int(more.max()) == 0:
+                return
+            if b is None:
+                if dummy is None:
+                    dummy = self._invalid_chunk(chunk_bases, halo,
+                                                halo_left)
+                b = dummy
+            consume(marshal(b))
 
     def _stream_chunks_iter(self, it, marshal, consume):
         """Double-buffered streaming over a lazy chunk iterator: a worker

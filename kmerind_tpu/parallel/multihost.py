@@ -41,7 +41,7 @@ from ..io.files import (
 from .mesh import SHARD_AXIS
 
 __all__ = ["initialize", "global_mesh", "host_block_batch",
-           "distributed_fasta_context"]
+           "distributed_fasta_context", "distributed_fasta_grid_context"]
 
 
 def initialize(coordinator_address: str | None = None,
@@ -71,7 +71,8 @@ def global_mesh():
 
 
 def host_block_batch(path, alphabet: Alphabet, fmt: str | None = None,
-                     halo: int = 0, file_id: int = 0) -> ReadBatch:
+                     halo: int = 0, file_id: int = 0,
+                     halo_left: int = 0) -> ReadBatch:
     """This host's byte block of `path`, parsed with record repair.
 
     NOTE for de Bruijn builds: pass `graph.parse_alphabet` (raw ASCII) as
@@ -90,7 +91,7 @@ def host_block_batch(path, alphabet: Alphabet, fmt: str | None = None,
         return read_fastq_block(path, alphabet, h, nh, file_id=file_id)
     ctx = distributed_fasta_context(path) if nh > 1 else None
     return read_fasta_block(path, alphabet, h, nh, file_id=file_id,
-                            halo=halo, context=ctx)
+                            halo=halo, halo_left=halo_left, context=ctx)
 
 
 def distributed_fasta_context(path) -> tuple[int, int]:
@@ -123,3 +124,62 @@ def distributed_fasta_context(path) -> tuple[int, int]:
     if prev.size == 0:
         return -1, -1
     return before - 1, int(prev[-1])
+
+
+def distributed_fasta_grid_context(path, blocks_per_host) -> list:
+    """Per-sub-block (ordinal, record start) contexts for THIS host's
+    `blocks_per_host` sub-blocks of the `nh * blocks_per_host` global
+    block grid — the streamed generalization of
+    `distributed_fasta_context` for `build_stream` under multi-process.
+
+    Each host scans only ITS byte range for record-run starts (done one
+    sub-block at a time, so memory stays O(sub-block) even when the host
+    range is huge), then ONE allgather of (count, last start) per host
+    supplies the cross-host prefix, and the per-sub-block contexts follow
+    from the local prefix walk.  The reference's distributed header scan
+    (fasta_loader.hpp:202-360) is the per-rank analog; here the grid is
+    finer than one block per rank so the index can stream.
+
+    Every host MUST call this collectively (same blocks_per_host).
+    Returns ``[(hidx, lead_abs), ...]``: the ordinal and absolute start of
+    the record containing each sub-block's first byte, ``(-1, -1)`` when
+    no record starts at or before it.
+    """
+    from jax.experimental import multihost_utils
+
+    h = jax.process_index()
+    nh = jax.process_count()
+    total = file_size(path)
+    nblocks = nh * blocks_per_host
+    counts = np.zeros(blocks_per_host, np.int64)
+    firsts = np.full(blocks_per_host, -1, np.int64)
+    lasts = np.full(blocks_per_host, -1, np.int64)
+    bounds = []
+    for j in range(blocks_per_host):
+        bs, be = block_partition(total, nblocks, h * blocks_per_host + j)
+        bounds.append(bs)
+        local = fasta_block_record_starts(path, bs, be)
+        counts[j] = local.size
+        if local.size:
+            firsts[j] = int(local[0])
+            lasts[j] = int(local[-1])
+    my_last = int(lasts[lasts >= 0][-1]) if (lasts >= 0).any() else -1
+    mine = np.array([int(counts.sum()), my_last], np.int64)
+    gathered = np.asarray(multihost_utils.process_allgather(mine))
+    host_counts, host_lasts = gathered[:, 0], gathered[:, 1]
+    count_so_far = int(host_counts[:h].sum())
+    prev = host_lasts[:h][host_lasts[:h] >= 0]
+    last = int(prev[-1]) if prev.size else -1
+    ctxs = []
+    for j in range(blocks_per_host):
+        bs = bounds[j]
+        if firsts[j] == bs:
+            ctxs.append((count_so_far, bs))
+        elif count_so_far == 0:
+            ctxs.append((-1, -1))
+        else:
+            ctxs.append((count_so_far - 1, last))
+        count_so_far += int(counts[j])
+        if lasts[j] >= 0:
+            last = int(lasts[j])
+    return ctxs

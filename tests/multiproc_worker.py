@@ -63,7 +63,8 @@ else:
     mesh = global_mesh()
 timer = PhaseTimer()
 
-if kind in ("count", "count2d", "fasta_count"):
+if kind in ("count", "count2d", "fasta_count",
+            "stream_count", "fasta_stream_count"):
     idx = CountIndex(spec, mesh=mesh, canonical=True, timer=timer)
 elif kind == "sorted_count":
     from kmerind_tpu.index.sorted_api import SortedCountIndex
@@ -86,13 +87,22 @@ else:
 # halo so boundary-crossing windows are emitted exactly once).  The
 # de Bruijn graph needs raw bytes (dual-LUT edge semantics) and an extra
 # base of edge context on each side.
-if kind == "debruijn":
+if kind in ("stream_count", "fasta_stream_count"):
+    # streamed multi-process build: each host streams ITS byte range in
+    # tiny sub-blocks (block_bytes=128 forces several blocks per host and
+    # divergent chunk counts, exercising the lockstep equalization)
+    idx.build_stream(path, block_bytes=128)
+    num_bases = -1
+elif kind == "debruijn":
     # raw bytes for the dual-LUT edge semantics; FASTQ records are whole
     # per block, so no cross-block base halo is needed
     batch = host_block_batch(path, idx.parse_alphabet)
+    idx.insert_batch(batch)
+    num_bases = batch.num_bases
 else:
     batch = host_block_batch(path, DNA, halo=spec.k - 1)
-idx.insert_batch(batch)
+    idx.insert_batch(batch)
+    num_bases = batch.num_bases
 
 size = idx.size()
 contents = idx.to_dict()
@@ -130,6 +140,6 @@ if pid == 0:
         "queried": [str(v) for v in some],
         "timer_phases": sorted(stats),
         "timer_count_ok": all(s["count"] == nproc for s in stats.values()),
-        "per_process_bases": batch.num_bases,
+        "per_process_bases": num_bases,
     }, open(out_json, "w"))
-print(f"proc {pid}: ok (bases={batch.num_bases}, size={size})", flush=True)
+print(f"proc {pid}: ok (bases={num_bases}, size={size})", flush=True)

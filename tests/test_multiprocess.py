@@ -146,6 +146,42 @@ def test_multiprocess_value_index(ref_data_dir, tmp_path):
     assert res["counts"] == [1] * len(res["queried"])
 
 
+def test_multiprocess_streamed_build(ref_data_dir, tmp_path):
+    """Streamed build under REAL jax.distributed processes: each host
+    streams ITS byte range in sub-blocks through the parser ring
+    (O(block) host memory at any corpus size), the lockstep driver
+    equalizing divergent per-host chunk counts with all-invalid chunks.
+    Contents must equal the whole-file oracle."""
+    path = ref_data_dir / "test.small.fastq"
+    res = _run_workers(2, 2, path, "stream_count", tmp_path)
+    seqs = [r[1] for r in py_parse_fastq(path.read_text())]
+    from kmerind_tpu import DNA
+    expect = oracle.count_index(seqs, 21, DNA, canonical=True)
+    got = {int(k): v for k, v in res["contents"].items()}
+    assert got == dict(expect)
+    assert res["size"] == len(expect)
+    want_counts = [expect[int(v)] for v in res["queried"]]
+    assert res["counts"] == want_counts
+
+
+def test_multiprocess_streamed_fasta_build(ref_data_dir, tmp_path):
+    """Streamed FASTA build under real multi-process execution: the
+    per-sub-block record contexts come from ONE distributed header-scan
+    exchange (distributed_fasta_grid_context) — on a fixture with ';'
+    header lines, multi-line header runs, and multi-line sequences, at a
+    3-process count that doesn't divide the block grid evenly."""
+    from test_io import py_parse_fasta
+
+    path = ref_data_dir / "test2.fasta"
+    res = _run_workers(3, 1, path, "fasta_stream_count", tmp_path)
+    seqs = ["".join(r["seq"]) for r in py_parse_fasta(path.read_text())]
+    from kmerind_tpu import DNA
+    expect = oracle.count_index(seqs, 21, DNA, canonical=True)
+    got = {int(k): v for k, v in res["contents"].items()}
+    assert got == dict(expect)
+    assert res["size"] == len(expect)
+
+
 def test_multiprocess_debruijn(ref_data_dir, tmp_path):
     """De Bruijn node counters under real multi-process execution must
     equal the single-process build of the same file."""
