@@ -461,6 +461,20 @@ def merge_sorted_runs_cols(a_kcols: jax.Array, a_payloads,
     nb = b_kcols.shape[1]
     total = na + nb
     n = 1 << max(1, (total - 1).bit_length())
+    if jax.default_backend() == "tpu":
+        from . import pallas_kernels as pk
+        # Two-operand fast path: run caps are powers of two by
+        # construction (bucket caps are _next_pow2, merge outputs are
+        # next_pow2 sums), so na == n/2 whenever na >= nb; the fused
+        # first-stage kernel then reads A and B directly and the bitonic
+        # concat/flip (34 ms per 33.5M-row merge on v5e — 2x the whole
+        # compare-exchange network) is never materialized.
+        if (n >= 4 * pk._MG_BLOCK and na == n // 2
+                and nb > 0 and nb % pk._MG_BLOCK == 0
+                and sentinel == pk._MERGE_SENTINEL):
+            return pk._bitonic_merge_pallas_cols_2op(
+                a_kcols, tuple(a_payloads), b_kcols, tuple(b_payloads),
+                False)
     pad = n - total
     if pad:
         b_kcols = jnp.concatenate(

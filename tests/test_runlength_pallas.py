@@ -118,3 +118,52 @@ def test_bitonic_merge_cols_fused_global_stages(monkeypatch, nblocks):
                                  alllo[order].tolist(),
                                  allp[order].tolist()))
     assert gm == em
+
+
+@pytest.mark.parametrize("nblocks,nbb", [
+    (4, 2),    # nb == na: no sentinel blocks, minimum size (loop skipped)
+    (8, 4),    # equal runs, one more global pass after the fused entry
+    (8, 2),    # nb < na: two virtual sentinel blocks in the hi half
+    (16, 1),   # heavily padded B + two follow-up double-buffered passes
+])
+def test_bitonic_merge_two_operand_entry(monkeypatch, nblocks, nbb):
+    """The two-operand merge entry (_bitonic_merge_pallas_cols_2op) in
+    interpret mode: run A ascending + run B ascending with nb <= na and
+    no materialized concat/flip — B's blocks are mirrored and
+    flat-reversed in VMEM, missing padded-B blocks become sentinel
+    fills.  Result must equal the sorted multiset union with padding
+    rows (sentinel keys, payload 0) at the tail."""
+    from kmerind_tpu.ops import pallas_kernels as pk
+
+    small_block = 1 << 10
+    monkeypatch.setattr(pk, "_MG_BLOCK", small_block)
+    na = (nblocks // 2) * small_block
+    nb = nbb * small_block
+    rng = np.random.default_rng(nblocks * 31 + nbb)
+    def mk(n):
+        hi = rng.integers(0, 4, n, dtype=np.uint32)
+        lo = rng.integers(0, 2**32, n, dtype=np.uint32)
+        pay = rng.integers(1, 100, n).astype(np.int32)
+        order = np.lexsort((lo, hi))
+        return hi[order], lo[order], pay[order]
+    ha, la, pa = mk(na)
+    hb, lb, pb = mk(nb)
+    out_k, (out_p,) = pk._bitonic_merge_pallas_cols_2op(
+        jnp.asarray(np.stack([ha, la])), (jnp.asarray(pa),),
+        jnp.asarray(np.stack([hb, lb])), (jnp.asarray(pb),), True)
+    got_k, got_p = np.asarray(out_k), np.asarray(out_p)
+    n = 2 * na
+    pad = n - na - nb
+    allhi = np.concatenate([ha, hb, np.full(pad, 0xFFFFFFFF, np.uint32)])
+    alllo = np.concatenate([la, lb, np.full(pad, 0xFFFFFFFF, np.uint32)])
+    allp = np.concatenate([pa, pb, np.zeros(pad, np.int32)])
+    order = np.lexsort((alllo, allhi))
+    assert np.array_equal(got_k[0], allhi[order])
+    assert np.array_equal(got_k[1], alllo[order])
+    import collections
+    gm = collections.Counter(zip(got_k[0].tolist(), got_k[1].tolist(),
+                                 got_p.tolist()))
+    em = collections.Counter(zip(allhi[order].tolist(),
+                                 alllo[order].tolist(),
+                                 allp[order].tolist()))
+    assert gm == em
