@@ -1747,7 +1747,8 @@ class PositionIndex(_MultimapSurfaceMixin, _IndexBase):
         while True:
             key = ("merge", n_rows, self.capacity)
             if key not in self._step_cache:
-                self._step_cache[key] = dx.make_multi_merge_step(self.mesh)
+                self._step_cache[key] = dx.make_multi_merge_step(
+                    self.mesh, sentinel_ok=self.spec.sentinel_safe)
             new_store, ovf = self._step_cache[key](
                 self.store, words, hi, lo, q, valid)
             if int(self._fetch(ovf).max()) == 0:

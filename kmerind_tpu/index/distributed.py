@@ -421,14 +421,24 @@ def make_multi_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
     ))
 
 
-def make_multi_merge_step(mesh: Mesh):
-    """Jitted: deferred multimap merge of owner-resident tuples."""
+def make_multi_merge_step(mesh: Mesh, sentinel_ok: bool = False):
+    """Jitted: deferred multimap merge of owner-resident tuples.
+
+    sentinel_ok (KmerSpec.sentinel_safe): flush by sorting ONLY the batch
+    and bitonic-MERGING it with the already-sorted store (~2x cheaper than
+    the monolithic stable re-sort at equal sizes); otherwise fall back to
+    the flag-key `multi_insert` sort."""
 
     def body(stores_blk, words_blk, hi_blk, lo_blk, q_blk, valid_blk):
         store = _unstack(stores_blk)
-        new_store, ovf = st.multi_insert(
-            store, words_blk[0], hi_blk[0], lo_blk[0], valid_blk[0],
-            val_q=q_blk[0])
+        if sentinel_ok:
+            new_store, ovf = st.multi_merge_flush(
+                store, words_blk[0], hi_blk[0], lo_blk[0], valid_blk[0],
+                val_q=q_blk[0])
+        else:
+            new_store, ovf = st.multi_insert(
+                store, words_blk[0], hi_blk[0], lo_blk[0], valid_blk[0],
+                val_q=q_blk[0])
         return _stack(new_store), ovf[None]
 
     return jax.jit(jax.shard_map(

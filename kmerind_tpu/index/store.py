@@ -41,6 +41,7 @@ __all__ = [
     "count_lookup",
     "count_erase",
     "multi_insert",
+    "multi_merge_flush",
     "multi_lookup_ranges",
     "multi_count",
     "multi_erase",
@@ -220,6 +221,47 @@ def multi_insert(store: MultiStore, words, val_hi, val_lo, valid,
         val_hi=s_hi[:cap],
         val_lo=s_lo[:cap],
         val_q=jax.lax.bitcast_convert_type(s_q[:cap], jnp.float32),
+        size=jnp.minimum(total, cap),
+    )
+    return new, jnp.maximum(total - cap, 0)
+
+
+@jax.jit
+def multi_merge_flush(store: MultiStore, words, val_hi, val_lo, valid,
+                      val_q: jax.Array | None = None):
+    """Merge-based multimap flush for SENTINEL-SAFE specs: sort ONLY the
+    incoming batch (n rows), then bitonic-MERGE it with the already-sorted
+    store — log2 stages instead of `multi_insert`'s monolithic stable sort
+    over cap + n rows (measured 220 ms re-sort vs ~100 ms sort+merge at
+    16.7M + 16.7M rows on v5e).  Same lazy-sorted-map discipline as the
+    count family's RunCountStore (distributed_sorted_map.hpp:341,940).
+
+    REQUIRES that no real key bit-equals the all-ones sentinel
+    (KmerSpec.sentinel_safe) — invalid/padding rows ride the merge as
+    sentinel rows and must tail-sort.  Callers gate on the spec and fall
+    back to `multi_insert` otherwise.  Unlike `multi_insert` this is NOT
+    stable across flushes (densehash_multimap makes no order promise).
+
+    Returns (new_store, overflow)."""
+    cap, w = store.keys.shape
+    qbits = (jnp.zeros(words.shape[0], jnp.uint32) if val_q is None
+             else jax.lax.bitcast_convert_type(
+                 val_q.astype(jnp.float32), jnp.uint32))
+    b_cols, (b_hi, b_lo, b_qb), _ = sortops.sort_rows(
+        words.astype(jnp.uint32),
+        (val_hi.astype(jnp.uint32), val_lo.astype(jnp.uint32), qbits),
+        valid, is_stable=False, sentinel_ok=True, as_cols=True)
+    m_cols, (m_hi, m_lo, m_qb) = sortops.merge_sorted_runs_cols(
+        store.keys.T,
+        (store.val_hi, store.val_lo,
+         jax.lax.bitcast_convert_type(store.val_q, jnp.uint32)),
+        b_cols, (b_hi, b_lo, b_qb))
+    total = store.size + jnp.sum(valid.astype(jnp.int32))
+    new = MultiStore(
+        keys=m_cols[:, :cap].T,
+        val_hi=m_hi[:cap],
+        val_lo=m_lo[:cap],
+        val_q=jax.lax.bitcast_convert_type(m_qb[:cap], jnp.float32),
         size=jnp.minimum(total, cap),
     )
     return new, jnp.maximum(total - cap, 0)

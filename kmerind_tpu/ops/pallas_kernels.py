@@ -908,6 +908,13 @@ def _bitonic_merge_pallas_cols_2op(a_kcols, a_payloads, b_kcols, b_payloads,
             [pltpu.VMEM((brows, _LANES), dt)
              for _ in range(4) for dt in dtypes]
             + [pltpu.SemaphoreType.DMA((4, ncols))]),
+        # 4 resident blocks + the _rev_flat roll temporaries exceed the
+        # 16 MB scoped-vmem default at ncols >= 4 (18.8 MB measured at
+        # ncols=5); physical VMEM accommodates this (the double-buffered
+        # global kernel already runs at 28 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=4 * ncols * _MG_BLOCK * 4
+            + 16 * 1024 * 1024),
         interpret=interpret,
     )(*a_cols, *b_cols)
     return _merge_stage_loop(list(cols), shapes, w, n, n // 8, interpret)
@@ -949,9 +956,11 @@ def _merge_stage_loop(cols, shapes, w, n, d0, interpret):
                            pltpu.SemaphoreType.DMA((2, 4, ncols))]),
                     # 8 resident blocks exceed the 16 MB scoped-vmem
                     # default; v5e physical VMEM accommodates this
+                    # (+16 MB headroom for compare-exchange temporaries —
+                    # payload-heavy ncols=5 mixes measured 31.5 MB)
                     compiler_params=pltpu.CompilerParams(
                         vmem_limit_bytes=8 * ncols * _MG_BLOCK * 4
-                        + 8 * 1024 * 1024),
+                        + 16 * 1024 * 1024),
                     interpret=interpret,
                 )(*cols)
             else:
@@ -996,6 +1005,12 @@ def _merge_stage_loop(cols, shapes, w, n, d0, interpret):
         in_specs=[blk_spec] * ncols,
         out_specs=tuple([blk_spec] * ncols),
         out_shape=tuple(shapes),
+        # payload-heavy column mixes (e.g. the multimap's ncols=5, w=2)
+        # need more than the 16 MB scoped-vmem default for the roll/
+        # select temporaries (21.2 MB measured)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=4 * ncols * _MG_BLOCK * 4
+            + 16 * 1024 * 1024),
         interpret=interpret,
     )(*cols)
 

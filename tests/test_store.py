@@ -96,6 +96,61 @@ def test_multi_insert_count_gather_erase():
     np.testing.assert_array_equal(cnt, [0, 1, 1, 0])
 
 
+def test_multi_merge_flush_matches_insert():
+    """The sentinel-safe merge flush must agree with the stable-sort
+    insert on contents (multiset of (key, value) pairs per query) across
+    repeated batches with invalid rows."""
+    rng = np.random.default_rng(7)
+    cap = 256
+    s_merge = st.empty_multi_store(cap, 2)
+    s_sort = st.empty_multi_store(cap, 2)
+    oracle: dict[int, list[int]] = {}
+    for batch in range(4):
+        n = 48
+        keys = rng.integers(0, 30, size=n)
+        vals = rng.integers(0, 1 << 31, size=n).astype(np.uint32)
+        quals = rng.random(n).astype(np.float32)
+        valid = rng.random(n) > 0.25
+        args = (jnp.asarray(_mk_words(keys)),
+                jnp.asarray(np.zeros(n, np.uint32)),
+                jnp.asarray(vals), jnp.asarray(valid),
+                jnp.asarray(quals))
+        s_merge, ovf_m = st.multi_merge_flush(s_merge, *args[:4],
+                                              val_q=args[4])
+        s_sort, ovf_s = st.multi_insert(s_sort, *args[:4], val_q=args[4])
+        assert int(ovf_m) == int(ovf_s) == 0
+        for k, v, q, ok in zip(keys, vals, quals, valid):
+            if ok:
+                oracle.setdefault(int(k), []).append((int(v), float(q)))
+    assert int(s_merge.size) == int(s_sort.size) == \
+        sum(len(v) for v in oracle.values())
+    q = jnp.asarray(_mk_words(np.arange(32)))
+    cnt_m = np.asarray(st.multi_count(s_merge, q))
+    cnt_s = np.asarray(st.multi_count(s_sort, q))
+    np.testing.assert_array_equal(cnt_m, cnt_s)
+    lo, hi = st.multi_lookup_ranges(s_merge, q)
+    _, lo_vals, qv, mask = st.multi_gather(s_merge, lo, hi, max_per_query=32)
+    lo_vals, qv, mask = map(np.asarray, (lo_vals, qv, mask))
+    for k in range(32):
+        got = sorted(zip(lo_vals[k][mask[k]].tolist(),
+                         qv[k][mask[k]].tolist()))
+        want = sorted((v, pytest.approx(qq)) for v, qq in
+                      oracle.get(k, []))
+        assert [g[0] for g in got] == [w[0] for w in want], k
+        for (gv, gq), (wv, wq) in zip(got, want):
+            assert gq == pytest.approx(wq)
+
+
+def test_multi_merge_flush_overflow_reported():
+    s = st.empty_multi_store(4, 1)
+    s, ovf = st.multi_merge_flush(
+        s, jnp.asarray(_mk_words([1, 2, 3, 4, 5, 6], w=1)),
+        jnp.asarray(np.zeros(6, np.uint32)),
+        jnp.asarray(np.arange(6, dtype=np.uint32)),
+        jnp.ones(6, bool))
+    assert int(ovf) == 2
+
+
 def test_multiword_key_ordering():
     # keys differing only in low word must compare correctly
     s = st.empty_count_store(16, 2)
