@@ -43,7 +43,7 @@ class DeBruijnGraph(_IndexBase):
 
     def __init__(self, spec: KmerSpec, mesh=None, canonical: bool = True,
                  hash_name: str = "murmur", saturate: int | None = None,
-                 initial_capacity: int = 1 << 12, **kw):
+                 initial_capacity: int = 1 << 12, max_runs: int = 8, **kw):
         if not isinstance(canonical, bool):
             raise ValueError(
                 "DeBruijnGraph defines edge orientation on the lex_less "
@@ -51,60 +51,172 @@ class DeBruijnGraph(_IndexBase):
                 "k-mer index families only")
         super().__init__(spec, mesh, canonical, hash_name, **kw)
         self.saturate = saturate
+        self.initial_capacity = initial_capacity
+        self.max_runs = max_runs
         # jit-with-out_shardings store init: SPMD-safe (a plain device_put
         # cannot target non-addressable devices under jax.distributed)
-        self.store = self._init_store(
-            lambda: st.empty_vec_store(initial_capacity, spec.nwords, _DIM))
-        self._pending: list = []
-        self._pending_rows = 0
-        self.flush_rows = 1 << 24
+        self.runs: list = [self._init_store(
+            lambda: st.empty_run_vec_store(initial_capacity, spec.nwords))]
+        self._virgin = True
+        self.compact_factor = 4
+        #: host-side bound on any shard's raw weight total (int32 prefix
+        #: sums wrap past 2^31); see CountIndex._note_weight
+        self._ingested_weight = 0
+
+    # the store pytree = the run list (checkpointing flattens it)
+    @property
+    def store(self):
+        return self.runs
+
+    @store.setter
+    def store(self, value):
+        self.runs = list(value) if isinstance(value, (list, tuple)) \
+            else [value]
 
     @property
     def capacity(self) -> int:
-        return self.store.keys.shape[1]
+        return sum(r.keys.shape[-1] for r in self.runs)
+
+    def _run_caps(self) -> tuple:
+        return tuple(r.keys.shape[-1] for r in self.runs)
+
+    def _distinct(self) -> np.ndarray:
+        assert len(self.runs) == 1
+        key = ("run_stats", self._run_caps())
+        if key not in self._step_cache:
+            self._step_cache[key] = dx.make_run_vec_stats_step(self.mesh)
+        return self._fetch(self._step_cache[key](self.runs[0]))
 
     def size(self) -> int:
         """Number of graph nodes (distinct canonical k-mers)."""
-        self._flush()
-        return int(self._fetch(self.store.size).sum())
+        self._consolidate()
+        return int(self._distinct().sum())
+
+    def local_sizes(self) -> list[int]:
+        self._consolidate()
+        return [int(x) for x in self._distinct()]
+
+    def clear(self):
+        self.runs = [self._init_store(
+            lambda: st.empty_run_vec_store(self.initial_capacity,
+                                           self.spec.nwords))]
+        self._virgin = True
+        self._ingested_weight = 0
+        return self
 
     def _flush(self):
-        if not self._pending:
-            return
-        words = self._device_concat([t[0] for t in self._pending])
-        vecs = self._device_concat([t[1] for t in self._pending])
-        valid = self._device_concat([t[2] for t in self._pending])
-        self._pending = []
-        self._pending_rows = 0
-        n_rows = words.shape[1]
-        cap_needed = int(self._fetch(self.store.size).sum()) + n_rows
-        if cap_needed > self.capacity * self.nparts:
-            self._grow(_next_pow2(-(-cap_needed // self.nparts)))
-        while True:
-            key = ("merge", n_rows, self.capacity)
-            if key not in self._step_cache:
-                self._step_cache[key] = dx.make_vec_merge_step(
-                    self.mesh, self.saturate)
-            new_store, ovf = self._step_cache[key](
-                self.store, words, vecs, valid)
-            if int(self._fetch(ovf).max()) == 0:
-                self.store = new_store
-                return
-            self._grow(_next_pow2(self.capacity + int(self._fetch(ovf).max())))
+        """No deferred work: each chunk is already a queryable run (the
+        LSM laziness bound is max_runs, like the count family)."""
+        return
 
-    def _grow(self, new_cap: int):
-        pad = new_cap - self.capacity
-        key = ("_grow", new_cap, self.capacity)
+    def _checkpoint_prepare(self):
+        self._consolidate()
+
+    def _merge_two_smallest(self):
+        self.runs.sort(key=lambda r: r.keys.shape[-1], reverse=True)
+        b = self.runs.pop()
+        a = self.runs.pop()
+        key = ("run_merge_pair", a.keys.shape[-1], b.keys.shape[-1])
+        if key not in self._step_cache:
+            self._step_cache[key] = dx.make_run_vec_merge_pair_step(
+                self.mesh)
+        with self.timer.phase("merge"):
+            self.runs.append(self._step_cache[key](a, b))
+
+    _I32_WEIGHT_GUARD = (1 << 31) - (1 << 26)
+
+    def _note_weight(self, add: int):
+        if self._ingested_weight + add > self._I32_WEIGHT_GUARD:
+            # tighten the conservative bound from true device totals (the
+            # worst case routes every window to one shard)
+            totals = np.zeros(self.nparts, np.int64)
+            for r in self.runs:
+                totals += self._fetch(r.bsum[..., -1, 8]).astype(np.int64)
+            self._ingested_weight = int(totals.max())
+            if self._ingested_weight + add > (1 << 31) - 1:
+                raise OverflowError(
+                    "de Bruijn raw weight total would overflow the int32 "
+                    "prefix sums on a shard; use more shards or smaller "
+                    "insert batches")
+        self._ingested_weight += add
+
+    def _append_run(self, words, ebytes, weights):
+        key = ("run_adopt", words.shape[-1])
+        if key not in self._step_cache:
+            self._step_cache[key] = dx.make_run_vec_adopt_step(self.mesh)
+        run = self._step_cache[key](words, ebytes, weights)
+        if self._virgin:
+            self.runs = [run]
+            self._virgin = False
+        else:
+            self.runs.append(run)
+        while len(self.runs) > self.max_runs:
+            self._merge_two_smallest()
+
+    def _consolidate(self):
+        while len(self.runs) > 1:
+            self._merge_two_smallest()
+        self._maybe_compact()
+
+    def _maybe_compact(self):
+        """Collapse duplicate (key, edge-byte) rows when the store is
+        mostly duplicates — amortized O(1) per ingested row."""
+        cap = self.capacity
+        if len(self.runs) != 1 or cap <= (1 << 14):
+            return
+        distinct = int(self._distinct().max())
+        # distinct (key, ebyte) groups are bounded by a few per node in
+        # real genomes; size for 4x before giving up on shrinking
+        target = _next_pow2(max(4 * distinct, 1 << 12))
+        if cap >= self.compact_factor * target:
+            self.compact(target)
+
+    def compact(self, new_cap: int | None = None):
+        """Consolidate to one run and collapse equal (key, edge-byte)
+        rows; retries with doubled capacity on overflow."""
+        while len(self.runs) > 1:
+            self._merge_two_smallest()
+        cap = self.capacity
+        if new_cap is None:
+            new_cap = _next_pow2(
+                max(4 * int(self._distinct().max()), 1 << 12))
+        while True:
+            key = ("run_compact", new_cap, self._run_caps())
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_run_vec_compact_step(
+                    self.mesh, new_cap)
+            new_run, ovf = self._step_cache[key](self.runs[0])
+            if int(self._fetch(ovf).max()) == 0:
+                self.runs = [new_run]
+                return self
+            if new_cap >= cap:
+                # nothing to reclaim at this size; keep the raw run
+                return self
+            new_cap *= 2
+
+    def reserve(self, n: int):
+        """Pre-grow total capacity (map_base::reserve).  Run capacities
+        are otherwise data-driven; reserving pads the last run's sentinel
+        tail (weight-0 rows never affect a counter)."""
+        per = _next_pow2(-(-n // self.nparts))
+        cur = self.capacity
+        if per <= cur:
+            return self
+        pad = per - cur
+        key = ("_grow", pad, self._run_caps())
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(
-                lambda s: st.VecStore(
-                    keys=jnp.pad(s.keys, ((0, 0), (0, pad), (0, 0)),
+                lambda s: st.RunVecStore(
+                    keys=jnp.pad(s.keys, ((0, 0), (0, 0), (0, pad)),
                                  constant_values=np.uint32(_SENTINEL)),
-                    vals=jnp.pad(s.vals, ((0, 0), (0, pad), (0, 0))),
-                    size=s.size,
+                    ebytes=jnp.pad(s.ebytes, ((0, 0), (0, pad))),
+                    weights=jnp.pad(s.weights, ((0, 0), (0, pad))),
+                    bsum=jnp.pad(s.bsum, ((0, 0), (0, pad), (0, 0)),
+                                 mode="edge"),
                 ),
                 out_shardings=self._sharding)
-        self.store = self._step_cache[key](self.store)
+        self.runs[-1] = self._step_cache[key](self.runs[-1])
+        return self
 
     # ------------------------------------------------------------------
     def _chunk_halo(self):
@@ -165,23 +277,20 @@ class DeBruijnGraph(_IndexBase):
     def _insert_cols(self, cols):
         raw = cols.pop("raw", False)
         n_local = cols["codes"].shape[1]
+        self._note_weight(n_local * self.nparts)
         bucket_cap = self._bucket_capacity(n_local)
         while True:
             key = ("ingest", n_local, bucket_cap, raw)
             if key not in self._step_cache:
-                self._step_cache[key] = dx.make_debruijn_ingest_step(
+                self._step_cache[key] = dx.make_debruijn_run_ingest_step(
                     self.mesh, self.nparts, self.spec, self.canonical,
                     bucket_cap, self.hash_name, raw=raw)
             with self.timer.phase("insert"):
-                rw, rv, rlive, route_ovf = self._step_cache[key](
+                rw, reb, rwt, route_ovf = self._step_cache[key](
                     cols["codes"], cols["valid"], cols["owned"],
                     cols["seg_id"])
             if int(self._fetch(route_ovf).max()) == 0:
-                self._pending.append((rw, rv, rlive))
-                self._pending_rows += rw.shape[1]
-                if self._pending_rows >= self.flush_rows:
-                    with self.timer.phase("merge"):
-                        self._flush()
+                self._append_run(rw, reb, rwt)
                 return self
             bucket_cap = _next_pow2(
                 bucket_cap + int(self._fetch(route_ovf).max()))
@@ -189,22 +298,22 @@ class DeBruijnGraph(_IndexBase):
     # ------------------------------------------------------------------
     def node_counts(self, kmers):
         """(counts int32[m, 9], found bool[m]) per query node —
-        edge_counts payload lookup."""
-        self._flush()
+        edge_counts payload lookup summed over the run list."""
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
         bucket_cap = _next_pow2(mq)
         while True:
-            key = ("lookup", mq, bucket_cap, self.capacity)
+            key = ("lookup", mq, bucket_cap, self._run_caps())
             if key not in self._step_cache:
-                self._step_cache[key] = _make_vec_lookup_step(
-                    self.mesh, self.nparts, bucket_cap, self.hash_name)
-            vals, found, ovf = self._step_cache[key](self.store, wsh, vsh)
+                self._step_cache[key] = dx.make_runs_vec_query_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name,
+                    self.saturate, len(self.runs))
+            vals, ovf = self._step_cache[key](tuple(self.runs), wsh, vsh)
             if int(self._fetch(ovf).max()) == 0:
                 vals = self._fetch(vals).reshape(-1, _DIM)[:m]
-                found = self._fetch(found).reshape(-1)[:m]
-                return vals, found
+                # a node exists iff any window touched it (self > 0)
+                return vals, vals[:, 8] > 0
             bucket_cap *= 2
 
     def edge_exists(self, kmers):
@@ -239,64 +348,72 @@ class DeBruijnGraph(_IndexBase):
         return ins, outs
 
     def save(self, path):
-        """Serialize the sharded graph + config to one .npz file."""
-        self._flush()
+        """Serialize the graph + config to one .npz file.  The payload is
+        the consolidated run's raw columns (keys, edge bytes, weights) —
+        weight-0 rows are dead, so no per-shard sizes are needed."""
+        self._consolidate()
+        r = self.runs[0]
         np.savez_compressed(
             path, kind="debruijn", k=self.spec.k,
             alphabet=self.spec.alphabet.name, canonical=self.canonical,
             hash_name=self.hash_name, nparts=self.nparts,
-            keys=self._fetch(self.store.keys),
-            vals=self._fetch(self.store.vals),
-            sizes=self._fetch(self.store.size))
+            keys=self._fetch(r.keys),
+            ebytes=self._fetch(r.ebytes),
+            weights=self._fetch(r.weights))
         return self
 
     @classmethod
     def load(cls, path, mesh=None):
-        """Restore a saved graph onto any mesh (nodes re-routed)."""
+        """Restore a saved graph onto any mesh (rows re-routed to their
+        owners, re-sorted, and adopted as one run)."""
         from .. import alphabets as _al
         from ..kmer import KmerSpec as _KS
         z = np.load(path, allow_pickle=False)
         spec = _KS(int(z["k"]), _al.by_name(str(z["alphabet"])))
         g = cls(spec, mesh=mesh, canonical=bool(z["canonical"]),
                 hash_name=str(z["hash_name"]))
-        keys, vals, sizes = z["keys"], z["vals"], z["sizes"]
-        rows = np.concatenate([keys[p, : sizes[p]] for p in range(keys.shape[0])])
+        keys, ebytes, weights = z["keys"], z["ebytes"], z["weights"]
+        P_ = keys.shape[0]
+        live = weights > 0
+        rows = np.concatenate([
+            keys[p].T[live[p]] for p in range(P_)]).astype(np.uint32)
         if rows.shape[0] == 0:
             return g
-        vv = np.concatenate([vals[p, : sizes[p]] for p in range(keys.shape[0])])
-        import jax.numpy as _jnp
-        # route stored rows to their owners on the new mesh, then merge
-        (wsh,), vsh, m = g._shard_rows(rows.astype(np.uint32))
+        eb = np.concatenate([ebytes[p][live[p]] for p in range(P_)])
+        wt = np.concatenate([weights[p][live[p]] for p in range(P_)])
+        (wsh, esh, tsh), vsh, m = g._shard_rows(
+            rows, extra=(eb.astype(np.uint32), wt.astype(np.uint32)))
         mq = wsh.shape[1]
-        vecs = np.zeros((g.nparts * mq, 9), np.int32)
-        vecs[:m] = vv
-        vsh9 = _jnp.asarray(vecs.reshape(g.nparts, mq, 9))
         bucket_cap = _next_pow2(mq)
         while True:
-            key = ("load", mq, bucket_cap, g.capacity)
+            key = ("load", mq, bucket_cap)
             if key not in g._step_cache:
-                g._step_cache[key] = _make_vec_route_merge_step(
-                    g.mesh, g.nparts, bucket_cap, g.hash_name, g.saturate)
-            new_store, route_ovf, store_ovf = g._step_cache[key](
-                g.store, wsh, vsh9, vsh)
-            if int(g._fetch(route_ovf).max()) == 0 and                int(g._fetch(store_ovf).max()) == 0:
-                g.store = new_store
+                g._step_cache[key] = _make_run_vec_load_step(
+                    g.mesh, g.nparts, bucket_cap, g.hash_name, g.spec)
+            skeys, seb, swt, route_ovf = g._step_cache[key](
+                wsh, esh, tsh, vsh)
+            if int(g._fetch(route_ovf).max()) == 0:
+                g._append_run(skeys, seb, swt)
+                g._ingested_weight = int(np.int64(wt.sum()))
                 return g
             bucket_cap *= 2
-            if int(g._fetch(store_ovf).max()) > 0:
-                g._grow(g.capacity * 2)
 
     def to_dict(self):
         """{kmer_int: (out ACGT, in ACGT, self) counters}."""
-        self._flush()
+        self._consolidate()
+        key = ("export", self._run_caps())
+        if key not in self._step_cache:
+            self._step_cache[key] = dx.make_run_vec_export_step(
+                self.mesh, self.saturate)
+        keys_out, vecs_out, n = self._step_cache[key](self.runs[0])
+        keys_out = self._fetch(keys_out)
+        vecs_out = self._fetch(vecs_out)
+        n = self._fetch(n)
         out = {}
-        keys = self._fetch(self.store.keys)
-        vals = self._fetch(self.store.vals)
-        sizes = self._fetch(self.store.size)
         for p in range(self.nparts):
-            for i in range(int(sizes[p])):
-                out[self.spec.to_int(keys[p, i])] = tuple(
-                    int(x) for x in vals[p, i])
+            for i in range(int(n[p])):
+                out[self.spec.to_int(keys_out[p, i])] = tuple(
+                    int(x) for x in vecs_out[p, i])
         return out
 
 
@@ -322,9 +439,46 @@ class QualityDeBruijnGraph(DeBruijnGraph):
         super().__init__(spec, mesh, canonical, hash_name, saturate,
                          initial_capacity, **kw)
         self.codec = codec if codec is not None else ILLUMINA18
+        # the quality engine stays on the compacted VecQStore path (its
+        # float quality sums have no prefix-sum virtualization yet)
+        self.runs = []
         self.store = self._init_store(
             lambda: st.empty_vecq_store(initial_capacity, spec.nwords,
                                         _DIM + 1))
+        self._pending: list = []
+        self._pending_rows = 0
+        self.flush_rows = 1 << 24
+
+    @property
+    def store(self):
+        return self._store
+
+    @store.setter
+    def store(self, value):
+        self._store = value
+
+    @property
+    def capacity(self) -> int:
+        return self._store.keys.shape[1]
+
+    def size(self) -> int:
+        self._flush()
+        return int(self._fetch(self._store.size).sum())
+
+    def local_sizes(self) -> list[int]:
+        self._flush()
+        return [int(x) for x in self._fetch(self._store.size)]
+
+    def clear(self):
+        self._pending = []
+        self._pending_rows = 0
+        return _IndexBase.clear(self)
+
+    def _checkpoint_prepare(self):
+        self._flush()
+
+    def reserve(self, n: int):
+        return _IndexBase.reserve(self, n)
 
     def _flush(self):
         if not self._pending:
@@ -503,6 +657,87 @@ class QualityDeBruijnGraph(DeBruijnGraph):
                 out[self.spec.to_int(keys[p, i])] = tuple(
                     int(x) for x in vals[p, i]) + (float(qsum[p, i]),)
         return out
+
+
+def _make_run_vec_load_step(mesh, nparts, capacity, hash_name, spec):
+    """Route explicit (node, edge byte, weight) rows to their owners and
+    locally sort them into an adoptable run (the load/restore path)."""
+    from ..ops import sortops
+
+    def body(words_blk, eb_blk, wt_blk, valid_blk):
+        words, eb, wt, valid = (words_blk[0], eb_blk[0], wt_blk[0],
+                                valid_blk[0])
+        owner = dx.owners_for(words, nparts, hash_name)
+        (rw, re, rt), rvalid, route = dist.distribute(
+            (words, eb, wt), owner, valid, nparts, capacity,
+            axes_of(mesh))
+        s_words, (s_eb, s_wt), s_valid = sortops.sort_rows(
+            rw, (re, rt), rvalid, is_stable=False,
+            sentinel_ok=spec.sentinel_safe, word_bits=spec.word_bits(),
+            as_cols=True)
+        s_words = jnp.where(s_valid[None, :], s_words,
+                            jnp.uint32(0xFFFFFFFF))
+        ebytes = jnp.where(s_valid, s_eb, 0).astype(jnp.int32)
+        weights = jnp.where(s_valid, s_wt, 0).astype(jnp.int32)
+        return (s_words[None], ebytes[None], weights[None],
+                route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 4,
+    ))
+
+
+def _make_vecq_route_merge_step(mesh, nparts, capacity, hash_name, saturate):
+    """Route explicit (node, counters, qsum) rows to owners and merge."""
+
+    def body(stores_blk, words_blk, vecs_blk, q_blk, valid_blk):
+        store = jax.tree.map(lambda a: a[0], stores_blk)
+        words, vecs, qs, valid = (words_blk[0], vecs_blk[0], q_blk[0],
+                                  valid_blk[0])
+        owner = dx.owners_for(words, nparts, hash_name)
+        qbits = jax.lax.bitcast_convert_type(qs, jnp.uint32)
+        (rw, rv, rqb), rvalid, route = dist.distribute(
+            (words, vecs, qbits), owner, valid, nparts, capacity,
+            axes_of(mesh))
+        rq = jax.lax.bitcast_convert_type(rqb, jnp.float32)
+        new_store, ovf = st.vecq_insert(store, rw, rv, rq, rvalid,
+                                        saturate=saturate)
+        return (jax.tree.map(lambda a: a[None], new_store),
+                route.overflow[None], ovf[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 5,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def _make_vecq_lookup_step(mesh, nparts, capacity, hash_name):
+    def body(stores_blk, queries_blk, qvalid_blk):
+        store = jax.tree.map(lambda a: a[0], stores_blk)
+        queries, qvalid = queries_blk[0], qvalid_blk[0]
+        owner = dx.owners_for(queries, nparts, hash_name)
+        (rq,), rvalid, route = dist.distribute(
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
+        vals, qs, found = st.vecq_lookup(store, rq)
+        vals = jnp.where(rvalid[:, None], vals, 0)
+        qs = jnp.where(rvalid, qs, 0.0)
+        found = found & rvalid
+        qbits = jax.lax.bitcast_convert_type(qs, jnp.uint32)
+        back_vals, back_q, back_found = dist.undistribute(
+            (vals, qbits, found.astype(jnp.int8)), route, nparts, capacity,
+            axes_of(mesh))
+        return (back_vals[None],
+                jax.lax.bitcast_convert_type(back_q, jnp.float32)[None],
+                back_found.astype(bool)[None], route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 4,
+    ))
 
 
 def _make_vecq_route_merge_step(mesh, nparts, capacity, hash_name, saturate):

@@ -110,6 +110,10 @@ class _IndexBase:
         for km in kmers:
             if isinstance(km, str):
                 rows.append(self.spec.from_string(km))
+            elif isinstance(km, (int, np.integer)):
+                # big-integer view (spec.to_int inverse) — a bare uint32
+                # cast overflows for any k-mer wider than 32 bits
+                rows.append(self.spec.from_int(int(km)))
             else:
                 rows.append(np.asarray(km, dtype=np.uint32))
         return np.stack(rows).astype(np.uint32)

@@ -1406,3 +1406,191 @@ def make_run_select_step(mesh: Mesh, pred, saturate: int | None = None):
         body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
         out_specs=(P(axes_of(mesh)),) * 3,
     ))
+
+
+# ------------------------------------------- run-layout de Bruijn store
+# The de Bruijn node family runs on the RUN store layout
+# (store.RunVecStore): flushes are (w + 2)-column bitonic merges + nine
+# prefix-sum rebuilds instead of the compacted VecStore's 9-payload
+# re-sort of store+batch (measured 340 ms at 1M+1M rows on v5e and
+# uncompilable in <25 min at 16.7M+16.7M; the merge path is the same
+# discipline that took the count family 37M -> 358M kmers/s e2e).
+
+def make_debruijn_run_ingest_step(mesh: Mesh, nparts: int, spec,
+                                  canonical: bool, capacity: int,
+                                  hash_name: str, raw: bool = False):
+    """Jitted de Bruijn run ingest: per-base columns -> (sorted kcols
+    [p, w, m], ebytes[p, m], weights[p, m], route_overflow[p]) —
+    extraction + strand-corrected edge bytes + owner exchange + ONE local
+    sort carrying the edge byte as its single payload.  No per-chunk
+    vector expansion or segment reduction: the run flush virtualizes the
+    9-counter reduction into prefix sums (de_bruijn_construct_engine.hpp
+    :91-131 zips kmer and edge iterators the same way).
+
+    raw=True reproduces the reference's dual-LUT semantics exactly
+    (kmer sees 'N'->0 under DNA, edge nibble sees 'N'->0xF;
+    de_bruijn_construct_engine.hpp:109-158)."""
+    from ..debruijn.edges import (edge_bytes_for_windows,
+                                  revcomp_edge_byte)
+    from ..ops import packing, sortops
+
+    def body(codes_blk, valid_blk, owned_blk, seg_blk):
+        codes, valid, owned, seg = (
+            codes_blk[0], valid_blk[0], owned_blk[0], seg_blk[0])
+        if raw:
+            kcodes = jnp.take(jnp.asarray(spec.alphabet.from_ascii),
+                              codes.astype(jnp.int32))
+        else:
+            kcodes = codes
+        if canonical:
+            words, was_rc = packing.extract_canonical(kcodes, spec)
+        else:
+            words = packing.extract_kmers(kcodes, spec)
+            was_rc = jnp.zeros(codes.shape[0], bool)
+        wvalid = packing.window_valid(valid, seg, spec.k) & owned
+        edges = edge_bytes_for_windows(codes, valid, seg, spec.k,
+                                       spec.alphabet, raw=raw)
+        edges = jnp.where(was_rc, revcomp_edge_byte(edges), edges)
+        owner = owners_for(words, nparts, hash_name)
+        (rw, re), rvalid, route = dist.distribute(
+            (words, edges.astype(jnp.uint32)), owner, wvalid, nparts,
+            capacity, axes_of(mesh))
+        s_words, (s_eb,), s_valid = sortops.sort_rows(
+            rw, (re,), rvalid, is_stable=False,
+            sentinel_ok=spec.sentinel_safe, word_bits=spec.word_bits(),
+            as_cols=True)
+        s_words = jnp.where(s_valid[None, :], s_words,
+                            jnp.uint32(0xFFFFFFFF))
+        ebytes = jnp.where(s_valid, s_eb, 0).astype(jnp.int32)
+        weights = s_valid.astype(jnp.int32)
+        return (s_words[None], ebytes[None], weights[None],
+                route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=(P(axes_of(mesh)),) * 4,
+    ))
+
+
+def make_run_vec_adopt_step(mesh: Mesh):
+    """Jitted: adopt a sorted edge run as the whole store."""
+
+    def body(words_blk, ebytes_blk, weights_blk):
+        return _stack(st.run_vec_from_sorted(
+            words_blk[0], ebytes_blk[0], weights_blk[0]))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=P(axes_of(mesh)),
+    ))
+
+
+def make_run_vec_merge_pair_step(mesh: Mesh):
+    """Jitted: merge two edge runs (bitonic merge + prefix rebuild)."""
+
+    def body(a_blk, b_blk):
+        return _stack(st.run_vec_merge(_unstack(a_blk), _unstack(b_blk)))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 2,
+        out_specs=P(axes_of(mesh)),
+    ))
+
+
+def make_run_vec_stats_step(mesh: Mesh):
+    """Jitted: distinct live nodes per shard (int32[p])."""
+
+    def body(stores_blk):
+        return st.run_vec_distinct(_unstack(stores_blk))[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=P(axes_of(mesh)),
+    ))
+
+
+def make_run_vec_compact_step(mesh: Mesh, new_cap: int):
+    """Jitted: collapse equal (key, edge-byte) rows and shrink to
+    new_cap.  Returns (new_stores, overflow[p])."""
+
+    def body(stores_blk):
+        new, ovf = st.run_vec_compact(_unstack(stores_blk), new_cap)
+        return _stack(new), ovf[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)),) * 2,
+    ))
+
+
+def make_runs_vec_query_step(mesh: Mesh, nparts: int, capacity: int,
+                             hash_name: str, saturate: int | None,
+                             nruns: int):
+    """Jitted node-counter query over a list of edge runs: route once,
+    prefix-difference lookup in each run, sum, reply (the node_counts
+    surface, de_bruijn_node_trait.hpp:186-280)."""
+
+    def body(stores_blk, queries_blk, qvalid_blk):
+        stores = [_unstack(s) for s in stores_blk]
+        queries, qvalid = queries_blk[0], qvalid_blk[0]
+        owner = owners_for(queries, nparts, hash_name)
+        (rq,), rvalid, route = dist.distribute(
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
+        total = st.run_vec_lookup(stores[0], rq, None)
+        for s in stores[1:]:
+            total = total + st.run_vec_lookup(s, rq, None)
+        if saturate is not None:
+            total = jnp.minimum(total, saturate)
+        local = jnp.where(rvalid[:, None], total, 0)
+        (back,) = dist.undistribute((local,), route, nparts, capacity,
+                                    axes_of(mesh))
+        return back[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 2,
+    ))
+
+
+def make_run_vec_export_step(mesh: Mesh, saturate: int | None = None):
+    """Jitted device-side node export: one row per distinct live key with
+    its 9 summed counters, COMPACTED to the front per shard (one stable
+    sort) — the to_dict / save surface.  Returns
+    (keys_out[p, cap, w], vecs_out[p, cap, 9], n[p])."""
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        w, cap = store.keys.shape
+        neq_prev, neq_next = st._adjacent_neq(store.keys)
+        # per-run totals per counter column, gather-free: bsum columns
+        # are nondecreasing, so head/last scans broadcast within runs
+        totals = []
+        for j in range(9):
+            excl = store.bsum[:cap, j]
+            incl = store.bsum[1:, j]
+            start = jax.lax.cummax(
+                jnp.where(neq_prev, excl, jnp.int32(-2147483648)), axis=0)
+            end = jax.lax.cummin(
+                jnp.where(neq_next, incl,
+                          jnp.int32(2147483647))[::-1], axis=0)[::-1]
+            totals.append(end - start)
+        if saturate is not None:
+            totals = [jnp.minimum(t, saturate) for t in totals]
+        emit = neq_next & (totals[8] > 0)
+        n_emit = jnp.sum(emit.astype(jnp.int32))
+        front_key = (~emit).astype(jnp.uint32)
+        ops = jax.lax.sort(
+            (front_key,) + tuple(store.keys[j] for j in range(w))
+            + tuple(totals), num_keys=1, is_stable=True)
+        keys_out = jnp.stack(ops[1:1 + w], axis=1)
+        vecs_out = jnp.stack(ops[1 + w:], axis=1)
+        return keys_out[None], vecs_out[None], n_emit[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))

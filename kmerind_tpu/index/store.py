@@ -53,6 +53,13 @@ __all__ = [
     "run_totals",
     "run_distinct",
     "run_compact",
+    "RunVecStore",
+    "empty_run_vec_store",
+    "run_vec_from_sorted",
+    "run_vec_merge",
+    "run_vec_lookup",
+    "run_vec_distinct",
+    "run_vec_compact",
 ]
 
 _SENTINEL = 0xFFFFFFFF
@@ -974,6 +981,205 @@ def run_compact(store: RunCountStore, new_cap: int,
         totals = jnp.concatenate([
             totals, jnp.zeros(new_cap - cap, jnp.int32)])
     return run_from_sorted(uniq, totals), jnp.maximum(n_emit - new_cap, 0)
+
+
+# ------------------------------------- run-layout de Bruijn node store
+@dataclasses.dataclass
+class RunVecStore:
+    """De Bruijn node store in RUN layout: sorted keys with duplicates
+    allowed, per-row (edge byte, weight) payloads, and a [cap + 1, 9]
+    prefix-sum table of counter contributions.
+
+    Row i contributes ``weights[i] * bit_j(ebytes[i])`` to counter j
+    (j < 8: out A,C,G,T, in A,C,G,T — one increment per set DNA16 bit,
+    edge_counts::update, de_bruijn_node_trait.hpp:195-245) and
+    ``weights[i]`` to the self counter (j = 8).  Node counters of key q
+    are ``bsum[run_end(q)] - bsum[run_start(q)]`` — the vector reduction
+    virtualized into prefix sums, the same discipline that RunCountStore
+    applies to counting (distributed_sorted_map.hpp:341,940 lazy-sort
+    semantics).  The motivating measurement: the compacted VecStore
+    flush (9-payload sort + segment reduce of store+batch) costs 340 ms
+    at 1M+1M rows on v5e and did not finish compile+run in 25 min at
+    16.7M+16.7M; this layout's flush is one (w+2)-column bitonic merge
+    plus 9 prefix-sum rebuilds.
+
+    Invariants mirror RunCountStore: keys nondecreasing over ALL cap
+    rows, padding rows hold the all-ones sentinel with weight 0 (a real
+    k-mer colliding with the sentinel pattern is harmless — weight-0
+    rows never change any counter), and `run_vec_compact` reclaims
+    duplicate/dead rows by collapsing equal (key, edge-byte) rows into
+    one weighted row (<= 256 rows per key, typically ~1-4: distinct
+    neighbor-pair patterns per node are few).
+    """
+
+    keys: jax.Array     # uint32[w, cap] — per-word COLUMNS, sorted
+    ebytes: jax.Array   # int32[cap] DNA16 edge byte (left<<4 | right)
+    weights: jax.Array  # int32[cap] occurrences collapsed into the row
+    bsum: jax.Array     # int32[cap + 1, 9] prefix sums of contributions
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[1]
+
+
+jax.tree_util.register_dataclass(
+    RunVecStore, data_fields=["keys", "ebytes", "weights", "bsum"],
+    meta_fields=[])
+
+
+def empty_run_vec_store(capacity: int, nwords: int) -> RunVecStore:
+    return RunVecStore(
+        keys=jnp.full((nwords, capacity), _SENTINEL, dtype=jnp.uint32),
+        ebytes=jnp.zeros((capacity,), jnp.int32),
+        weights=jnp.zeros((capacity,), jnp.int32),
+        bsum=jnp.zeros((capacity + 1, 9), jnp.int32),
+    )
+
+
+def _vec_bsum(ebytes: jax.Array, weights: jax.Array) -> jax.Array:
+    """int32[cap + 1, 9] prefix sums of per-row counter contributions."""
+    cap = ebytes.shape[0]
+    cols = []
+    for j in range(8):
+        cols.append(_cumsum_i32(((ebytes >> j) & 1) * weights))
+    cols.append(_cumsum_i32(weights))
+    incl = jnp.stack(cols, axis=1)
+    return jnp.concatenate([jnp.zeros((1, 9), jnp.int32), incl], axis=0)
+
+
+def run_vec_from_sorted(kcols: jax.Array, ebytes: jax.Array,
+                        weights: jax.Array) -> RunVecStore:
+    """Adopt an already-sorted (sentinel-padded) weighted edge run."""
+    return RunVecStore(
+        keys=kcols,
+        ebytes=ebytes.astype(jnp.int32),
+        weights=weights.astype(jnp.int32),
+        bsum=_vec_bsum(ebytes.astype(jnp.int32), weights.astype(jnp.int32)),
+    )
+
+
+@jax.jit
+def run_vec_merge(a: RunVecStore, b: RunVecStore) -> RunVecStore:
+    """Merge two sorted edge runs (bitonic merge over w + 2 payload
+    columns + prefix-sum rebuild).  Capacity grows to next_pow2(sum) —
+    run stores never overflow; `run_vec_compact` reclaims dead rows."""
+    keys, (eb, wt) = sortops.merge_sorted_runs_cols(
+        a.keys, (a.ebytes, a.weights), b.keys, (b.ebytes, b.weights))
+    return run_vec_from_sorted(keys, eb, wt)
+
+
+@jax.jit
+def run_vec_distinct(store: RunVecStore) -> jax.Array:
+    """int32 scalar: distinct keys with positive total weight (the graph's
+    node count; sentinel padding has weight 0 and never counts)."""
+    cap = store.capacity
+    neq_prev, neq_next = _adjacent_neq(store.keys)
+    csum_excl = store.bsum[:cap, 8]
+    csum_incl = store.bsum[1:, 8]
+    start = jax.lax.cummax(
+        jnp.where(neq_prev, csum_excl, jnp.int32(-2147483648)), axis=0)
+    end = jax.lax.cummin(
+        jnp.where(neq_next, csum_incl,
+                  jnp.int32(2147483647))[::-1], axis=0)[::-1]
+    return jnp.sum((neq_prev & (end - start > 0)).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("saturate",))
+def run_vec_lookup(store: RunVecStore, queries: jax.Array,
+                   saturate: int | None = None) -> jax.Array:
+    """int32[m, 9] node counters per query key (zeros if absent).
+
+    ONE bucketed lower_bound + the run-length scan broadcast (the count
+    family's one-search discipline), then counters come from a single
+    fused [2m, 9] gather of prefix-sum rows at the run bounds."""
+    cap = store.capacity
+    w = store.keys.shape[0]
+    q = queries.astype(jnp.uint32)
+    size = store.bsum[0, 0] * 0 + cap
+    lo = sortops.lower_bound_cols_bucketed(store.keys, size, q)
+    neq_prev, neq_next = _adjacent_neq(store.keys)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    start = jax.lax.cummax(jnp.where(neq_prev, idx, -1), axis=0)
+    end = jax.lax.cummin(
+        jnp.where(neq_next, idx + 1, jnp.int32(2147483647))[::-1],
+        axis=0)[::-1]
+    runlen = end - start
+    ext = jnp.concatenate(
+        [store.keys, runlen.astype(jnp.uint32)[None, :]], axis=0)
+    lofc = jnp.clip(lo, 0, cap - 1)
+    g = ext[:, lofc]
+    hit = lo < cap
+    for j in range(w):
+        hit &= g[j] == q[:, j]
+    hi = jnp.where(hit, jnp.minimum(lo + g[w].astype(jnp.int32), cap), lo)
+    lo_h = jnp.where(hit, lofc, 0)
+    hi_h = jnp.where(hit, hi, 0)
+    # one fused [2m, 9] row gather of the prefix table at both bounds
+    both = store.bsum[jnp.concatenate([lo_h, hi_h])]
+    m = q.shape[0]
+    counts = both[m:] - both[:m]
+    counts = jnp.where(hit[:, None], counts, 0)
+    if saturate is not None:
+        counts = jnp.minimum(counts, saturate)
+    return counts
+
+
+@functools.partial(jax.jit, static_argnames=("new_cap",))
+def run_vec_compact(store: RunVecStore, new_cap: int):
+    """Collapse equal (key, edge-byte) rows into one weighted row and
+    compact live rows to the front — reclaims the memory the merge-only
+    flush never frees.  One (w+1)-key sort groups the edge bytes within
+    each key run, then the scatter-free stable front sort compacts.
+
+    Returns (new_store[new_cap], overflow int32)."""
+    w, cap = store.keys.shape
+    # group rows by (key, ebyte): sentinel-safe because no real row has
+    # an all-ones EBYTE column (ebytes <= 255)
+    eb_u = store.ebytes.astype(jnp.uint32)
+    ops = jax.lax.sort(
+        tuple(store.keys[j] for j in range(w)) + (eb_u, store.weights),
+        num_keys=w + 1, is_stable=False)
+    kcols = ops[:w]
+    eb, wt = ops[w], ops[w + 1]
+    # per-(key, ebyte)-group weight totals, gather-free
+    neq_prev = jnp.zeros(cap, bool).at[0].set(True) | (eb != jnp.roll(eb, 1))
+    neq_next = jnp.zeros(cap, bool).at[cap - 1].set(True) \
+        | (eb != jnp.roll(eb, -1))
+    for j in range(w):
+        neq_prev = neq_prev | (kcols[j] != jnp.roll(kcols[j], 1))
+        neq_next = neq_next | (kcols[j] != jnp.roll(kcols[j], -1))
+    neq_prev = neq_prev.at[0].set(True)
+    neq_next = neq_next.at[cap - 1].set(True)
+    incl = jnp.cumsum(wt)
+    excl = incl - wt
+    start = jax.lax.cummax(
+        jnp.where(neq_prev, excl, jnp.int32(-2147483648)), axis=0)
+    end = jax.lax.cummin(
+        jnp.where(neq_next, incl, jnp.int32(2147483647))[::-1],
+        axis=0)[::-1]
+    total = end - start
+    emit = neq_next & (total > 0)
+    n_emit = jnp.sum(emit.astype(jnp.int32))
+    front_key = (~emit).astype(jnp.uint32)
+    ops2 = jax.lax.sort(
+        (front_key,) + tuple(kcols) + (eb, total),
+        num_keys=1, is_stable=True)
+    uniq = jnp.stack(ops2[1:1 + w], axis=0)
+    eb2, tot2 = ops2[1 + w], ops2[2 + w]
+    live = jnp.arange(cap) < n_emit
+    uniq = jnp.where(live[None, :], uniq, jnp.uint32(_SENTINEL))
+    eb2 = jnp.where(live, eb2, 0).astype(jnp.int32)
+    tot2 = jnp.where(live, tot2, 0)
+    if new_cap <= cap:
+        uniq, eb2, tot2 = uniq[:, :new_cap], eb2[:new_cap], tot2[:new_cap]
+    else:
+        uniq = jnp.concatenate([
+            uniq, jnp.full((w, new_cap - cap), _SENTINEL, jnp.uint32)],
+            axis=1)
+        eb2 = jnp.concatenate([eb2, jnp.zeros(new_cap - cap, jnp.int32)])
+        tot2 = jnp.concatenate([tot2, jnp.zeros(new_cap - cap, jnp.int32)])
+    return run_vec_from_sorted(uniq, eb2, tot2), \
+        jnp.maximum(n_emit - new_cap, 0)
 
 
 # ------------------------------------------------ generic unique-value map

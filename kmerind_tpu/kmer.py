@@ -166,5 +166,22 @@ class KmerSpec:
             out = (out << wbits[w]) | cols[:, w]
         return out
 
+    def from_int(self, value: int) -> np.ndarray:
+        """Inverse of `to_int`: arbitrary-precision integer -> uint32
+        word row (word 0 most significant; words are char-aligned with
+        the last word right-aligned, matching to_ints' big-endian
+        concatenation of each word's significant bits)."""
+        wbits = self.word_bits()
+        out = np.zeros(self.nwords, np.uint32)
+        v = int(value)
+        for w in range(self.nwords - 1, -1, -1):
+            out[w] = v & ((1 << wbits[w]) - 1)
+            v >>= wbits[w]
+        if v:
+            raise ValueError(
+                f"integer does not fit a k={self.k} "
+                f"{self.alphabet.name} k-mer")
+        return out
+
     def __repr__(self):
         return f"KmerSpec(k={self.k}, {self.alphabet.name})"

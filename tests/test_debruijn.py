@@ -234,3 +234,20 @@ def test_quality_debruijn_save_load(ref_data_dir, tmp_path):
         assert a[v][:10] == b[v][:10]
         # float32 sums re-accumulate in routed order after load
         np.testing.assert_allclose(a[v][10], b[v][10], rtol=1e-4)
+
+
+def test_node_counts_accepts_big_int_keys(ref_data_dir):
+    """Regression: _to_words overflowed uint32 for int keys of k>16
+    k-mers (spec.to_int values are arbitrary-precision)."""
+    spec = KmerSpec(K, DNA)
+    g = DeBruijnGraph(spec, initial_capacity=1 << 8)
+    g.build(ref_data_dir / "test.debruijn.small.fastq")
+    d = g.to_dict()
+    keys = list(d.keys())[:5]
+    counts, found = g.node_counts(keys)
+    assert found.all()
+    for k, got in zip(keys, counts):
+        assert tuple(int(x) for x in got) == tuple(d[k])
+    np.testing.assert_array_equal(
+        spec.from_int(keys[0]),
+        spec.from_int(spec.to_int(spec.from_int(keys[0]))))

@@ -275,3 +275,55 @@ def test_run_length_counts_matches_unique_counts():
         assert got == want, (n, hi)
         # weights zero off emit rows
         assert (we[~em] == 0).all()
+
+
+def test_run_vec_store_matches_oracle():
+    """RunVecStore merge/lookup/compact vs a per-key counter oracle
+    (edge_counts semantics: one increment per set DNA16 bit + self)."""
+    import jax
+    from collections import defaultdict
+    rng = np.random.default_rng(3)
+
+    def mkrun(n_live, cap, w=2):
+        k = np.full((w, cap), 0xFFFFFFFF, np.uint32)
+        k[0, :n_live] = np.sort(
+            rng.integers(0, 40, size=n_live).astype(np.uint32))
+        k[1, :n_live] = 0
+        eb = np.zeros(cap, np.int32)
+        eb[:n_live] = rng.choice([0x11, 0x12, 0x24, 0x48, 0xF1],
+                                 size=n_live)
+        wt = np.zeros(cap, np.int32)
+        wt[:n_live] = 1
+        return st.run_vec_from_sorted(
+            jnp.asarray(k), jnp.asarray(eb), jnp.asarray(wt)), k, eb, wt
+
+    a, ka, ea, wa = mkrun(50, 64)
+    b, kb, eb_, wb = mkrun(30, 32)
+    m = st.run_vec_merge(a, b)
+    orc = defaultdict(lambda: np.zeros(9, np.int64))
+    for karr, earr, warr, cap in ((ka, ea, wa, 64), (kb, eb_, wb, 32)):
+        for i in range(cap):
+            if warr[i] == 0:
+                continue
+            for j in range(8):
+                orc[int(karr[0, i])][j] += ((earr[i] >> j) & 1) * warr[i]
+            orc[int(karr[0, i])][8] += warr[i]
+    q = np.zeros((45, 2), np.uint32)
+    q[:, 0] = np.arange(45)
+    got = np.asarray(st.run_vec_lookup(m, jnp.asarray(q)))
+    for i in range(45):
+        np.testing.assert_array_equal(got[i], orc.get(i, np.zeros(9)), str(i))
+    assert int(st.run_vec_distinct(m)) == \
+        len([k for k in orc if orc[k][8] > 0])
+    # compact collapses (key, ebyte) duplicates without changing counters
+    c, ovf = st.run_vec_compact(m, 128)
+    assert int(ovf) == 0
+    got2 = np.asarray(st.run_vec_lookup(c, jnp.asarray(q)))
+    np.testing.assert_array_equal(got2, got)
+    assert int(st.run_vec_distinct(c)) == int(st.run_vec_distinct(m))
+    # saturate clamps every counter at read
+    got3 = np.asarray(st.run_vec_lookup(m, jnp.asarray(q), saturate=1))
+    assert got3.max() <= 1
+    # undersized compact reports overflow instead of silently dropping
+    _, ovf2 = st.run_vec_compact(m, 16)
+    assert int(ovf2) > 0
