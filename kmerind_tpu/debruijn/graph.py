@@ -41,6 +41,14 @@ class DeBruijnGraph(_IndexBase):
     was flipped, so counters are ordered for the canonical strand.
     """
 
+    # run-store step factories — the quality subclass swaps these for
+    # the RunVecQStore variants and inherits the whole LSM machinery
+    _rv_empty = staticmethod(st.empty_run_vec_store)
+    _rv_adopt = staticmethod(dx.make_run_vec_adopt_step)
+    _rv_merge = staticmethod(dx.make_run_vec_merge_pair_step)
+    _rv_stats = staticmethod(dx.make_run_vec_stats_step)
+    _rv_compact = staticmethod(dx.make_run_vec_compact_step)
+
     def __init__(self, spec: KmerSpec, mesh=None, canonical: bool = True,
                  hash_name: str = "murmur", saturate: int | None = None,
                  initial_capacity: int = 1 << 12, max_runs: int = 8, **kw):
@@ -56,7 +64,7 @@ class DeBruijnGraph(_IndexBase):
         # jit-with-out_shardings store init: SPMD-safe (a plain device_put
         # cannot target non-addressable devices under jax.distributed)
         self.runs: list = [self._init_store(
-            lambda: st.empty_run_vec_store(initial_capacity, spec.nwords))]
+            lambda: self._rv_empty(initial_capacity, spec.nwords))]
         self._virgin = True
         self.compact_factor = 4
         #: host-side bound on any shard's raw weight total (int32 prefix
@@ -84,7 +92,7 @@ class DeBruijnGraph(_IndexBase):
         assert len(self.runs) == 1
         key = ("run_stats", self._run_caps())
         if key not in self._step_cache:
-            self._step_cache[key] = dx.make_run_vec_stats_step(self.mesh)
+            self._step_cache[key] = self._rv_stats(self.mesh)
         return self._fetch(self._step_cache[key](self.runs[0]))
 
     def size(self) -> int:
@@ -98,8 +106,8 @@ class DeBruijnGraph(_IndexBase):
 
     def clear(self):
         self.runs = [self._init_store(
-            lambda: st.empty_run_vec_store(self.initial_capacity,
-                                           self.spec.nwords))]
+            lambda: self._rv_empty(self.initial_capacity,
+                                   self.spec.nwords))]
         self._virgin = True
         self._ingested_weight = 0
         return self
@@ -118,8 +126,7 @@ class DeBruijnGraph(_IndexBase):
         a = self.runs.pop()
         key = ("run_merge_pair", a.keys.shape[-1], b.keys.shape[-1])
         if key not in self._step_cache:
-            self._step_cache[key] = dx.make_run_vec_merge_pair_step(
-                self.mesh)
+            self._step_cache[key] = self._rv_merge(self.mesh)
         with self.timer.phase("merge"):
             self.runs.append(self._step_cache[key](a, b))
 
@@ -140,11 +147,13 @@ class DeBruijnGraph(_IndexBase):
                     "insert batches")
         self._ingested_weight += add
 
-    def _append_run(self, words, ebytes, weights):
+    def _append_run(self, words, *payload_cols):
+        """Adopt routed sorted columns as a run ((ebytes, weights) for the
+        base graph; (ebytes, weights, qsums) for the quality engine)."""
         key = ("run_adopt", words.shape[-1])
         if key not in self._step_cache:
-            self._step_cache[key] = dx.make_run_vec_adopt_step(self.mesh)
-        run = self._step_cache[key](words, ebytes, weights)
+            self._step_cache[key] = self._rv_adopt(self.mesh)
+        run = self._step_cache[key](words, *payload_cols)
         if self._virgin:
             self.runs = [run]
             self._virgin = False
@@ -183,7 +192,7 @@ class DeBruijnGraph(_IndexBase):
         while True:
             key = ("run_compact", new_cap, self._run_caps())
             if key not in self._step_cache:
-                self._step_cache[key] = dx.make_run_vec_compact_step(
+                self._step_cache[key] = self._rv_compact(
                     self.mesh, new_cap)
             new_run, ovf = self._step_cache[key](self.runs[0])
             if int(self._fetch(ovf).max()) == 0:
@@ -427,10 +436,22 @@ class QualityDeBruijnGraph(DeBruijnGraph):
     The alias is DECLARED in the reference but never instantiated by any
     test or benchmark, and its node traits define no quality reduction —
     so the node-side semantics are defined here: per node, the 9 edge
-    counters (identical to DeBruijnGraph), the number of windows, and the
-    SUM of windowed quality scores; `node_quality` reports the mean.
-    FASTQ-only (quality bytes required), like the reference parser.
+    counters (identical to DeBruijnGraph), the number of windows (== the
+    self counter), and the SUM of windowed quality scores;
+    `node_quality` reports the mean.  FASTQ-only (quality bytes
+    required), like the reference parser.
+
+    Runs on the same RUN-layout LSM as the base graph (RunVecQStore:
+    one extra float payload column in the merges + a float prefix-sum
+    table) — the compacted VecQStore flush had the same pathological
+    9-payload re-sort economics the base graph escaped.
     """
+
+    _rv_empty = staticmethod(st.empty_run_vecq_store)
+    _rv_adopt = staticmethod(dx.make_run_vecq_adopt_step)
+    _rv_merge = staticmethod(dx.make_run_vecq_merge_pair_step)
+    _rv_stats = staticmethod(dx.make_run_vecq_stats_step)
+    _rv_compact = staticmethod(dx.make_run_vecq_compact_step)
 
     def __init__(self, spec: KmerSpec, mesh=None, canonical: bool = True,
                  hash_name: str = "murmur", saturate: int | None = None,
@@ -439,172 +460,112 @@ class QualityDeBruijnGraph(DeBruijnGraph):
         super().__init__(spec, mesh, canonical, hash_name, saturate,
                          initial_capacity, **kw)
         self.codec = codec if codec is not None else ILLUMINA18
-        # the quality engine stays on the compacted VecQStore path (its
-        # float quality sums have no prefix-sum virtualization yet)
-        self.runs = []
-        self.store = self._init_store(
-            lambda: st.empty_vecq_store(initial_capacity, spec.nwords,
-                                        _DIM + 1))
-        self._pending: list = []
-        self._pending_rows = 0
-        self.flush_rows = 1 << 24
-
-    @property
-    def store(self):
-        return self._store
-
-    @store.setter
-    def store(self, value):
-        self._store = value
-
-    @property
-    def capacity(self) -> int:
-        return self._store.keys.shape[1]
-
-    def size(self) -> int:
-        self._flush()
-        return int(self._fetch(self._store.size).sum())
-
-    def local_sizes(self) -> list[int]:
-        self._flush()
-        return [int(x) for x in self._fetch(self._store.size)]
-
-    def clear(self):
-        self._pending = []
-        self._pending_rows = 0
-        return _IndexBase.clear(self)
-
-    def _checkpoint_prepare(self):
-        self._flush()
-
-    def reserve(self, n: int):
-        return _IndexBase.reserve(self, n)
-
-    def _flush(self):
-        if not self._pending:
-            return
-        words = self._device_concat([t[0] for t in self._pending])
-        vecs = self._device_concat([t[1] for t in self._pending])
-        qsum = self._device_concat([t[2] for t in self._pending])
-        valid = self._device_concat([t[3] for t in self._pending])
-        self._pending = []
-        self._pending_rows = 0
-        n_rows = words.shape[1]
-        cap_needed = int(self._fetch(self.store.size).sum()) + n_rows
-        if cap_needed > self.capacity * self.nparts:
-            self._grow(_next_pow2(-(-cap_needed // self.nparts)))
-        while True:
-            key = ("merge", n_rows, self.capacity)
-            if key not in self._step_cache:
-                self._step_cache[key] = dx.make_vecq_merge_step(
-                    self.mesh, self.saturate)
-            new_store, ovf = self._step_cache[key](
-                self.store, words, vecs, qsum, valid)
-            if int(self._fetch(ovf).max()) == 0:
-                self.store = new_store
-                return
-            self._grow(_next_pow2(self.capacity
-                                  + int(self._fetch(ovf).max())))
-
-    def _grow(self, new_cap: int):
-        pad = new_cap - self.capacity
-        key = ("_grow", new_cap, self.capacity)
-        if key not in self._step_cache:
-            self._step_cache[key] = jax.jit(
-                lambda s: st.VecQStore(
-                    keys=jnp.pad(s.keys, ((0, 0), (0, pad), (0, 0)),
-                                 constant_values=np.uint32(_SENTINEL)),
-                    vals=jnp.pad(s.vals, ((0, 0), (0, pad), (0, 0))),
-                    qsum=jnp.pad(s.qsum, ((0, 0), (0, pad))),
-                    size=s.size,
-                ),
-                out_shardings=self._sharding)
-        self.store = self._step_cache[key](self.store)
 
     def _marshal_chunk(self, batch: ReadBatch):
         with self.timer.phase("extract"):
             cols = self._batch_to_stacked(
                 batch, id_kind=None, halo=self.spec.k, halo_left=1,
                 need_ids=False, need_qual=True)[0]
-        raw = batch.alphabet.name == "ASCII"
-        cols["raw"] = raw
+        cols["raw"] = batch.alphabet.name == "ASCII"
         return cols
 
     def _insert_cols(self, cols):
         raw = cols.pop("raw", False)
         n_local = cols["codes"].shape[1]
+        self._note_weight(n_local * self.nparts)
         bucket_cap = self._bucket_capacity(n_local)
         while True:
             key = ("ingest", n_local, bucket_cap, raw)
             if key not in self._step_cache:
-                self._step_cache[key] = dx.make_debruijn_quality_ingest_step(
-                    self.mesh, self.nparts, self.spec, self.canonical,
-                    bucket_cap, self.hash_name, self.codec, raw=raw)
+                self._step_cache[key] = \
+                    dx.make_debruijn_quality_run_ingest_step(
+                        self.mesh, self.nparts, self.spec, self.canonical,
+                        bucket_cap, self.hash_name, self.codec, raw=raw)
             with self.timer.phase("insert"):
-                rw, rv, rq, rlive, route_ovf = self._step_cache[key](
+                rw, reb, rwt, rqs, route_ovf = self._step_cache[key](
                     cols["codes"], cols["valid"], cols["owned"],
                     cols["seg_id"], cols["qual"])
             if int(self._fetch(route_ovf).max()) == 0:
-                self._pending.append((rw, rv, rq, rlive))
-                self._pending_rows += rw.shape[1]
-                if self._pending_rows >= self.flush_rows:
-                    with self.timer.phase("merge"):
-                        self._flush()
+                self._append_run(rw, reb, rwt, rqs)
                 return self
             bucket_cap = _next_pow2(
                 bucket_cap + int(self._fetch(route_ovf).max()))
 
+    def reserve(self, n: int):
+        per = _next_pow2(-(-n // self.nparts))
+        cur = self.capacity
+        if per <= cur:
+            return self
+        pad = per - cur
+        key = ("_grow", pad, self._run_caps())
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                lambda s: st.RunVecQStore(
+                    keys=jnp.pad(s.keys, ((0, 0), (0, 0), (0, pad)),
+                                 constant_values=np.uint32(_SENTINEL)),
+                    ebytes=jnp.pad(s.ebytes, ((0, 0), (0, pad))),
+                    weights=jnp.pad(s.weights, ((0, 0), (0, pad))),
+                    qsums=jnp.pad(s.qsums, ((0, 0), (0, pad))),
+                    bsum=jnp.pad(s.bsum, ((0, 0), (0, pad), (0, 0)),
+                                 mode="edge"),
+                    qcsum=jnp.pad(s.qcsum, ((0, 0), (0, pad)),
+                                  mode="edge"),
+                ),
+                out_shardings=self._sharding)
+        self.runs[-1] = self._step_cache[key](self.runs[-1])
+        return self
+
     # ------------------------------------------------------------------
     def node_counts(self, kmers):
         """(counts int32[m, 9], found bool[m]) — the DeBruijnGraph
-        contract (window-count column dropped)."""
+        contract."""
         vals, _, found = self._node_payload(kmers)
-        return vals[:, :_DIM], found
+        return vals, found
 
     def node_quality(self, kmers):
-        """(mean_quality float32[m], n_windows int32[m], found bool[m]) —
-        the quality summary per node (mean of the windowed scores of every
-        window that touched the node)."""
+        """(mean_quality float32[m], n_windows int32[m], found bool[m])
+        — the quality summary per node (mean of the windowed scores of
+        every window that touched the node)."""
         vals, qsum, found = self._node_payload(kmers)
-        n = vals[:, _DIM]
+        n = vals[:, 8]
         mean = np.where(n > 0, qsum / np.maximum(n, 1), 0.0)
         return mean.astype(np.float32), n, found
 
     def _node_payload(self, kmers):
-        self._flush()
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
         bucket_cap = _next_pow2(mq)
         while True:
-            key = ("lookup", mq, bucket_cap, self.capacity)
+            key = ("lookup", mq, bucket_cap, self._run_caps())
             if key not in self._step_cache:
-                self._step_cache[key] = _make_vecq_lookup_step(
-                    self.mesh, self.nparts, bucket_cap, self.hash_name)
-            vals, qs, found, ovf = self._step_cache[key](
-                self.store, wsh, vsh)
+                self._step_cache[key] = dx.make_runs_vecq_query_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name,
+                    self.saturate, len(self.runs))
+            vals, qs, ovf = self._step_cache[key](
+                tuple(self.runs), wsh, vsh)
             if int(self._fetch(ovf).max()) == 0:
-                vals = self._fetch(vals).reshape(-1, _DIM + 1)[:m]
+                vals = self._fetch(vals).reshape(-1, _DIM)[:m]
                 qs = self._fetch(qs).reshape(-1)[:m]
-                found = self._fetch(found).reshape(-1)[:m]
-                return vals, qs, found
+                return vals, qs, vals[:, 8] > 0
             bucket_cap *= 2
 
     def save(self, path):
-        self._flush()
+        self._consolidate()
+        r = self.runs[0]
         np.savez_compressed(
             path, kind="debruijn_quality", k=self.spec.k,
             alphabet=self.spec.alphabet.name, canonical=self.canonical,
             hash_name=self.hash_name, nparts=self.nparts,
-            keys=self._fetch(self.store.keys),
-            vals=self._fetch(self.store.vals),
-            qsum=self._fetch(self.store.qsum),
-            sizes=self._fetch(self.store.size))
+            keys=self._fetch(r.keys),
+            ebytes=self._fetch(r.ebytes),
+            weights=self._fetch(r.weights),
+            qsums=self._fetch(r.qsums))
         return self
 
     @classmethod
     def load(cls, path, mesh=None):
-        """Restore a saved quality graph onto any mesh (nodes re-routed;
+        """Restore a saved quality graph onto any mesh (rows re-routed;
         quality sums merge additively like the counters)."""
         from .. import alphabets as _al
         from ..kmer import KmerSpec as _KS
@@ -612,50 +573,54 @@ class QualityDeBruijnGraph(DeBruijnGraph):
         spec = _KS(int(z["k"]), _al.by_name(str(z["alphabet"])))
         g = cls(spec, mesh=mesh, canonical=bool(z["canonical"]),
                 hash_name=str(z["hash_name"]))
-        keys, vals, qsum, sizes = z["keys"], z["vals"], z["qsum"], z["sizes"]
+        keys, ebytes = z["keys"], z["ebytes"]
+        weights, qsums = z["weights"], z["qsums"]
         P_ = keys.shape[0]
-        rows = np.concatenate([keys[p, : sizes[p]] for p in range(P_)])
+        live = weights > 0
+        rows = np.concatenate([
+            keys[p].T[live[p]] for p in range(P_)]).astype(np.uint32)
         if rows.shape[0] == 0:
             return g
-        vv = np.concatenate([vals[p, : sizes[p]] for p in range(P_)])
-        qq = np.concatenate([qsum[p, : sizes[p]] for p in range(P_)])
-        (wsh,), vsh, m = g._shard_rows(rows.astype(np.uint32))
+        eb = np.concatenate([ebytes[p][live[p]] for p in range(P_)])
+        wt = np.concatenate([weights[p][live[p]] for p in range(P_)])
+        qq = np.concatenate([qsums[p][live[p]] for p in range(P_)])
+        (wsh, esh, tsh, qsh), vsh, m = g._shard_rows(
+            rows, extra=(eb.astype(np.uint32), wt.astype(np.uint32),
+                         qq.astype(np.float32)))
         mq = wsh.shape[1]
-        d = _DIM + 1
-        vecs = np.zeros((g.nparts * mq, d), np.int32)
-        vecs[:m] = vv
-        qarr = np.zeros(g.nparts * mq, np.float32)
-        qarr[:m] = qq
-        vsh_d = jnp.asarray(vecs.reshape(g.nparts, mq, d))
-        qsh = jnp.asarray(qarr.reshape(g.nparts, mq))
         bucket_cap = _next_pow2(mq)
         while True:
-            key = ("load", mq, bucket_cap, g.capacity)
+            key = ("load", mq, bucket_cap)
             if key not in g._step_cache:
-                g._step_cache[key] = _make_vecq_route_merge_step(
-                    g.mesh, g.nparts, bucket_cap, g.hash_name, g.saturate)
-            new_store, route_ovf, store_ovf = g._step_cache[key](
-                g.store, wsh, vsh_d, qsh, vsh)
-            if int(g._fetch(route_ovf).max()) == 0 and \
-               int(g._fetch(store_ovf).max()) == 0:
-                g.store = new_store
+                g._step_cache[key] = _make_run_vecq_load_step(
+                    g.mesh, g.nparts, bucket_cap, g.hash_name, g.spec)
+            skeys, seb, swt, sqs, route_ovf = g._step_cache[key](
+                wsh, esh, tsh, qsh, vsh)
+            if int(g._fetch(route_ovf).max()) == 0:
+                g._append_run(skeys, seb, swt, sqs)
+                g._ingested_weight = int(np.int64(wt.sum()))
                 return g
             bucket_cap *= 2
-            if int(g._fetch(store_ovf).max()) > 0:
-                g._grow(g.capacity * 2)
 
     def to_dict(self):
         """{kmer_int: (9 counters..., n_windows, qsum)}."""
-        self._flush()
+        self._consolidate()
+        key = ("export", self._run_caps())
+        if key not in self._step_cache:
+            self._step_cache[key] = dx.make_run_vecq_export_step(
+                self.mesh, self.saturate)
+        keys_out, vecs_out, qsum_out, n = self._step_cache[key](
+            self.runs[0])
+        keys_out = self._fetch(keys_out)
+        vecs_out = self._fetch(vecs_out)
+        qsum_out = self._fetch(qsum_out)
+        n = self._fetch(n)
         out = {}
-        keys = self._fetch(self.store.keys)
-        vals = self._fetch(self.store.vals)
-        qsum = self._fetch(self.store.qsum)
-        sizes = self._fetch(self.store.size)
         for p in range(self.nparts):
-            for i in range(int(sizes[p])):
-                out[self.spec.to_int(keys[p, i])] = tuple(
-                    int(x) for x in vals[p, i]) + (float(qsum[p, i]),)
+            for i in range(int(n[p])):
+                out[self.spec.to_int(keys_out[p, i])] = tuple(
+                    int(x) for x in vecs_out[p, i]) \
+                    + (float(qsum_out[p, i]),)
         return out
 
 
@@ -689,148 +654,34 @@ def _make_run_vec_load_step(mesh, nparts, capacity, hash_name, spec):
     ))
 
 
-def _make_vecq_route_merge_step(mesh, nparts, capacity, hash_name, saturate):
-    """Route explicit (node, counters, qsum) rows to owners and merge."""
+def _make_run_vecq_load_step(mesh, nparts, capacity, hash_name, spec):
+    """Quality variant of `_make_run_vec_load_step`: rows carry an extra
+    bitcast float quality-sum payload."""
+    from ..ops import sortops
 
-    def body(stores_blk, words_blk, vecs_blk, q_blk, valid_blk):
-        store = jax.tree.map(lambda a: a[0], stores_blk)
-        words, vecs, qs, valid = (words_blk[0], vecs_blk[0], q_blk[0],
-                                  valid_blk[0])
+    def body(words_blk, eb_blk, wt_blk, qs_blk, valid_blk):
+        words, eb, wt, qs, valid = (
+            words_blk[0], eb_blk[0], wt_blk[0], qs_blk[0], valid_blk[0])
         owner = dx.owners_for(words, nparts, hash_name)
         qbits = jax.lax.bitcast_convert_type(qs, jnp.uint32)
-        (rw, rv, rqb), rvalid, route = dist.distribute(
-            (words, vecs, qbits), owner, valid, nparts, capacity,
+        (rw, re, rt, rqb), rvalid, route = dist.distribute(
+            (words, eb, wt, qbits), owner, valid, nparts, capacity,
             axes_of(mesh))
-        rq = jax.lax.bitcast_convert_type(rqb, jnp.float32)
-        new_store, ovf = st.vecq_insert(store, rw, rv, rq, rvalid,
-                                        saturate=saturate)
-        return (jax.tree.map(lambda a: a[None], new_store),
-                route.overflow[None], ovf[None])
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axes_of(mesh)),) * 5,
-        out_specs=(P(axes_of(mesh)),) * 3,
-    ))
-
-
-def _make_vecq_lookup_step(mesh, nparts, capacity, hash_name):
-    def body(stores_blk, queries_blk, qvalid_blk):
-        store = jax.tree.map(lambda a: a[0], stores_blk)
-        queries, qvalid = queries_blk[0], qvalid_blk[0]
-        owner = dx.owners_for(queries, nparts, hash_name)
-        (rq,), rvalid, route = dist.distribute(
-            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
-        vals, qs, found = st.vecq_lookup(store, rq)
-        vals = jnp.where(rvalid[:, None], vals, 0)
-        qs = jnp.where(rvalid, qs, 0.0)
-        found = found & rvalid
-        qbits = jax.lax.bitcast_convert_type(qs, jnp.uint32)
-        back_vals, back_q, back_found = dist.undistribute(
-            (vals, qbits, found.astype(jnp.int8)), route, nparts, capacity,
-            axes_of(mesh))
-        return (back_vals[None],
-                jax.lax.bitcast_convert_type(back_q, jnp.float32)[None],
-                back_found.astype(bool)[None], route.overflow[None])
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axes_of(mesh)),) * 3,
-        out_specs=(P(axes_of(mesh)),) * 4,
-    ))
-
-
-def _make_vecq_route_merge_step(mesh, nparts, capacity, hash_name, saturate):
-    """Route explicit (node, counters, qsum) rows to owners and merge."""
-
-    def body(stores_blk, words_blk, vecs_blk, q_blk, valid_blk):
-        store = jax.tree.map(lambda a: a[0], stores_blk)
-        words, vecs, qs, valid = (words_blk[0], vecs_blk[0], q_blk[0],
-                                  valid_blk[0])
-        owner = dx.owners_for(words, nparts, hash_name)
-        qbits = jax.lax.bitcast_convert_type(qs, jnp.uint32)
-        (rw, rv, rqb), rvalid, route = dist.distribute(
-            (words, vecs, qbits), owner, valid, nparts, capacity,
-            axes_of(mesh))
-        rq = jax.lax.bitcast_convert_type(rqb, jnp.float32)
-        new_store, ovf = st.vecq_insert(store, rw, rv, rq, rvalid,
-                                        saturate=saturate)
-        return (jax.tree.map(lambda a: a[None], new_store),
-                route.overflow[None], ovf[None])
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axes_of(mesh)),) * 5,
-        out_specs=(P(axes_of(mesh)),) * 3,
-    ))
-
-
-def _make_vecq_lookup_step(mesh, nparts, capacity, hash_name):
-    def body(stores_blk, queries_blk, qvalid_blk):
-        store = jax.tree.map(lambda a: a[0], stores_blk)
-        queries, qvalid = queries_blk[0], qvalid_blk[0]
-        owner = dx.owners_for(queries, nparts, hash_name)
-        (rq,), rvalid, route = dist.distribute(
-            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
-        vals, qs, found = st.vecq_lookup(store, rq)
-        vals = jnp.where(rvalid[:, None], vals, 0)
-        qs = jnp.where(rvalid, qs, 0.0)
-        found = found & rvalid
-        qbits = jax.lax.bitcast_convert_type(qs, jnp.uint32)
-        back_vals, back_q, back_found = dist.undistribute(
-            (vals, qbits, found.astype(jnp.int8)), route, nparts, capacity,
-            axes_of(mesh))
-        return (back_vals[None],
-                jax.lax.bitcast_convert_type(back_q, jnp.float32)[None],
-                back_found.astype(bool)[None], route.overflow[None])
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axes_of(mesh)),) * 3,
-        out_specs=(P(axes_of(mesh)),) * 4,
-    ))
-
-
-def _make_vec_route_merge_step(mesh, nparts, capacity, hash_name, saturate):
-    """Route explicit (node, counter-vector) rows to owners and merge."""
-    from jax.sharding import PartitionSpec as P
-
-    def body(stores_blk, words_blk, vecs_blk, valid_blk):
-        store = jax.tree.map(lambda a: a[0], stores_blk)
-        words, vecs, valid = words_blk[0], vecs_blk[0], valid_blk[0]
-        owner = dx.owners_for(words, nparts, hash_name)
-        (rw, rv), rvalid, route = dist.distribute(
-            (words, vecs), owner, valid, nparts, capacity, axes_of(mesh))
-        new_store, ovf = st.vec_insert(store, rw, rv, rvalid,
-                                       saturate=saturate)
-        return (jax.tree.map(lambda a: a[None], new_store),
-                route.overflow[None], ovf[None])
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axes_of(mesh)),) * 4,
-        out_specs=(P(axes_of(mesh)),) * 3,
-    ))
-
-
-def _make_vec_lookup_step(mesh, nparts, capacity, hash_name):
-    def body(stores_blk, queries_blk, qvalid_blk):
-        store = jax.tree.map(lambda a: a[0], stores_blk)
-        queries, qvalid = queries_blk[0], qvalid_blk[0]
-        owner = dx.owners_for(queries, nparts, hash_name)
-        (rq,), rvalid, route = dist.distribute(
-            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
-        vals, found = st.vec_lookup(store, rq)
-        vals = jnp.where(rvalid[:, None], vals, 0)
-        found = found & rvalid
-        back_vals, back_found = dist.undistribute(
-            (vals, found.astype(jnp.int8)), route, nparts, capacity,
-            axes_of(mesh))
-        return (back_vals[None], back_found.astype(bool)[None],
+        s_words, (s_eb, s_wt, s_qb), s_valid = sortops.sort_rows(
+            rw, (re, rt, rqb), rvalid, is_stable=False,
+            sentinel_ok=spec.sentinel_safe, word_bits=spec.word_bits(),
+            as_cols=True)
+        s_words = jnp.where(s_valid[None, :], s_words,
+                            jnp.uint32(0xFFFFFFFF))
+        ebytes = jnp.where(s_valid, s_eb, 0).astype(jnp.int32)
+        weights = jnp.where(s_valid, s_wt, 0).astype(jnp.int32)
+        qsums = jnp.where(
+            s_valid, jax.lax.bitcast_convert_type(s_qb, jnp.float32), 0.0)
+        return (s_words[None], ebytes[None], weights[None], qsums[None],
                 route.overflow[None])
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axes_of(mesh)),) * 3,
-        out_specs=(P(axes_of(mesh)),) * 3,
+        in_specs=(P(axes_of(mesh)),) * 5,
+        out_specs=(P(axes_of(mesh)),) * 5,
     ))

@@ -571,162 +571,6 @@ def make_bimol_filter_step(mesh: Mesh, pred):
     ))
 
 
-def make_debruijn_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
-                              capacity: int, hash_name: str,
-                              raw: bool = False):
-    """Jitted de Bruijn ingest: (node kmer, strand-corrected edge vector)
-    exchange + chunk-local vector pre-reduction, no store merge.
-
-    raw=True: incoming codes are raw ASCII bytes (the graph's own build
-    path parses with the identity alphabet) — k-mer codes are derived by
-    the k-mer alphabet's FROM_ASCII LUT on device and edge nibbles by
-    DNA16::FROM_ASCII, reproducing the reference's dual-LUT semantics
-    exactly (kmer sees 'N'->0 under DNA, edge sees 'N'->0xF;
-    de_bruijn_construct_engine.hpp:109-158)."""
-    from ..debruijn.edges import (edge_byte_to_vec, edge_bytes_for_windows,
-                                  revcomp_edge_byte)
-    from ..ops import packing, sortops
-
-    def body(codes_blk, valid_blk, owned_blk, seg_blk):
-        codes, valid, owned, seg = (
-            codes_blk[0], valid_blk[0], owned_blk[0], seg_blk[0])
-        if raw:
-            kcodes = jnp.take(jnp.asarray(spec.alphabet.from_ascii),
-                              codes.astype(jnp.int32))
-        else:
-            kcodes = codes
-        if canonical:
-            words, was_rc = packing.extract_canonical(kcodes, spec)
-        else:
-            words = packing.extract_kmers(kcodes, spec)
-            was_rc = jnp.zeros(codes.shape[0], bool)
-        wvalid = packing.window_valid(valid, seg, spec.k) & owned
-        edges = edge_bytes_for_windows(codes, valid, seg, spec.k,
-                                       spec.alphabet, raw=raw)
-        edges = jnp.where(was_rc, revcomp_edge_byte(edges), edges)
-        vecs = edge_byte_to_vec(edges)
-        owner = owners_for(words, nparts, hash_name)
-        (rw, rv), rvalid, route = dist.distribute(
-            (words, vecs), owner, wvalid, nparts, capacity, axes_of(mesh))
-        # chunk-local vector reduction (bucket_reduce on edge counters)
-        s_words, (s_v0, s_v1, s_v2, s_v3, s_v4, s_v5, s_v6, s_v7, s_v8), \
-            s_valid = sortops.sort_rows(
-                rw, tuple(rv[:, j] for j in range(9)), rvalid,
-                is_stable=False, sentinel_ok=spec.sentinel_safe)
-        s_vecs = jnp.stack(
-            [s_v0, s_v1, s_v2, s_v3, s_v4, s_v5, s_v6, s_v7, s_v8], axis=1)
-        uniq, red, _ = sortops.segment_reduce_sorted(
-            s_words, s_valid, s_vecs, reduce="sum")
-        live = red[:, 8] > 0  # self-count > 0 marks live rows
-        return uniq[None], red[None], live[None], route.overflow[None]
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axes_of(mesh)),) * 4,
-        out_specs=(P(axes_of(mesh)),) * 4,
-    ))
-
-
-def make_debruijn_quality_ingest_step(mesh: Mesh, nparts: int, spec,
-                                      canonical: bool, capacity: int,
-                                      hash_name: str, codec,
-                                      raw: bool = False):
-    """Jitted QUALITY de Bruijn ingest: like make_debruijn_ingest_step but
-    each window also carries its windowed phred score
-    (QualityScoreGenerationIterator zip, de_bruijn_quality_parser,
-    de_bruijn_construct_engine.hpp:160-230).  The chunk-local pre-reduction
-    sums edge counters, a window count, AND the quality scores per node
-    with one shared compaction (sortops.segment_reduce_mixed).
-    Returns (uniq[p,m,w], vecs[p,m,10], qsum[p,m], live[p,m], overflow[p])
-    — vecs' last column is the window count."""
-    from ..debruijn.edges import (edge_byte_to_vec, edge_bytes_for_windows,
-                                  revcomp_edge_byte)
-    from ..ops import packing, sortops
-    from ..quality import window_quality
-
-    def body(codes_blk, valid_blk, owned_blk, seg_blk, qual_blk):
-        codes, valid, owned, seg, qual = (
-            codes_blk[0], valid_blk[0], owned_blk[0], seg_blk[0],
-            qual_blk[0])
-        if raw:
-            kcodes = jnp.take(jnp.asarray(spec.alphabet.from_ascii),
-                              codes.astype(jnp.int32))
-        else:
-            kcodes = codes
-        if canonical:
-            words, was_rc = packing.extract_canonical(kcodes, spec)
-        else:
-            words = packing.extract_kmers(kcodes, spec)
-            was_rc = jnp.zeros(codes.shape[0], bool)
-        wvalid = packing.window_valid(valid, seg, spec.k) & owned
-        edges = edge_bytes_for_windows(codes, valid, seg, spec.k,
-                                       spec.alphabet, raw=raw)
-        edges = jnp.where(was_rc, revcomp_edge_byte(edges), edges)
-        vecs = edge_byte_to_vec(edges)
-        wq = window_quality(qual, spec.k, codec)
-        owner = owners_for(words, nparts, hash_name)
-        qbits = jax.lax.bitcast_convert_type(wq, jnp.uint32)
-        (rw, rv, rqb), rvalid, route = dist.distribute(
-            (words, vecs, qbits), owner, wvalid, nparts, capacity,
-            axes_of(mesh))
-        rq = jax.lax.bitcast_convert_type(rqb, jnp.float32)
-        # chunk-local mixed reduction: 9 counters + window count + qsum
-        d = 9
-        cols = tuple(rv[:, j] for j in range(d)) + (
-            rvalid.astype(jnp.int32),
-            jax.lax.bitcast_convert_type(rq, jnp.uint32))
-        s_words, s_cols, s_valid = sortops.sort_rows(
-            rw, cols, rvalid, is_stable=False,
-            sentinel_ok=spec.sentinel_safe)
-        s_vecs = jnp.stack(s_cols[:d + 1], axis=1)
-        s_q = jax.lax.bitcast_convert_type(s_cols[d + 1], jnp.float32)
-        uniq, ired, fred, _ = sortops.segment_reduce_mixed(
-            s_words, s_valid, s_vecs, s_q)
-        live = ired[:, d] > 0  # window count > 0 marks live rows
-        return (uniq[None], ired[None], fred[None], live[None],
-                route.overflow[None])
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axes_of(mesh)),) * 5,
-        out_specs=(P(axes_of(mesh)),) * 5,
-    ))
-
-
-def make_vecq_merge_step(mesh: Mesh, saturate: int | None = None):
-    """Jitted deferred quality-vector-store merge."""
-
-    def body(stores_blk, words_blk, vecs_blk, q_blk, valid_blk):
-        store = _unstack(stores_blk)
-        new_store, ovf = st.vecq_insert(
-            store, words_blk[0], vecs_blk[0], q_blk[0], valid_blk[0],
-            saturate=saturate)
-        return _stack(new_store), ovf[None]
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axes_of(mesh)),) * 5,
-        out_specs=(P(axes_of(mesh)),) * 2,
-    ))
-
-
-def make_vec_merge_step(mesh: Mesh, saturate: int | None = None):
-    """Jitted deferred vector-store merge."""
-
-    def body(stores_blk, words_blk, vecs_blk, valid_blk):
-        store = _unstack(stores_blk)
-        new_store, ovf = st.vec_insert(
-            store, words_blk[0], vecs_blk[0], valid_blk[0],
-            saturate=saturate)
-        return _stack(new_store), ovf[None]
-
-    return jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axes_of(mesh)),) * 4,
-        out_specs=(P(axes_of(mesh)),) * 2,
-    ))
-
-
 # ------------------------------------------------------- run-layout count map
 # The hash-partitioned count family runs on the RUN store layout
 # (store.RunCountStore): the flush merges already-sorted runs with a
@@ -1593,4 +1437,188 @@ def make_run_vec_export_step(mesh: Mesh, saturate: int | None = None):
     return jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
         out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_debruijn_quality_run_ingest_step(mesh: Mesh, nparts: int, spec,
+                                          canonical: bool, capacity: int,
+                                          hash_name: str, codec,
+                                          raw: bool = False):
+    """Jitted QUALITY de Bruijn run ingest: like
+    make_debruijn_run_ingest_step with each window's phred score riding
+    as one extra bitcast payload column (QualityScoreGenerationIterator
+    zip, de_bruijn_construct_engine.hpp:160-230).  Returns (sorted kcols
+    [p, w, m], ebytes[p, m], weights[p, m], qsums[p, m], overflow[p])."""
+    from ..debruijn.edges import (edge_bytes_for_windows,
+                                  revcomp_edge_byte)
+    from ..ops import packing, sortops
+    from ..quality import window_quality
+
+    def body(codes_blk, valid_blk, owned_blk, seg_blk, qual_blk):
+        codes, valid, owned, seg, qual = (
+            codes_blk[0], valid_blk[0], owned_blk[0], seg_blk[0],
+            qual_blk[0])
+        if raw:
+            kcodes = jnp.take(jnp.asarray(spec.alphabet.from_ascii),
+                              codes.astype(jnp.int32))
+        else:
+            kcodes = codes
+        if canonical:
+            words, was_rc = packing.extract_canonical(kcodes, spec)
+        else:
+            words = packing.extract_kmers(kcodes, spec)
+            was_rc = jnp.zeros(codes.shape[0], bool)
+        wvalid = packing.window_valid(valid, seg, spec.k) & owned
+        edges = edge_bytes_for_windows(codes, valid, seg, spec.k,
+                                       spec.alphabet, raw=raw)
+        edges = jnp.where(was_rc, revcomp_edge_byte(edges), edges)
+        wq = window_quality(qual, spec.k, codec)
+        owner = owners_for(words, nparts, hash_name)
+        qbits = jax.lax.bitcast_convert_type(wq, jnp.uint32)
+        (rw, re, rqb), rvalid, route = dist.distribute(
+            (words, edges.astype(jnp.uint32), qbits), owner, wvalid,
+            nparts, capacity, axes_of(mesh))
+        s_words, (s_eb, s_qb), s_valid = sortops.sort_rows(
+            rw, (re, rqb), rvalid, is_stable=False,
+            sentinel_ok=spec.sentinel_safe, word_bits=spec.word_bits(),
+            as_cols=True)
+        s_words = jnp.where(s_valid[None, :], s_words,
+                            jnp.uint32(0xFFFFFFFF))
+        ebytes = jnp.where(s_valid, s_eb, 0).astype(jnp.int32)
+        weights = s_valid.astype(jnp.int32)
+        qsums = jnp.where(
+            s_valid, jax.lax.bitcast_convert_type(s_qb, jnp.float32), 0.0)
+        return (s_words[None], ebytes[None], weights[None], qsums[None],
+                route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 5,
+        out_specs=(P(axes_of(mesh)),) * 5,
+    ))
+
+
+def make_run_vecq_adopt_step(mesh: Mesh):
+    """Jitted: adopt a sorted quality edge run as the whole store."""
+
+    def body(words_blk, ebytes_blk, weights_blk, qsums_blk):
+        return _stack(st.run_vecq_from_sorted(
+            words_blk[0], ebytes_blk[0], weights_blk[0], qsums_blk[0]))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 4,
+        out_specs=P(axes_of(mesh)),
+    ))
+
+
+def make_run_vecq_merge_pair_step(mesh: Mesh):
+    def body(a_blk, b_blk):
+        return _stack(st.run_vecq_merge(_unstack(a_blk), _unstack(b_blk)))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 2,
+        out_specs=P(axes_of(mesh)),
+    ))
+
+
+def make_run_vecq_stats_step(mesh: Mesh):
+    def body(stores_blk):
+        return st.run_vecq_distinct(_unstack(stores_blk))[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=P(axes_of(mesh)),
+    ))
+
+
+def make_run_vecq_compact_step(mesh: Mesh, new_cap: int):
+    def body(stores_blk):
+        new, ovf = st.run_vecq_compact(_unstack(stores_blk), new_cap)
+        return _stack(new), ovf[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)),) * 2,
+    ))
+
+
+def make_runs_vecq_query_step(mesh: Mesh, nparts: int, capacity: int,
+                              hash_name: str, saturate: int | None,
+                              nruns: int):
+    """Jitted node-counter + quality-sum query over a list of quality
+    edge runs: route once, prefix-difference lookups, sum, reply."""
+
+    def body(stores_blk, queries_blk, qvalid_blk):
+        stores = [_unstack(s) for s in stores_blk]
+        queries, qvalid = queries_blk[0], qvalid_blk[0]
+        owner = owners_for(queries, nparts, hash_name)
+        (rq,), rvalid, route = dist.distribute(
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
+        total, qtotal = st.run_vecq_lookup(stores[0], rq, None)
+        for s in stores[1:]:
+            t, qt = st.run_vecq_lookup(s, rq, None)
+            total = total + t
+            qtotal = qtotal + qt
+        if saturate is not None:
+            total = jnp.minimum(total, saturate)
+        local = jnp.where(rvalid[:, None], total, 0)
+        localq = jnp.where(
+            rvalid, jax.lax.bitcast_convert_type(qtotal, jnp.uint32), 0)
+        back, backq = dist.undistribute(
+            (local, localq), route, nparts, capacity, axes_of(mesh))
+        return (back[None],
+                jax.lax.bitcast_convert_type(backq, jnp.float32)[None],
+                route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_run_vecq_export_step(mesh: Mesh, saturate: int | None = None):
+    """Jitted device-side quality node export: one row per distinct live
+    key with 9 summed counters + window count + quality sum, compacted
+    to the front.  Returns (keys_out[p, cap, w], vecs_out[p, cap, 10],
+    qsum_out[p, cap], n[p]) — vecs_out's last column is the window
+    count (== the self counter)."""
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        w, cap = store.keys.shape
+        neq_prev, neq_next = st._adjacent_neq(store.keys)
+        totals = []
+        for j in range(9):
+            excl = store.bsum[:cap, j]
+            incl = store.bsum[1:, j]
+            start = jax.lax.cummax(
+                jnp.where(neq_prev, excl, jnp.int32(-2147483648)), axis=0)
+            end = jax.lax.cummin(
+                jnp.where(neq_next, incl,
+                          jnp.int32(2147483647))[::-1], axis=0)[::-1]
+            totals.append(end - start)
+        q_incl = store.qcsum[1:]
+        q_total = q_incl - st._broadcast_head(store.qcsum[:cap], neq_prev)
+        if saturate is not None:
+            totals = [jnp.minimum(t, saturate) for t in totals]
+        emit = neq_next & (totals[8] > 0)
+        n_emit = jnp.sum(emit.astype(jnp.int32))
+        front_key = (~emit).astype(jnp.uint32)
+        ops = jax.lax.sort(
+            (front_key,) + tuple(store.keys[j] for j in range(w))
+            + tuple(totals)
+            + (totals[8],
+               jax.lax.bitcast_convert_type(q_total, jnp.uint32)),
+            num_keys=1, is_stable=True)
+        keys_out = jnp.stack(ops[1:1 + w], axis=1)
+        vecs_out = jnp.stack(ops[1 + w:1 + w + 10], axis=1)
+        qsum_out = jax.lax.bitcast_convert_type(ops[11 + w], jnp.float32)
+        return keys_out[None], vecs_out[None], qsum_out[None], n_emit[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)),) * 4,
     ))

@@ -60,6 +60,13 @@ __all__ = [
     "run_vec_lookup",
     "run_vec_distinct",
     "run_vec_compact",
+    "RunVecQStore",
+    "empty_run_vecq_store",
+    "run_vecq_from_sorted",
+    "run_vecq_merge",
+    "run_vecq_lookup",
+    "run_vecq_distinct",
+    "run_vecq_compact",
 ]
 
 _SENTINEL = 0xFFFFFFFF
@@ -454,99 +461,6 @@ def vec_lookup(store: VecStore, queries: jax.Array):
     return jnp.where(hit[:, None], vals, 0), hit
 
 
-# -------------------------------------------- quality vector reduction map
-@dataclasses.dataclass
-class VecQStore:
-    """VecStore + a float32 quality-sum column — the node payload of the
-    QUALITY de Bruijn engine (de_bruijn_quality_engine,
-    /root/reference/test/test/debruijn/de_bruijn_construct_engine.hpp:245:
-    tuples (kmer, (edge byte, windowed quality)); the alias is declared but
-    never instantiated by any reference test, so the node-side reduction —
-    undefined there — is defined here as edge-counter sums + quality-score
-    sum + window count, from which mean node quality is queryable)."""
-
-    keys: jax.Array  # uint32[cap, w]
-    vals: jax.Array  # int32[cap, d] — edge counters + window count (last)
-    qsum: jax.Array  # float32[cap] — sum of windowed quality scores
-    size: jax.Array  # int32 scalar
-
-    @property
-    def capacity(self) -> int:
-        return self.keys.shape[0]
-
-
-jax.tree_util.register_dataclass(
-    VecQStore, data_fields=["keys", "vals", "qsum", "size"], meta_fields=[])
-
-
-def empty_vecq_store(capacity: int, nwords: int, dim: int) -> VecQStore:
-    return VecQStore(
-        keys=jnp.full((capacity, nwords), _SENTINEL, dtype=jnp.uint32),
-        vals=jnp.zeros((capacity, dim), jnp.int32),
-        qsum=jnp.zeros((capacity,), jnp.float32),
-        size=jnp.zeros((), jnp.int32),
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("saturate",))
-def vecq_insert(store: VecQStore, words, vecs, quals, valid,
-                saturate: int | None = None):
-    """Merge (key, int32[d] vector, float32 quality) tuples, summing both
-    payloads per key.  Returns (new_store, overflow)."""
-    cap = store.capacity
-    live_store = jnp.arange(cap) < store.size
-    all_words = jnp.concatenate([store.keys, words.astype(jnp.uint32)],
-                                axis=0)
-    all_vals = jnp.concatenate([store.vals, vecs.astype(jnp.int32)], axis=0)
-    all_q = jnp.concatenate([store.qsum, quals.astype(jnp.float32)])
-    all_valid = jnp.concatenate([live_store, valid])
-    d = all_vals.shape[1]
-    s_words, s_cols, s_valid = sortops.sort_rows(
-        all_words,
-        tuple(all_vals[:, j] for j in range(d))
-        + (jax.lax.bitcast_convert_type(all_q, jnp.uint32),),
-        all_valid, is_stable=False)
-    s_vals = jnp.stack(s_cols[:d], axis=1)
-    s_q = jax.lax.bitcast_convert_type(s_cols[d], jnp.float32)
-    uniq, ired, fred, n_unique = sortops.segment_reduce_mixed(
-        s_words, s_valid, s_vals, s_q)
-    if saturate is not None:
-        ired = jnp.minimum(ired, saturate)
-    new = VecQStore(
-        keys=uniq[:cap],
-        vals=ired[:cap],
-        qsum=fred[:cap],
-        size=jnp.minimum(n_unique, cap),
-    )
-    return new, jnp.maximum(n_unique - cap, 0)
-
-
-@jax.jit
-def vecq_lookup(store: VecQStore, queries: jax.Array):
-    """(vals int32[m, d], qsum float32[m], found bool[m]) per query key.
-    Large batches (m*8 >= cap) use the gather-free sort-merge join."""
-    q = queries.astype(jnp.uint32)
-    d = store.vals.shape[1]
-    if queries.shape[0] * 8 >= store.capacity:
-        cols, found = sortops.lookup_join_vals(
-            store.keys, store.size,
-            tuple(store.vals[:, j] for j in range(d)) + (store.qsum,), q)
-        return (jnp.stack(cols[:d], axis=1), cols[d], found)
-    idx = sortops.lower_bound_bucketed(store.keys, store.size, q)
-    cap, w = store.keys.shape
-    ext = jnp.concatenate(
-        [store.keys, store.vals.astype(jnp.uint32),
-         jax.lax.bitcast_convert_type(store.qsum, jnp.uint32)[:, None]],
-        axis=1)
-    g = ext[jnp.clip(idx, 0, cap - 1)]
-    hit = (idx < jnp.asarray(store.size, jnp.int32)) & jnp.all(
-        g[:, :w] == q, axis=-1)
-    vals = jnp.where(hit[:, None], g[:, w:w + d].astype(jnp.int32), 0)
-    qs = jnp.where(hit, jax.lax.bitcast_convert_type(
-        g[:, w + d], jnp.float32), 0.0)
-    return vals, qs, hit
-
-
 # ------------------------------------------------- bimolecule counting map
 @dataclasses.dataclass
 class BimolStore:
@@ -671,7 +585,6 @@ def bimol_insert(store: BimolStore, words, weights, rep_hi, rep_lo,
         size=jnp.minimum(n_unique, cap),
     )
     return new, jnp.maximum(n_unique - cap, 0)
-
 
 # ------------------------------------------------------ run-layout count map
 @dataclasses.dataclass
@@ -1179,6 +1092,193 @@ def run_vec_compact(store: RunVecStore, new_cap: int):
         eb2 = jnp.concatenate([eb2, jnp.zeros(new_cap - cap, jnp.int32)])
         tot2 = jnp.concatenate([tot2, jnp.zeros(new_cap - cap, jnp.int32)])
     return run_vec_from_sorted(uniq, eb2, tot2), \
+        jnp.maximum(n_emit - new_cap, 0)
+
+
+# ------------------------------ run-layout QUALITY de Bruijn node store
+@dataclasses.dataclass
+class RunVecQStore:
+    """`RunVecStore` + a per-row windowed-quality sum column and its
+    float32 prefix sums — the run-layout quality de Bruijn engine
+    (de_bruijn_quality_engine, de_bruijn_construct_engine.hpp:245; the
+    alias is declared but never instantiated by the reference, so the
+    node reduction is defined here: counter sums + quality-score sum,
+    mean quality queryable).  Same merge-instead-of-re-sort flush
+    economics as RunVecStore; the window count equals the self counter
+    (every window contributes one occurrence)."""
+
+    keys: jax.Array     # uint32[w, cap]
+    ebytes: jax.Array   # int32[cap]
+    weights: jax.Array  # int32[cap]
+    qsums: jax.Array    # float32[cap] — windowed scores collapsed in
+    bsum: jax.Array     # int32[cap + 1, 9]
+    qcsum: jax.Array    # float32[cap + 1] prefix sums of qsums
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[1]
+
+
+jax.tree_util.register_dataclass(
+    RunVecQStore,
+    data_fields=["keys", "ebytes", "weights", "qsums", "bsum", "qcsum"],
+    meta_fields=[])
+
+
+def empty_run_vecq_store(capacity: int, nwords: int) -> RunVecQStore:
+    return RunVecQStore(
+        keys=jnp.full((nwords, capacity), _SENTINEL, dtype=jnp.uint32),
+        ebytes=jnp.zeros((capacity,), jnp.int32),
+        weights=jnp.zeros((capacity,), jnp.int32),
+        qsums=jnp.zeros((capacity,), jnp.float32),
+        bsum=jnp.zeros((capacity + 1, 9), jnp.int32),
+        qcsum=jnp.zeros((capacity + 1,), jnp.float32),
+    )
+
+
+def run_vecq_from_sorted(kcols, ebytes, weights, qsums) -> RunVecQStore:
+    eb = ebytes.astype(jnp.int32)
+    wt = weights.astype(jnp.int32)
+    qs = qsums.astype(jnp.float32)
+    return RunVecQStore(
+        keys=kcols, ebytes=eb, weights=wt, qsums=qs,
+        bsum=_vec_bsum(eb, wt),
+        qcsum=jnp.concatenate([jnp.zeros(1, jnp.float32),
+                               jnp.cumsum(qs)]),
+    )
+
+
+@jax.jit
+def run_vecq_merge(a: RunVecQStore, b: RunVecQStore) -> RunVecQStore:
+    """Merge two sorted quality edge runs ((w + 3)-column bitonic merge
+    + prefix rebuilds)."""
+    keys, (eb, wt, qb) = sortops.merge_sorted_runs_cols(
+        a.keys,
+        (a.ebytes, a.weights,
+         jax.lax.bitcast_convert_type(a.qsums, jnp.uint32)),
+        b.keys,
+        (b.ebytes, b.weights,
+         jax.lax.bitcast_convert_type(b.qsums, jnp.uint32)))
+    return run_vecq_from_sorted(
+        keys, eb, wt, jax.lax.bitcast_convert_type(qb, jnp.float32))
+
+
+@jax.jit
+def run_vecq_distinct(store: RunVecQStore) -> jax.Array:
+    return run_vec_distinct(store)  # duck-typed on keys/bsum
+
+
+@functools.partial(jax.jit, static_argnames=("saturate",))
+def run_vecq_lookup(store: RunVecQStore, queries: jax.Array,
+                    saturate: int | None = None):
+    """(counts int32[m, 9], qsum float32[m]) per query key.  One bucketed
+    lower_bound + run-length broadcast, then ONE fused [2m, 10] gather of
+    the combined prefix table at both run bounds."""
+    cap = store.capacity
+    w = store.keys.shape[0]
+    q = queries.astype(jnp.uint32)
+    size = store.bsum[0, 0] * 0 + cap
+    lo = sortops.lower_bound_cols_bucketed(store.keys, size, q)
+    neq_prev, neq_next = _adjacent_neq(store.keys)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    start = jax.lax.cummax(jnp.where(neq_prev, idx, -1), axis=0)
+    end = jax.lax.cummin(
+        jnp.where(neq_next, idx + 1, jnp.int32(2147483647))[::-1],
+        axis=0)[::-1]
+    runlen = end - start
+    ext = jnp.concatenate(
+        [store.keys, runlen.astype(jnp.uint32)[None, :]], axis=0)
+    lofc = jnp.clip(lo, 0, cap - 1)
+    g = ext[:, lofc]
+    hit = lo < cap
+    for j in range(w):
+        hit &= g[j] == q[:, j]
+    hi = jnp.where(hit, jnp.minimum(lo + g[w].astype(jnp.int32), cap), lo)
+    lo_h = jnp.where(hit, lofc, 0)
+    hi_h = jnp.where(hit, hi, 0)
+    table = jnp.concatenate(
+        [store.bsum,
+         jax.lax.bitcast_convert_type(store.qcsum, jnp.int32)[:, None]],
+        axis=1)
+    both = table[jnp.concatenate([lo_h, hi_h])]
+    m = q.shape[0]
+    counts = both[m:, :9] - both[:m, :9]
+    qdiff = (jax.lax.bitcast_convert_type(both[m:, 9], jnp.float32)
+             - jax.lax.bitcast_convert_type(both[:m, 9], jnp.float32))
+    counts = jnp.where(hit[:, None], counts, 0)
+    qdiff = jnp.where(hit, qdiff, 0.0)
+    if saturate is not None:
+        counts = jnp.minimum(counts, saturate)
+    return counts, qdiff
+
+
+def _broadcast_head(vals: jax.Array, is_head: jax.Array) -> jax.Array:
+    """vals[group_head(i)] broadcast to every row i of its group,
+    gather-free: an associative last-set-value scan (works for
+    NON-monotone vals, unlike the cummax trick)."""
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    out, _ = jax.lax.associative_scan(comb, (vals, is_head))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("new_cap",))
+def run_vecq_compact(store: RunVecQStore, new_cap: int):
+    """Collapse equal (key, edge-byte) rows, summing weights AND quality
+    scores; float group sums use the last-set-value broadcast (quality
+    scores may be negative, so the monotone cummax trick does not
+    apply)."""
+    w, cap = store.keys.shape
+    eb_u = store.ebytes.astype(jnp.uint32)
+    ops = jax.lax.sort(
+        tuple(store.keys[j] for j in range(w)) + (eb_u,)
+        + (store.weights,
+           jax.lax.bitcast_convert_type(store.qsums, jnp.uint32)),
+        num_keys=w + 1, is_stable=False)
+    kcols = ops[:w]
+    eb, wt = ops[w], ops[w + 1]
+    qs = jax.lax.bitcast_convert_type(ops[w + 2], jnp.float32)
+    neq_prev = jnp.zeros(cap, bool) | (eb != jnp.roll(eb, 1))
+    neq_next = jnp.zeros(cap, bool) | (eb != jnp.roll(eb, -1))
+    for j in range(w):
+        neq_prev = neq_prev | (kcols[j] != jnp.roll(kcols[j], 1))
+        neq_next = neq_next | (kcols[j] != jnp.roll(kcols[j], -1))
+    neq_prev = neq_prev.at[0].set(True)
+    neq_next = neq_next.at[cap - 1].set(True)
+    incl = jnp.cumsum(wt)
+    total = incl - _broadcast_head(incl - wt, neq_prev)
+    q_incl = jnp.cumsum(qs)
+    q_total = q_incl - _broadcast_head(q_incl - qs, neq_prev)
+    emit = neq_next & (total > 0)
+    n_emit = jnp.sum(emit.astype(jnp.int32))
+    front_key = (~emit).astype(jnp.uint32)
+    ops2 = jax.lax.sort(
+        (front_key,) + tuple(kcols)
+        + (eb, total, jax.lax.bitcast_convert_type(q_total, jnp.uint32)),
+        num_keys=1, is_stable=True)
+    uniq = jnp.stack(ops2[1:1 + w], axis=0)
+    eb2, tot2 = ops2[1 + w], ops2[2 + w]
+    qs2 = jax.lax.bitcast_convert_type(ops2[3 + w], jnp.float32)
+    live = jnp.arange(cap) < n_emit
+    uniq = jnp.where(live[None, :], uniq, jnp.uint32(_SENTINEL))
+    eb2 = jnp.where(live, eb2, 0).astype(jnp.int32)
+    tot2 = jnp.where(live, tot2, 0)
+    qs2 = jnp.where(live, qs2, 0.0)
+    if new_cap <= cap:
+        uniq, eb2 = uniq[:, :new_cap], eb2[:new_cap]
+        tot2, qs2 = tot2[:new_cap], qs2[:new_cap]
+    else:
+        pad = new_cap - cap
+        uniq = jnp.concatenate(
+            [uniq, jnp.full((w, pad), _SENTINEL, jnp.uint32)], axis=1)
+        eb2 = jnp.concatenate([eb2, jnp.zeros(pad, jnp.int32)])
+        tot2 = jnp.concatenate([tot2, jnp.zeros(pad, jnp.int32)])
+        qs2 = jnp.concatenate([qs2, jnp.zeros(pad, jnp.float32)])
+    return run_vecq_from_sorted(uniq, eb2, tot2, qs2), \
         jnp.maximum(n_emit - new_cap, 0)
 
 

@@ -296,35 +296,6 @@ def segment_reduce_sorted(sorted_words, sorted_valid, values, reduce: str = "sum
     return uniq, reduced, n_unique
 
 
-def segment_reduce_mixed(sorted_words, sorted_valid, ivals, fvals):
-    """Sum int32[n, d] AND float32[n] values per run of equal sorted keys
-    with ONE compaction sort (shared compact_runs) — the quality de Bruijn
-    node payload (edge counters + window count + quality sum).
-
-    Returns (uniq, int_reduced[n, d], float_reduced[n], n_unique)."""
-    n, w = sorted_words.shape
-    zi = jnp.where(sorted_valid[:, None], ivals, 0)
-    zf = jnp.where(sorted_valid, fvals, jnp.zeros((), fvals.dtype))
-    pi = jnp.concatenate(
-        [jnp.zeros((1, ivals.shape[1]), ivals.dtype),
-         jnp.cumsum(zi, axis=0)])
-    pf = jnp.concatenate([jnp.zeros(1, fvals.dtype), jnp.cumsum(zf)])
-    uniq, _, starts, n_unique, total_valid = compact_runs(
-        sorted_words, sorted_valid)
-    j = jnp.arange(n, dtype=jnp.int32)
-    next_start = jnp.concatenate([starts[1:], jnp.zeros(1, jnp.int32)])
-    ends = jnp.where(j + 1 < n_unique, next_start,
-                     jnp.where(j + 1 == n_unique, total_valid, 0))
-    starts_c = jnp.where(j < n_unique, starts, 0)
-    ired = pi[ends] - pi[starts_c]
-    fred = pf[ends] - pf[starts_c]
-    live = j < n_unique
-    uniq = jnp.where(live[:, None], uniq, jnp.uint32(0xFFFFFFFF))
-    ired = jnp.where(live[:, None], ired, 0)
-    fred = jnp.where(live, fred, 0)
-    return uniq, ired, fred, n_unique
-
-
 def _lex_less_rows(a: jax.Array, b: jax.Array) -> jax.Array:
     """Row-wise a < b for uint32[..., w] (shared elementwise fold)."""
     from .packing import lex_less

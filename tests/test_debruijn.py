@@ -232,8 +232,11 @@ def test_quality_debruijn_save_load(ref_data_dir, tmp_path):
     assert set(a) == set(b)
     for v in a:
         assert a[v][:10] == b[v][:10]
-        # float32 sums re-accumulate in routed order after load
-        np.testing.assert_allclose(a[v][10], b[v][10], rtol=1e-4)
+        # float32 sums re-accumulate in routed order after load, and the
+        # run store reads them back as prefix-sum differences — both
+        # reorder the additions
+        np.testing.assert_allclose(a[v][10], b[v][10], rtol=1e-3,
+                                   atol=1e-5)
 
 
 def test_node_counts_accepts_big_int_keys(ref_data_dir):
