@@ -21,7 +21,8 @@ publishes no numbers — BASELINE.md).  Pass --measure-baseline to
 re-measure live.
 
 Usage: python bench.py [--bases N] [--k K] [--chunks C] [--max-runs R]
-                       [--iters I] [--mode e2e|ingest] [--json-only]
+                       [--iters I] [--mode e2e|ingest|debruijn|...]
+                       [--json-only]
 """
 
 from __future__ import annotations
@@ -96,7 +97,7 @@ def main():
                     help="builds per dispatch in --mode ingest")
     ap.add_argument("--mode", default="e2e",
                     choices=("e2e", "ingest", "count_query",
-                             "multimap_find", "erase"))
+                             "multimap_find", "erase", "debruijn"))
     ap.add_argument("--queries", type=int, default=1 << 20,
                     help="query rows in the query-rate modes")
     ap.add_argument("--max-per-query", type=int, default=16,
@@ -349,6 +350,75 @@ def main():
         bt = time.perf_counter() - t0
         base_rate = m / bt
         _log(f"numpy find baseline: {base_rate/1e6:.2f} Mq/s", quiet)
+    elif args.mode == "debruijn":
+        # END-TO-END de Bruijn graph build: extraction + strand-corrected
+        # edge bytes + per-chunk sort (ONE edge-byte payload) + the run
+        # store's LSM merge policy with per-merge prefix-table rebuilds —
+        # the exact device schedule DeBruijnGraph runs for this corpus
+        # (the reference's de_bruijn_construct_engine + node reduction,
+        # test/test/debruijn/de_bruijn_construct_engine.hpp:91-131)
+        from kmerind_tpu.debruijn.edges import (edge_bytes_for_windows,
+                                                revcomp_edge_byte)
+        from kmerind_tpu.ops import packing
+        C, MAX_RUNS = args.chunks, args.max_runs
+
+        def dbg_ingest(codes, valid, seg_id, salt):
+            c = codes.at[0].set(codes[0] ^ (salt & jnp.uint8(1)))
+            words, was_rc = packing.extract_canonical(c, spec)
+            wvalid = packing.window_valid(valid, seg_id, spec.k)
+            edges = edge_bytes_for_windows(c, valid, seg_id, spec.k,
+                                           spec.alphabet)
+            edges = jnp.where(was_rc, revcomp_edge_byte(edges), edges)
+            s_words, (s_eb,), s_valid = sortops.sort_rows(
+                words, (edges.astype(jnp.uint32),), wvalid,
+                is_stable=False, sentinel_ok=spec.sentinel_safe,
+                word_bits=spec.word_bits(), as_cols=True)
+            s_words = jnp.where(s_valid[None, :], s_words,
+                                jnp.uint32(0xFFFFFFFF))
+            return st.run_vec_from_sorted(
+                s_words, jnp.where(s_valid, s_eb, 0).astype(jnp.int32),
+                s_valid.astype(jnp.int32))
+
+        @jax.jit
+        def build(codes, valid, seg_id, salt0):
+            runs = []
+            for i in range(C):
+                runs.append(dbg_ingest(codes, valid, seg_id,
+                                       salt0 + jnp.uint8(i)))
+                while len(runs) > MAX_RUNS:
+                    runs.sort(key=lambda r: r.keys.shape[-1],
+                              reverse=True)
+                    b = runs.pop()
+                    a = runs.pop()
+                    runs.append(st.run_vec_merge(a, b))
+            acc = jnp.uint32(0)
+            total = jnp.int32(0)
+            for r in runs:
+                acc = acc + r.keys[0, 0]
+                total = total + r.bsum[-1, 8]
+            return acc, total
+
+        _log(f"compiling de Bruijn build ({C} chunks, "
+             f"max_runs={MAX_RUNS})…", quiet)
+        t0 = time.perf_counter()
+        r = build(dcodes, dvalid, dseg, jnp.uint8(0))
+        total = int(np.asarray(r[1]))
+        compile_s[0] = time.perf_counter() - t0
+        _log(f"compile+first run: {compile_s[0]:.1f}s "
+             f"(total windows in store: {total})", quiet)
+        times = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            r = build(dcodes, dvalid, dseg, jnp.uint8(i))
+            np.asarray(r[0])
+            times.append(time.perf_counter() - t0)
+            _log(f"iter {i}: {times[-1]*1e3:.0f} ms/build", quiet)
+        n_windows = total
+        best = min(times)
+        tpu_rate = n_windows / best
+        metric = ("kmers/s/chip (de Bruijn graph build END-TO-END: "
+                  "%d chunks, k=%d, edge bytes + LSM merges + prefix "
+                  "tables included)" % (C, args.k))
     elif args.mode == "e2e":
         C, MAX_RUNS = args.chunks, args.max_runs
 
