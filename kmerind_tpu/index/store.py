@@ -559,22 +559,18 @@ def bimol_insert(store: BimolStore, words, weights, rep_hi, rep_lo,
     s_valid = out[0] == 0
     s_words = jnp.stack(out[1:1 + w], axis=1)
     s_hi, s_lo, s_s, s_w = out[1 + w:]
-    # counts: prefix-sum difference over runs; reps: first-of-run payloads
-    uniq, (hi_f, lo_f, st_f, _wf), starts, n_unique, total_valid = \
-        sortops.compact_runs(s_words, s_valid, payloads=(s_hi, s_lo, s_s, s_w))
-    # int32 prefix sums: counts are int32 in the store, so any overflow
-    # here would overflow the stored count anyway (use saturate= to bound)
-    prefix = jnp.concatenate([
-        jnp.zeros(1, jnp.int32),
-        jnp.cumsum(jnp.where(s_valid, s_w, 0).astype(jnp.int32))])
-    j = jnp.arange(n, dtype=jnp.int32)
-    next_start = jnp.concatenate([starts[1:], jnp.zeros(1, jnp.int32)])
-    ends = jnp.where(j + 1 < n_unique, next_start,
-                     jnp.where(j + 1 == n_unique, total_valid, 0))
-    starts_c = jnp.where(j < n_unique, starts, 0)
-    counts = (prefix[ends] - prefix[starts_c]).astype(jnp.int32)
+    # per-row run weight totals, GATHER-FREE (a 33.5M-row gather of the
+    # prefix array is latency-bound at ~70M rows/s — two of them cost
+    # more than both sorts combined; the broadcast scans are elementwise)
+    totals = sortops.run_weight_totals(s_words, s_valid, s_w)
+    # reps + totals: first-of-run payloads via the compaction sort
+    uniq, (hi_f, lo_f, st_f, counts), _, n_unique, _ = \
+        sortops.compact_runs(s_words, s_valid,
+                             payloads=(s_hi, s_lo, s_s, totals))
+    counts = counts.astype(jnp.int32)
     if saturate is not None:
         counts = jnp.minimum(counts, saturate)
+    j = jnp.arange(n, dtype=jnp.int32)
     live = j < n_unique
     new = BimolStore(
         keys=jnp.where(live[:, None], uniq, jnp.uint32(_SENTINEL))[:cap],
