@@ -1250,95 +1250,24 @@ class BimoleculeCountIndex(CountIndex):
                  initial_capacity: int = 1 << 12, **kw):
         _IndexBase.__init__(self, spec, mesh, True, hash_name, **kw)
         self.saturate = saturate
+        self.initial_capacity = initial_capacity
         self.store = self._init_store(
-            lambda: st.empty_bimol_store(initial_capacity, spec.nwords))
+            lambda: st.empty_run_bimol_store(initial_capacity,
+                                             spec.nwords))
+        self._virgin = True
         self._pending = []
         self._pending_rows = 0
         self.flush_rows = 1 << 24
+        self.compact_factor = 4
+        self._ingested_weight = 0
         #: ids for explicitly inserted k-mers rank after any file-derived
         #: occurrence id (file ids use at most 63 bits)
         self._insert_seq = 1 << 63
 
-    def _flush(self):
-        if not self._pending:
-            return
-        words = self._device_concat([t[0] for t in self._pending])
-        hi = self._device_concat([t[1] for t in self._pending])
-        lo = self._device_concat([t[2] for t in self._pending])
-        strand = self._device_concat([t[3] for t in self._pending])
-        valid = self._device_concat([t[4] for t in self._pending])
-        self._pending = []
-        self._pending_rows = 0
-        n_rows = words.shape[1]
-        cap_needed = int(self._fetch(self.store.size).sum()) + n_rows
-        if cap_needed > self.capacity * self.nparts:
-            self._grow(_next_pow2(-(-cap_needed // self.nparts)))
-        key_w = ("bimol_ones", n_rows)
-        if key_w not in self._step_cache:
-            self._step_cache[key_w] = jax.jit(
-                lambda v: v.astype(jnp.int32), out_shardings=self._sharding)
-        ones = self._step_cache[key_w](valid)
-        while True:
-            key = ("bimol_merge", n_rows, self.capacity)
-            if key not in self._step_cache:
-                self._step_cache[key] = dx.make_bimol_merge_step(
-                    self.mesh, self.saturate)
-            new_store, ovf = self._step_cache[key](
-                self.store, words, ones, hi, lo, strand, valid)
-            if int(self._fetch(ovf).max()) == 0:
-                self.store = new_store
-                return
-            self._grow(_next_pow2(self.capacity + int(self._fetch(ovf).max())))
-
-    def _grow(self, new_cap: int):
-        pad = new_cap - self.capacity
-        key = ("_grow", new_cap, self.capacity)
-        if key not in self._step_cache:
-            self._step_cache[key] = jax.jit(
-                lambda s: st.BimolStore(
-                    keys=jnp.pad(s.keys, ((0, 0), (0, pad), (0, 0)),
-                                 constant_values=np.uint32(_SENTINEL)),
-                    counts=jnp.pad(s.counts, ((0, 0), (0, pad))),
-                    rep_hi=jnp.pad(s.rep_hi, ((0, 0), (0, pad)),
-                                   constant_values=np.uint32(_SENTINEL)),
-                    rep_lo=jnp.pad(s.rep_lo, ((0, 0), (0, pad)),
-                                   constant_values=np.uint32(_SENTINEL)),
-                    rep_strand=jnp.pad(s.rep_strand, ((0, 0), (0, pad))),
-                    size=s.size,
-                ),
-                out_shardings=self._sharding)
-        self.store = self._step_cache[key](self.store)
-
-    def _marshal_chunk(self, batch: ReadBatch):
-        with self.timer.phase("extract"):
-            return self._batch_to_stacked(batch, id_kind="long",
-                                          need_qual=False)[0]
-
-    def _insert_cols(self, cols):
-        n_local = cols["codes"].shape[1]
-        bucket_cap = self._bucket_capacity(n_local)
-        while True:
-            key = ("bimol_ingest", n_local, bucket_cap)
-            if key not in self._step_cache:
-                self._step_cache[key] = dx.make_bimol_ingest_step(
-                    self.mesh, self.nparts, self.spec, bucket_cap,
-                    self.hash_name)
-            with self.timer.phase("insert"):
-                rw, rhi, rlo, rs, rv, route_ovf = self._step_cache[key](
-                    cols["codes"], cols["valid"], cols["owned"],
-                    cols["seg_id"], cols["id_hi"], cols["id_lo"])
-            if int(self._fetch(route_ovf).max()) == 0:
-                self._pending.append((rw, rhi, rlo, rs, rv))
-                self._pending_rows += rw.shape[1]
-                if self._pending_rows >= self.flush_rows:
-                    with self.timer.phase("merge"):
-                        self._flush()
-                return self
-            bucket_cap = _next_pow2(
-                bucket_cap + int(self._fetch(route_ovf).max()))
-
-    # -- compacted-store query surface (BimolStore keeps the unique-key
-    # layout; the run-layout steps of CountIndex do not apply) ----------
+    # -- run-store management (single consolidated run: the flush merges
+    # each pre-sorted ingest run into the store with a (w + 4)-column
+    # bitonic merge — no store-scale re-sort; the count/histogram/select
+    # steps of the count family apply duck-typed) ----------------------
     @property
     def store(self):
         return self._bimol_store
@@ -1347,27 +1276,172 @@ class BimoleculeCountIndex(CountIndex):
     def store(self, value):
         self._bimol_store = value
 
+    @property
+    def capacity(self) -> int:
+        return self.store.keys.shape[-1]
+
     def clear(self):
-        return _IndexBase.clear(self)
+        self._pending = []
+        self._pending_rows = 0
+        self.store = self._init_store(
+            lambda: st.empty_run_bimol_store(self.initial_capacity,
+                                             self.spec.nwords))
+        self._virgin = True
+        self._ingested_weight = 0
+        return self
 
     def reserve(self, n: int):
-        return _IndexBase.reserve(self, n)
+        per = _next_pow2(-(-n // self.nparts))
+        cur = self.capacity
+        if per <= cur:
+            return self
+        pad = per - cur
+        key = ("_grow", pad, self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                lambda s: st.RunBimolStore(
+                    keys=jnp.pad(s.keys, ((0, 0), (0, 0), (0, pad)),
+                                 constant_values=np.uint32(_SENTINEL)),
+                    weights=jnp.pad(s.weights, ((0, 0), (0, pad))),
+                    csum=jnp.pad(s.csum, ((0, 0), (0, pad)),
+                                 mode="edge"),
+                    rep_hi=jnp.pad(s.rep_hi, ((0, 0), (0, pad)),
+                                   constant_values=np.uint32(_SENTINEL)),
+                    rep_lo=jnp.pad(s.rep_lo, ((0, 0), (0, pad)),
+                                   constant_values=np.uint32(_SENTINEL)),
+                    rep_strand=jnp.pad(s.rep_strand, ((0, 0), (0, pad))),
+                ),
+                out_shardings=self._sharding)
+        self.store = self._step_cache[key](self.store)
+        return self
+
+    def _note_weight(self, add: int):
+        if self._ingested_weight + add > CountIndex._I32_WEIGHT_GUARD:
+            true_total = int(self._fetch(
+                self.store.csum[..., -1]).astype(np.int64).max())
+            self._ingested_weight = true_total
+            if self._ingested_weight + add > (1 << 31) - 1:
+                if self.saturate is not None:
+                    self.compact()
+                    self._ingested_weight = \
+                        self.size() * int(self.saturate)
+                if self._ingested_weight + add > (1 << 31) - 1:
+                    raise OverflowError(
+                        "Bimolecule raw weight total would overflow the "
+                        "int32 prefix sums on a shard; use saturate=, "
+                        "more shards, or smaller insert batches")
+        self._ingested_weight += add
+
+    def _merge_run(self, run_cols):
+        """Merge one adoptable sorted run (kcols, weights, hi, lo,
+        strand) into the store (adopting directly when the store is
+        virgin)."""
+        if self._virgin:
+            key = ("run_adopt", run_cols[0].shape[-1])
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_run_bimol_adopt_step(
+                    self.mesh)
+            self.store = self._step_cache[key](*run_cols)
+            self._virgin = False
+            return
+        key = ("run_adopt", run_cols[0].shape[-1])
+        if key not in self._step_cache:
+            self._step_cache[key] = dx.make_run_bimol_adopt_step(
+                self.mesh)
+        run = self._step_cache[key](*run_cols)
+        key2 = ("run_merge", self.capacity, run_cols[0].shape[-1])
+        if key2 not in self._step_cache:
+            self._step_cache[key2] = dx.make_run_bimol_merge_pair_step(
+                self.mesh)
+        with self.timer.phase("merge"):
+            self.store = self._step_cache[key2](self.store, run)
+
+    def _flush(self):
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        self._pending_rows = 0
+        for run_cols in pending:
+            self._merge_run(run_cols)
+        self._maybe_compact()
+
+    def _maybe_compact(self):
+        cap = self.capacity
+        if cap <= (1 << 14):
+            return
+        distinct = int(self._distinct().max())
+        target = _next_pow2(max(2 * distinct, 1 << 12))
+        if cap >= self.compact_factor * target:
+            self.compact(target)
+
+    def _distinct(self) -> np.ndarray:
+        key = ("run_stats", self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = dx.make_run_stats_step(self.mesh)
+        return self._fetch(self._step_cache[key](self.store))
+
+    def compact(self, new_cap: int | None = None):
+        """Collapse every key's rows to one (key, total, min-rep) row and
+        shrink capacity; retries with doubled capacity on overflow."""
+        self._flush()
+        cap = self.capacity
+        if new_cap is None:
+            new_cap = _next_pow2(
+                max(2 * int(self._distinct().max()), 1 << 12))
+        while True:
+            key = ("run_compact", new_cap, self.capacity, self.saturate)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_run_bimol_compact_step(
+                    self.mesh, new_cap, self.saturate)
+            new_store, ovf = self._step_cache[key](self.store)
+            if int(self._fetch(ovf).max()) == 0:
+                self.store = new_store
+                return self
+            if new_cap >= cap:
+                return self
+            new_cap *= 2
 
     def _checkpoint_prepare(self):
         self._flush()
 
-    @property
-    def capacity(self) -> int:
-        return self.store.keys.shape[1]
-
     def local_sizes(self) -> list[int]:
         self._flush()
-        return [int(x) for x in self._fetch(self.store.size)]
+        return [int(x) for x in self._distinct()]
 
     def size(self) -> int:
         self._flush()
-        return int(self._fetch(self.store.size).sum())
+        return int(self._distinct().sum())
 
+    # -- build path ----------------------------------------------------
+    def _marshal_chunk(self, batch: ReadBatch):
+        with self.timer.phase("extract"):
+            return self._batch_to_stacked(batch, id_kind="long",
+                                          need_qual=False)[0]
+
+    def _insert_cols(self, cols):
+        n_local = cols["codes"].shape[1]
+        self._note_weight(n_local * self.nparts)
+        bucket_cap = self._bucket_capacity(n_local)
+        while True:
+            key = ("bimol_ingest", n_local, bucket_cap)
+            if key not in self._step_cache:
+                self._step_cache[key] = dx.make_bimol_run_ingest_step(
+                    self.mesh, self.nparts, self.spec, bucket_cap,
+                    self.hash_name)
+            with self.timer.phase("insert"):
+                rw, rwt, rhi, rlo, rs, route_ovf = self._step_cache[key](
+                    cols["codes"], cols["valid"], cols["owned"],
+                    cols["seg_id"], cols["id_hi"], cols["id_lo"])
+            if int(self._fetch(route_ovf).max()) == 0:
+                self._pending.append((rw, rwt, rhi, rlo, rs))
+                self._pending_rows += rw.shape[-1]
+                if self._pending_rows >= self.flush_rows:
+                    self._flush()
+                return self
+            bucket_cap = _next_pow2(
+                bucket_cap + int(self._fetch(route_ovf).max()))
+
+    # -- query surface -------------------------------------------------
     def count(self, kmers) -> np.ndarray:
         self._flush()
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
@@ -1377,8 +1451,9 @@ class BimoleculeCountIndex(CountIndex):
         while True:
             key = ("count", mq, bucket_cap, self.capacity)
             if key not in self._step_cache:
-                self._step_cache[key] = dx.make_count_query_step(
-                    self.mesh, self.nparts, bucket_cap, self.hash_name)
+                self._step_cache[key] = dx.make_run_count_query_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name,
+                    self.saturate)
             with self.timer.phase("count"):
                 counts, ovf = self._step_cache[key](self.store, wsh, vsh)
             if int(self._fetch(ovf).max()) == 0:
@@ -1387,13 +1462,11 @@ class BimoleculeCountIndex(CountIndex):
 
     def count_if(self, pred, kmers=None):
         if kmers is None:
-            # device-side selection: matching entries compact to the front
-            # per shard, the host slices n rows (no cap-sized Python scans)
             self._flush()
             key = ("select_if", pred, self.capacity)
             if key not in self._step_cache:
-                self._step_cache[key] = dx.make_count_select_step(
-                    self.mesh, pred)
+                self._step_cache[key] = dx.make_run_select_step(
+                    self.mesh, pred, self.saturate)
             keys_out, counts_out, n = self._step_cache[key](self.store)
             keys_out = self._fetch(keys_out)
             counts_out = self._fetch(counts_out)
@@ -1417,8 +1490,8 @@ class BimoleculeCountIndex(CountIndex):
         self._flush()
         key = ("hist", max_count + 1, self.capacity)
         if key not in self._step_cache:
-            self._step_cache[key] = dx.make_histogram_step(
-                self.mesh, max_count + 1)
+            self._step_cache[key] = dx.make_run_histogram_step(
+                self.mesh, max_count + 1, self.saturate)
         return self._fetch(
             self._step_cache[key](self.store)).astype(np.int64)
 
@@ -1427,11 +1500,6 @@ class BimoleculeCountIndex(CountIndex):
         rows, cnts = self._stored_words()
         return rows, cnts.astype(np.int64)
 
-    def compact(self, new_cap: int | None = None):
-        """BimolStore is always compacted — no-op for API parity."""
-        self._flush()
-        return self
-
     def _strand_of(self, input_words: np.ndarray,
                    canon: np.ndarray) -> np.ndarray:
         return (~np.all(input_words == canon, axis=1)).astype(np.uint32)
@@ -1439,7 +1507,6 @@ class BimoleculeCountIndex(CountIndex):
     def insert(self, kmers):
         """Insert input-strand k-mers: stored canonically with the input
         orientation remembered (first insertion wins)."""
-        self._flush()
         raw = self._to_words(kmers)
         canon = self._maybe_canonicalize_queries(raw)
         strand = self._strand_of(raw, canon)
@@ -1453,7 +1520,6 @@ class BimoleculeCountIndex(CountIndex):
             ids.astype(np.uint32), strand)
 
     def insert_counts(self, kmers, counts):
-        self._flush()
         raw = self._to_words(kmers)
         canon = self._maybe_canonicalize_queries(raw)
         strand = self._strand_of(raw, canon)
@@ -1467,28 +1533,24 @@ class BimoleculeCountIndex(CountIndex):
             ids.astype(np.uint32), strand)
 
     def _insert_tuples(self, canon, weights, rhi, rlo, strand):
+        self._flush()
+        self._note_weight(int(np.int64(np.asarray(weights)).sum()))
         (wsh, csh, hish, losh, ssh), vsh, m = self._shard_rows(
-            canon, extra=(weights, rhi, rlo, strand))
+            canon, extra=(np.asarray(weights, np.int32), rhi, rlo,
+                          np.asarray(strand, np.uint32)))
         mq = wsh.shape[1]
-        cap_needed = self.size() + m
-        if cap_needed > self.capacity * self.nparts:
-            self._grow(_next_pow2(-(-cap_needed // self.nparts)))
         bucket_cap = self._bucket_capacity(mq)
         while True:
-            key = ("bimol_insert", mq, bucket_cap, self.capacity)
+            key = ("bimol_tuples", mq, bucket_cap)
             if key not in self._step_cache:
-                self._step_cache[key] = dx.make_bimol_insert_step(
-                    self.mesh, self.nparts, bucket_cap, self.hash_name,
-                    self.saturate)
-            new_store, route_ovf, store_ovf = self._step_cache[key](
-                self.store, wsh, csh, hish, losh, ssh, vsh)
-            if int(self._fetch(route_ovf).max()) == 0 and \
-               int(self._fetch(store_ovf).max()) == 0:
-                self.store = new_store
+                self._step_cache[key] = dx.make_run_bimol_tuples_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name)
+            run_cols = self._step_cache[key](
+                wsh, csh, hish, losh, ssh, vsh)
+            if int(self._fetch(run_cols[-1]).max()) == 0:
+                self._merge_run(run_cols[:-1])
                 return self
             bucket_cap *= 2
-            if int(self._fetch(store_ovf).max()) > 0:
-                self._grow(self.capacity * 2)
 
     def erase(self, kmers) -> int:
         self._flush()
@@ -1499,7 +1561,7 @@ class BimoleculeCountIndex(CountIndex):
         while True:
             key = ("bimol_erase", mq, bucket_cap, self.capacity)
             if key not in self._step_cache:
-                self._step_cache[key] = dx.make_bimol_erase_step(
+                self._step_cache[key] = dx.make_run_bimol_erase_step(
                     self.mesh, self.nparts, bucket_cap, self.hash_name)
             new_store, nerased, ovf = self._step_cache[key](
                 self.store, wsh, vsh)
@@ -1511,10 +1573,10 @@ class BimoleculeCountIndex(CountIndex):
     def erase_if(self, pred, kmers=None) -> int:
         if kmers is None:
             self._flush()
-            key = ("bimol_erase_if", pred, self.capacity)
+            key = ("bimol_erase_if", pred, self.capacity, self.saturate)
             if key not in self._step_cache:
-                self._step_cache[key] = dx.make_bimol_filter_step(
-                    self.mesh, lambda k, c: ~pred(k, c))
+                self._step_cache[key] = dx.make_run_bimol_filter_step(
+                    self.mesh, lambda k, c: ~pred(k, c), self.saturate)
             new_store, nerased = self._step_cache[key](self.store)
             self.store = new_store
             return int(self._fetch(nerased).sum())
@@ -1522,20 +1584,28 @@ class BimoleculeCountIndex(CountIndex):
 
     def _stored_words(self):
         """(words uint32[t, w], counts int32[t]) — keys in their STORED
-        (input-strand) orientation, concatenated over shards."""
+        (input-strand) orientation, concatenated over shards
+        (device-side export: one compacted row per distinct key)."""
         self._flush()
         from ..ops import bitops
-        keys = self._fetch(self.store.keys)
-        counts = self._fetch(self.store.counts)
-        strands = self._fetch(self.store.rep_strand)
-        sizes = self._fetch(self.store.size)
+        key = ("export", self.capacity, self.saturate)
+        if key not in self._step_cache:
+            self._step_cache[key] = dx.make_run_bimol_export_step(
+                self.mesh, self.saturate)
+        keys_out, counts_out, strand_out, n = self._step_cache[key](
+            self.store)
+        keys_out = self._fetch(keys_out)
+        counts_out = self._fetch(counts_out)
+        strand_out = self._fetch(strand_out)
+        n = self._fetch(n)
         rows, cnts, sts = [], [], []
         for p in range(self.nparts):
-            s = int(sizes[p])
-            rows.append(keys[p, :s])
-            cnts.append(counts[p, :s])
-            sts.append(strands[p, :s])
-        rows = np.concatenate(rows) if rows else np.zeros((0, self.spec.nwords), np.uint32)
+            c = int(n[p])
+            rows.append(keys_out[p, :c])
+            cnts.append(counts_out[p, :c])
+            sts.append(strand_out[p, :c])
+        rows = np.concatenate(rows) if rows else np.zeros(
+            (0, self.spec.nwords), np.uint32)
         cnts = np.concatenate(cnts) if cnts else np.zeros(0, np.int32)
         sts = np.concatenate(sts) if sts else np.zeros(0, np.uint32)
         if rows.shape[0]:
@@ -1554,8 +1624,7 @@ class BimoleculeCountIndex(CountIndex):
 
         Device-side: one routed lookup returns (count, stored strand) per
         canonical query; the stored orientation is reconstructed by
-        reverse-complementing flagged hits — no store gather (the old
-        O(store) host dict is gone)."""
+        reverse-complementing flagged hits — no store gather."""
         self._flush()
         canon = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(canon)
@@ -1564,8 +1633,9 @@ class BimoleculeCountIndex(CountIndex):
         while True:
             key = ("bimol_find", mq, bucket_cap, self.capacity)
             if key not in self._step_cache:
-                self._step_cache[key] = dx.make_bimol_find_step(
-                    self.mesh, self.nparts, bucket_cap, self.hash_name)
+                self._step_cache[key] = dx.make_run_bimol_find_step(
+                    self.mesh, self.nparts, bucket_cap, self.hash_name,
+                    self.saturate)
             with self.timer.phase("find"):
                 counts, strand, ovf = self._step_cache[key](
                     self.store, wsh, vsh)
@@ -1584,7 +1654,12 @@ class BimoleculeCountIndex(CountIndex):
         return out.astype(np.uint32), counts[hit]
 
     def save(self, path):
+        """Serialize: one compacted (key, count, min-rep) row per
+        distinct key — ids are re-issued on load (orientation and counts
+        are what the format promises, matching the compacted layout)."""
         self._flush()
+        self.compact()
+        r = self.store
         np.savez_compressed(
             path,
             kind="bimol_count",
@@ -1593,12 +1668,11 @@ class BimoleculeCountIndex(CountIndex):
             hash_name=self.hash_name,
             saturate=-1 if self.saturate is None else self.saturate,
             nparts=self.nparts,
-            keys=self._fetch(self.store.keys),
-            counts=self._fetch(self.store.counts),
-            rep_hi=self._fetch(self.store.rep_hi),
-            rep_lo=self._fetch(self.store.rep_lo),
-            rep_strand=self._fetch(self.store.rep_strand),
-            sizes=self._fetch(self.store.size),
+            keys=self._fetch(r.keys),
+            weights=self._fetch(r.weights),
+            rep_hi=self._fetch(r.rep_hi),
+            rep_lo=self._fetch(r.rep_lo),
+            rep_strand=self._fetch(r.rep_strand),
         )
         return self
 
@@ -1610,17 +1684,19 @@ class BimoleculeCountIndex(CountIndex):
         sat = int(z["saturate"])
         idx = cls(spec, mesh=mesh, hash_name=str(z["hash_name"]),
                   saturate=None if sat < 0 else sat)
-        keys, counts, sizes = z["keys"], z["counts"], z["sizes"]
+        keys, weights = z["keys"], z["weights"]
         rhi, rlo, rst = z["rep_hi"], z["rep_lo"], z["rep_strand"]
         P_ = keys.shape[0]
-        rows = np.concatenate([keys[p, :sizes[p]] for p in range(P_)])
+        live = weights > 0
+        rows = np.concatenate([
+            keys[p].T[live[p]] for p in range(P_)]).astype(np.uint32)
         if rows.shape[0]:
             idx._insert_tuples(
-                rows.astype(np.uint32),
-                np.concatenate([counts[p, :sizes[p]] for p in range(P_)]),
-                np.concatenate([rhi[p, :sizes[p]] for p in range(P_)]),
-                np.concatenate([rlo[p, :sizes[p]] for p in range(P_)]),
-                np.concatenate([rst[p, :sizes[p]] for p in range(P_)]))
+                rows,
+                np.concatenate([weights[p][live[p]] for p in range(P_)]),
+                np.concatenate([rhi[p][live[p]] for p in range(P_)]),
+                np.concatenate([rlo[p][live[p]] for p in range(P_)]),
+                np.concatenate([rst[p][live[p]] for p in range(P_)]))
         return idx
 
 

@@ -1622,3 +1622,237 @@ def make_run_vecq_export_step(mesh: Mesh, saturate: int | None = None):
         body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
         out_specs=(P(axes_of(mesh)),) * 4,
     ))
+
+
+# ---------------------------------------- run-layout Bimolecule store
+# The Bimolecule preset runs on the RUN layout (store.RunBimolStore):
+# flushes are (w + 4)-column bitonic merges + a prefix rebuild instead of
+# the compacted bimol_insert's store+batch re-sort (635.6 ms at
+# 16.7M+16.7M on v5e; 2238.8 ms before the gather fix).  Count queries,
+# histogram, predicate selects and stats reuse the count family's
+# run-store steps duck-typed (same keys/weights/csum fields); only the
+# representative (first-occurrence orientation) surface is new.
+
+def make_bimol_run_ingest_step(mesh: Mesh, nparts: int, spec,
+                               capacity: int, hash_name: str):
+    """Jitted Bimolecule run ingest: canonical extraction (+ strand flag)
+    + owner exchange + ONE local sort carrying (id_hi, id_lo, strand)
+    payloads.  Returns (kcols[p, w, m], weights[p, m], hi[p, m],
+    lo[p, m], strand[p, m], route_overflow[p]) — an adoptable run."""
+    from ..io.kmer_parsers import DeviceBases, extract_tuples
+    from ..ops import sortops
+
+    def body(codes_blk, valid_blk, owned_blk, seg_blk, hi_blk, lo_blk):
+        bases = DeviceBases(
+            codes=codes_blk[0], valid=valid_blk[0], owned=owned_blk[0],
+            seg_id=seg_blk[0], id_hi=hi_blk[0], id_lo=lo_blk[0],
+            qual=jnp.zeros_like(codes_blk[0]),
+        )
+        tup = extract_tuples(bases, spec, canonical=True)
+        owner = owners_for(tup.words, nparts, hash_name)
+        (rw, rhi, rlo, rs), rvalid, route = dist.distribute(
+            (tup.words, tup.id_hi, tup.id_lo,
+             tup.strand.astype(jnp.uint32)),
+            owner, tup.valid, nparts, capacity, axes_of(mesh))
+        s_words, (s_hi, s_lo, s_s), s_valid = sortops.sort_rows(
+            rw, (rhi, rlo, rs), rvalid, is_stable=False,
+            sentinel_ok=spec.sentinel_safe, word_bits=spec.word_bits(),
+            as_cols=True)
+        s_words = jnp.where(s_valid[None, :], s_words,
+                            jnp.uint32(0xFFFFFFFF))
+        weights = s_valid.astype(jnp.int32)
+        s_hi = jnp.where(s_valid, s_hi, jnp.uint32(0xFFFFFFFF))
+        s_lo = jnp.where(s_valid, s_lo, jnp.uint32(0xFFFFFFFF))
+        s_s = jnp.where(s_valid, s_s, 0)
+        return (s_words[None], weights[None], s_hi[None], s_lo[None],
+                s_s[None], route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 6,
+        out_specs=(P(axes_of(mesh)),) * 6,
+    ))
+
+
+def make_run_bimol_tuples_step(mesh: Mesh, nparts: int, capacity: int,
+                               hash_name: str):
+    """Jitted: route explicit (canonical key, weight, id, strand) tuples
+    to owners and sort them into an adoptable run (the insert /
+    insert_counts / load path)."""
+    from ..ops import sortops
+
+    def body(words_blk, w_blk, hi_blk, lo_blk, s_blk, valid_blk):
+        words, wt, hi, lo, stc, valid = (
+            words_blk[0], w_blk[0], hi_blk[0], lo_blk[0], s_blk[0],
+            valid_blk[0])
+        owner = owners_for(words, nparts, hash_name)
+        (rw, rwt, rhi, rlo, rs), rvalid, route = dist.distribute(
+            (words, wt.astype(jnp.uint32), hi, lo,
+             stc.astype(jnp.uint32)),
+            owner, valid, nparts, capacity, axes_of(mesh))
+        s_words, (s_wt, s_hi, s_lo, s_s), s_valid = sortops.sort_rows(
+            rw, (rwt, rhi, rlo, rs), rvalid, is_stable=False)
+        s_words = jnp.where(s_valid[:, None], s_words,
+                            jnp.uint32(0xFFFFFFFF))
+        kcols = jnp.stack([s_words[:, j]
+                           for j in range(s_words.shape[1])], axis=0)
+        weights = jnp.where(s_valid, s_wt, 0).astype(jnp.int32)
+        s_hi = jnp.where(s_valid, s_hi, jnp.uint32(0xFFFFFFFF))
+        s_lo = jnp.where(s_valid, s_lo, jnp.uint32(0xFFFFFFFF))
+        s_s = jnp.where(s_valid, s_s, 0)
+        return (kcols[None], weights[None], s_hi[None], s_lo[None],
+                s_s[None], route.overflow[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 6,
+        out_specs=(P(axes_of(mesh)),) * 6,
+    ))
+
+
+def make_run_bimol_adopt_step(mesh: Mesh):
+    def body(words_blk, w_blk, hi_blk, lo_blk, s_blk):
+        return _stack(st.run_bimol_from_sorted(
+            words_blk[0], w_blk[0], hi_blk[0], lo_blk[0], s_blk[0]))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 5,
+        out_specs=P(axes_of(mesh)),
+    ))
+
+
+def make_run_bimol_merge_pair_step(mesh: Mesh):
+    def body(a_blk, b_blk):
+        return _stack(st.run_bimol_merge(_unstack(a_blk),
+                                         _unstack(b_blk)))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 2,
+        out_specs=P(axes_of(mesh)),
+    ))
+
+
+def make_run_bimol_find_step(mesh: Mesh, nparts: int, capacity: int,
+                             hash_name: str,
+                             saturate: int | None = None):
+    """Jitted Bimolecule lookup over the run store: route -> count +
+    min-rep strand -> reply (the device half of find;
+    kmer_index.hpp:436-562 keep-first-inserted-key semantics)."""
+
+    def body(stores_blk, queries_blk, qvalid_blk):
+        store = _unstack(stores_blk)
+        queries, qvalid = queries_blk[0], qvalid_blk[0]
+        owner = owners_for(queries, nparts, hash_name)
+        (rq,), rvalid, route = dist.distribute(
+            (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
+        counts, strand = st.run_bimol_lookup(store, rq, saturate)
+        counts = jnp.where(rvalid, counts, 0)
+        strand = jnp.where(rvalid, strand, 0)
+        back_c, back_s = dist.undistribute(
+            (counts, strand), route, nparts, capacity, axes_of(mesh))
+        return back_c[None], back_s[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_run_bimol_erase_step(mesh: Mesh, nparts: int, capacity: int,
+                              hash_name: str):
+    def body(stores_blk, keys_blk, valid_blk):
+        store = _unstack(stores_blk)
+        keys, valid = keys_blk[0], valid_blk[0]
+        owner = owners_for(keys, nparts, hash_name)
+        (rk,), rvalid, route = dist.distribute(
+            (keys,), owner, valid, nparts, capacity, axes_of(mesh))
+        new_store, nerased = st.run_bimol_erase(store, rk, rvalid)
+        return _stack(new_store), nerased[None], route.overflow[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),) * 3,
+        out_specs=(P(axes_of(mesh)),) * 3,
+    ))
+
+
+def make_run_bimol_filter_step(mesh: Mesh, pred,
+                               saturate: int | None = None):
+    """Jitted predicate filter over the run store: runs whose
+    (canonical key, count) fail `pred` get their weights zeroed.
+    Returns (new_stores, n_erased[p] — distinct keys dropped)."""
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        w, cap = store.keys.shape
+        is_head, _, total = st.run_totals(store)
+        counts = total if saturate is None else jnp.minimum(total,
+                                                            saturate)
+        keep_head = pred(jnp.swapaxes(store.keys, 0, 1), counts)
+        # broadcast each run head's verdict over the run (last-set scan)
+        keep = st._broadcast_head(keep_head, is_head)
+        live = total > 0
+        new_w = jnp.where(keep, store.weights, 0)
+        nerased = jnp.sum((is_head & live & ~keep).astype(jnp.int32))
+        new = st.RunBimolStore(
+            keys=store.keys,
+            weights=new_w,
+            csum=jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  st._cumsum_i32(new_w)]),
+            rep_hi=store.rep_hi,
+            rep_lo=store.rep_lo,
+            rep_strand=store.rep_strand,
+        )
+        return _stack(new), nerased[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
+    ))
+
+
+def make_run_bimol_export_step(mesh: Mesh, saturate: int | None = None):
+    """Jitted device-side export: one (canonical key, count, min-rep
+    strand) row per distinct live key, compacted to the front.
+    Returns (keys_out[p, cap, w], counts_out[p, cap],
+    strand_out[p, cap], n[p])."""
+
+    def body(stores_blk):
+        store = _unstack(stores_blk)
+        w, cap = store.keys.shape
+        _, is_last, total = st.run_totals(store)
+        counts = total if saturate is None else jnp.minimum(total,
+                                                            saturate)
+        _, _, mst = st._segmented_min_rep(
+            store.keys, store.weights, store.rep_hi, store.rep_lo,
+            store.rep_strand)
+        emit = is_last & (total > 0)
+        n_emit = jnp.sum(emit.astype(jnp.int32))
+        front_key = (~emit).astype(jnp.uint32)
+        ops = jax.lax.sort(
+            (front_key,) + tuple(store.keys[j] for j in range(w))
+            + (counts, mst), num_keys=1, is_stable=True)
+        keys_out = jnp.stack(ops[1:1 + w], axis=1)
+        return (keys_out[None], ops[1 + w][None], ops[2 + w][None],
+                n_emit[None])
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)),) * 4,
+    ))
+
+
+def make_run_bimol_compact_step(mesh: Mesh, new_cap: int,
+                                saturate: int | None = None):
+    def body(stores_blk):
+        new, ovf = st.run_bimol_compact(_unstack(stores_blk), new_cap,
+                                        saturate)
+        return _stack(new), ovf[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)),) * 2,
+    ))

@@ -53,6 +53,13 @@ __all__ = [
     "run_totals",
     "run_distinct",
     "run_compact",
+    "RunBimolStore",
+    "empty_run_bimol_store",
+    "run_bimol_from_sorted",
+    "run_bimol_merge",
+    "run_bimol_lookup",
+    "run_bimol_erase",
+    "run_bimol_compact",
     "RunVecStore",
     "empty_run_vec_store",
     "run_vec_from_sorted",
@@ -890,6 +897,224 @@ def run_compact(store: RunCountStore, new_cap: int,
         totals = jnp.concatenate([
             totals, jnp.zeros(new_cap - cap, jnp.int32)])
     return run_from_sorted(uniq, totals), jnp.maximum(n_emit - new_cap, 0)
+
+
+# ---------------------------------------- run-layout Bimolecule store
+@dataclasses.dataclass
+class RunBimolStore:
+    """Bimolecule counting store in RUN layout: canonical keys sorted
+    with duplicates, per-row weights, the count prefix sum, and per-row
+    representative (first-occurrence id, strand) columns.
+
+    Counts are csum differences exactly like `RunCountStore` (whose
+    query/histogram/select steps this store reuses duck-typed — same
+    `keys`/`weights`/`csum` fields).  The Bimolecule extra — "remember
+    the INPUT-strand orientation of each key's first occurrence"
+    (kmer_index.hpp:436-562) — virtualizes into a segmented MIN-by-id
+    scan over each run at query/compact time: the row with the smallest
+    64-bit occurrence id supplies the stored orientation, matching the
+    reference's keep-first-inserted-key hash semantics.
+
+    The motivating measurement: the compacted `bimol_insert` re-sorted
+    store+batch with four payload columns per flush — 635.6 ms at
+    16.7M+16.7M rows on v5e (2238.8 ms before the gather fix); this
+    layout's flush is one (w + 4)-column bitonic merge + a prefix-sum
+    rebuild.  Dead rows (weight 0) never win the min: their id
+    candidates are the all-ones sentinel.
+    """
+
+    keys: jax.Array        # uint32[w, cap] — canonical, COLUMN-major
+    weights: jax.Array     # int32[cap]
+    csum: jax.Array        # int32[cap + 1]
+    rep_hi: jax.Array      # uint32[cap] — occurrence id high word
+    rep_lo: jax.Array      # uint32[cap]
+    rep_strand: jax.Array  # uint32[cap] — 0 forward, 1 revcomp
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[1]
+
+
+jax.tree_util.register_dataclass(
+    RunBimolStore,
+    data_fields=["keys", "weights", "csum", "rep_hi", "rep_lo",
+                 "rep_strand"],
+    meta_fields=[])
+
+
+def empty_run_bimol_store(capacity: int, nwords: int) -> RunBimolStore:
+    return RunBimolStore(
+        keys=jnp.full((nwords, capacity), _SENTINEL, dtype=jnp.uint32),
+        weights=jnp.zeros((capacity,), jnp.int32),
+        csum=jnp.zeros((capacity + 1,), jnp.int32),
+        rep_hi=jnp.full((capacity,), _SENTINEL, dtype=jnp.uint32),
+        rep_lo=jnp.full((capacity,), _SENTINEL, dtype=jnp.uint32),
+        rep_strand=jnp.zeros((capacity,), jnp.uint32),
+    )
+
+
+def run_bimol_from_sorted(kcols, weights, rep_hi, rep_lo,
+                          rep_strand) -> RunBimolStore:
+    wt = weights.astype(jnp.int32)
+    return RunBimolStore(
+        keys=kcols,
+        weights=wt,
+        csum=jnp.concatenate([jnp.zeros(1, jnp.int32), _cumsum_i32(wt)]),
+        rep_hi=rep_hi.astype(jnp.uint32),
+        rep_lo=rep_lo.astype(jnp.uint32),
+        rep_strand=rep_strand.astype(jnp.uint32),
+    )
+
+
+@jax.jit
+def run_bimol_merge(a: RunBimolStore, b: RunBimolStore) -> RunBimolStore:
+    """Merge two sorted Bimolecule runs ((w + 4)-column bitonic merge +
+    prefix rebuild); capacity grows to next_pow2(sum)."""
+    keys, (wt, hi, lo, stc) = sortops.merge_sorted_runs_cols(
+        a.keys, (a.weights, a.rep_hi, a.rep_lo, a.rep_strand),
+        b.keys, (b.weights, b.rep_hi, b.rep_lo, b.rep_strand))
+    return run_bimol_from_sorted(keys, wt, hi, lo, stc)
+
+
+def _segmented_min_rep(kcols, weights, rep_hi, rep_lo, rep_strand):
+    """Per-row FULL-RUN minimum representative: the (hi, lo)-smallest
+    live row of the row's key run, broadcast to every row of the run
+    (gather-free: one segmented argmin scan + one reverse select scan
+    per column).  Dead rows (weight 0) carry sentinel candidates."""
+    live = weights > 0
+    hi = jnp.where(live, rep_hi, jnp.uint32(_SENTINEL))
+    lo = jnp.where(live, rep_lo, jnp.uint32(_SENTINEL))
+    stc = jnp.where(live, rep_strand, 0).astype(jnp.uint32)
+    neq_prev, neq_next = _adjacent_neq(kcols)
+
+    def comb(a, b):
+        ahi, alo, ast, af = a
+        bhi, blo, bst, bf = b
+        a_less = (ahi < bhi) | ((ahi == bhi) & (alo <= blo))
+        mhi = jnp.where(a_less, ahi, bhi)
+        mlo = jnp.where(a_less, alo, blo)
+        mst = jnp.where(a_less, ast, bst)
+        return (jnp.where(bf, bhi, mhi), jnp.where(bf, blo, mlo),
+                jnp.where(bf, bst, mst), af | bf)
+
+    fhi, flo, fst, _ = jax.lax.associative_scan(
+        comb, (hi, lo, stc, neq_prev))
+    # the forward scan leaves each run's min at its LAST row; spread it
+    # back over the run with a reversed last-set-value scan per column
+    flags = neq_next[::-1]
+    mhi = _broadcast_head(fhi[::-1], flags)[::-1]
+    mlo = _broadcast_head(flo[::-1], flags)[::-1]
+    mst = _broadcast_head(fst[::-1], flags)[::-1]
+    return mhi, mlo, mst
+
+
+@functools.partial(jax.jit, static_argnames=("saturate",))
+def run_bimol_lookup(store: RunBimolStore, queries: jax.Array,
+                     saturate: int | None = None):
+    """(counts int32[m], strand uint32[m]) per canonical query key —
+    count plus the stored-orientation flag of the earliest occurrence
+    (the device half of Bimolecule find)."""
+    cap = store.capacity
+    w = store.keys.shape[0]
+    q = queries.astype(jnp.uint32)
+    size = store.csum[0] * 0 + cap
+    lo = sortops.lower_bound_cols_bucketed(store.keys, size, q)
+    _, _, total = run_totals(store)
+    _, _, mst = _segmented_min_rep(store.keys, store.weights,
+                                   store.rep_hi, store.rep_lo,
+                                   store.rep_strand)
+    # one fused [w + 2, m] gather: key words + run total + min-rep strand
+    ext = jnp.concatenate(
+        [store.keys, total.astype(jnp.uint32)[None, :], mst[None, :]],
+        axis=0)
+    g = ext[:, jnp.clip(lo, 0, cap - 1)]
+    hit = lo < cap
+    for j in range(w):
+        hit &= g[j] == q[:, j]
+    counts = jnp.where(hit, g[w].astype(jnp.int32), 0)
+    if saturate is not None:
+        counts = jnp.minimum(counts, saturate)
+    strand = jnp.where(hit & (counts > 0), g[w + 1], 0)
+    return counts, strand
+
+
+@jax.jit
+def run_bimol_erase(store: RunBimolStore, queries: jax.Array,
+                    qvalid: jax.Array):
+    """Zero the weights of matching runs; returns (new_store, n_erased)
+    with n_erased = distinct keys whose count dropped to 0 (mirrors
+    `run_erase`; representatives stay in place — weight-0 rows never
+    win the min and dead runs never report)."""
+    cap = store.capacity
+    q = queries.astype(jnp.uint32)
+    lo, hi, _, total = _run_query_bounds(store, q)
+    lo = jnp.where(qvalid, lo, 0)
+    hi = jnp.where(qvalid, hi, 0)
+    had = total > 0
+    diff = jnp.zeros((cap + 1,), jnp.int32)
+    diff = diff.at[lo].add(jnp.where(qvalid, 1, 0))
+    diff = diff.at[hi].add(jnp.where(qvalid, -1, 0))
+    covered = jnp.cumsum(diff[:cap]) > 0
+    new_w = jnp.where(covered, 0, store.weights)
+    new = RunBimolStore(
+        keys=store.keys,
+        weights=new_w,
+        csum=jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              _cumsum_i32(new_w)]),
+        rep_hi=store.rep_hi,
+        rep_lo=store.rep_lo,
+        rep_strand=store.rep_strand,
+    )
+    first = jnp.zeros((cap + 1,), jnp.int32).at[
+        jnp.where(qvalid & had, lo, cap)].max(
+        jnp.arange(q.shape[0], dtype=jnp.int32) + 1)
+    m_idx = jnp.arange(q.shape[0], dtype=jnp.int32) + 1
+    is_first = qvalid & had & (first[lo] == m_idx)
+    return new, jnp.sum(is_first.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("new_cap", "saturate"))
+def run_bimol_compact(store: RunBimolStore, new_cap: int,
+                      saturate: int | None = None):
+    """Collapse every run to one (key, total, min-rep) row and compact
+    live rows to the front.  Returns (new_store[new_cap], overflow)."""
+    w, cap = store.keys.shape
+    _, is_last, total = run_totals(store)
+    if saturate is not None:
+        total = jnp.minimum(total, saturate)
+    mhi, mlo, mst = _segmented_min_rep(store.keys, store.weights,
+                                       store.rep_hi, store.rep_lo,
+                                       store.rep_strand)
+    emit = is_last & (total > 0)
+    n_emit = jnp.sum(emit.astype(jnp.int32))
+    front_key = (~emit).astype(jnp.uint32)
+    ops = jax.lax.sort(
+        (front_key,) + tuple(store.keys[j] for j in range(w))
+        + (total, mhi, mlo, mst),
+        num_keys=1, is_stable=True)
+    uniq = jnp.stack(ops[1:1 + w], axis=0)
+    totals, hi2, lo2, st2 = ops[1 + w:]
+    live = jnp.arange(cap) < n_emit
+    uniq = jnp.where(live[None, :], uniq, jnp.uint32(_SENTINEL))
+    totals = jnp.where(live, totals, 0)
+    hi2 = jnp.where(live, hi2, jnp.uint32(_SENTINEL))
+    lo2 = jnp.where(live, lo2, jnp.uint32(_SENTINEL))
+    st2 = jnp.where(live, st2, 0)
+    if new_cap <= cap:
+        uniq, totals = uniq[:, :new_cap], totals[:new_cap]
+        hi2, lo2, st2 = hi2[:new_cap], lo2[:new_cap], st2[:new_cap]
+    else:
+        pad = new_cap - cap
+        uniq = jnp.concatenate(
+            [uniq, jnp.full((w, pad), _SENTINEL, jnp.uint32)], axis=1)
+        totals = jnp.concatenate([totals, jnp.zeros(pad, jnp.int32)])
+        hi2 = jnp.concatenate(
+            [hi2, jnp.full((pad,), _SENTINEL, jnp.uint32)])
+        lo2 = jnp.concatenate(
+            [lo2, jnp.full((pad,), _SENTINEL, jnp.uint32)])
+        st2 = jnp.concatenate([st2, jnp.zeros(pad, jnp.uint32)])
+    return run_bimol_from_sorted(uniq, totals, hi2, lo2, st2), \
+        jnp.maximum(n_emit - new_cap, 0)
 
 
 # ------------------------------------- run-layout de Bruijn node store
