@@ -158,6 +158,8 @@ def main():
                             jnp.uint32(0xFFFFFFFF))
         return s_words, s_valid.astype(jnp.int32)
 
+    unit_runs = spec.sentinel_safe  # the UNIT-run path CountIndex takes
+
     dcodes = jax.device_put(codes, dev)
     dvalid = jax.device_put(valid, dev)
     dseg = jax.device_put(seg, dev)
@@ -426,7 +428,10 @@ def main():
         def build(codes, valid, seg_id, salt0):
             """Full C-chunk build: every chunk ingested + the index's LSM
             merge policy applied + per-run prefix sums — the exact device
-            schedule CountIndex (max_runs=MAX_RUNS) runs for this corpus."""
+            schedule CountIndex (max_runs=MAX_RUNS) runs for this corpus.
+            Sentinel-safe specs take the index's UNIT-run path
+            (store.run_merge_unit): merges are keys-only and csum is
+            closed-form; other specs carry the weight column."""
             runs = []
             for i in range(C):
                 w, t = ingest(codes, valid, seg_id,
@@ -436,13 +441,21 @@ def main():
                     runs.sort(key=lambda r: r[0].shape[-1], reverse=True)
                     b = runs.pop()
                     a = runs.pop()
-                    k2, (wt,) = sortops.merge_sorted_runs_cols(
-                        a[0], (a[1],), b[0], (b[1],))
+                    if unit_runs:
+                        k2, _ = sortops.merge_sorted_runs_cols(
+                            a[0], (), b[0], ())
+                        wt = (~jnp.all(
+                            k2 == jnp.uint32(0xFFFFFFFF),
+                            axis=0)).astype(jnp.int32)
+                    else:
+                        k2, (wt,) = sortops.merge_sorted_runs_cols(
+                            a[0], (a[1],), b[0], (b[1],))
                     runs.append((k2, wt))
             acc = jnp.uint32(0)
             total = jnp.int32(0)
             for w, t in runs:
-                s = st.run_from_sorted(w, t)
+                s = (st.run_from_sorted_unit(w, t) if unit_runs
+                     else st.run_from_sorted(w, t))
                 acc = acc + s.keys[0, 0]
                 total = total + s.csum[-1]
             return acc, total

@@ -138,7 +138,7 @@ class DeBruijnGraph(_IndexBase):
             # worst case routes every window to one shard)
             totals = np.zeros(self.nparts, np.int64)
             for r in self.runs:
-                totals += self._fetch(r.bsum[..., -1, 8]).astype(np.int64)
+                totals += self._fetch(r.bsum[..., 8, -1]).astype(np.int64)
             self._ingested_weight = int(totals.max())
             if self._ingested_weight + add > (1 << 31) - 1:
                 raise OverflowError(
@@ -220,7 +220,7 @@ class DeBruijnGraph(_IndexBase):
                                  constant_values=np.uint32(_SENTINEL)),
                     ebytes=jnp.pad(s.ebytes, ((0, 0), (0, pad))),
                     weights=jnp.pad(s.weights, ((0, 0), (0, pad))),
-                    bsum=jnp.pad(s.bsum, ((0, 0), (0, pad), (0, 0)),
+                    bsum=jnp.pad(s.bsum, ((0, 0), (0, 0), (0, pad)),
                                  mode="edge"),
                 ),
                 out_shardings=self._sharding)
@@ -506,7 +506,7 @@ class QualityDeBruijnGraph(DeBruijnGraph):
                     ebytes=jnp.pad(s.ebytes, ((0, 0), (0, pad))),
                     weights=jnp.pad(s.weights, ((0, 0), (0, pad))),
                     qsums=jnp.pad(s.qsums, ((0, 0), (0, pad))),
-                    bsum=jnp.pad(s.bsum, ((0, 0), (0, pad), (0, 0)),
+                    bsum=jnp.pad(s.bsum, ((0, 0), (0, 0), (0, pad)),
                                  mode="edge"),
                     qcsum=jnp.pad(s.qcsum, ((0, 0), (0, pad)),
                                   mode="edge"),

@@ -729,6 +729,12 @@ class CountIndex(_IndexBase):
         self.max_runs = max_runs
         self.runs: list = [self._init_store(
             lambda: st.empty_run_count_store(initial_capacity, spec.nwords))]
+        #: per-run host flag: True when every live row has weight 1 and
+        #: sentinels mark exactly the dead tail (file-ingest output) —
+        #: such pairs merge keys-only with closed-form weights/csum
+        #: (st.run_merge_unit); erase/compact/explicit-count inserts
+        #: clear it.  Only meaningful for sentinel-safe specs.
+        self._unit: list = [spec.sentinel_safe]
         #: the initial empty run is replaced by the first real run
         self._virgin = True
         #: compact when capacity >= compact_factor * next_pow2(2*distinct)
@@ -748,6 +754,8 @@ class CountIndex(_IndexBase):
     def store(self, value):
         self.runs = list(value) if isinstance(value, (list, tuple)) \
             else [value]
+        # restored/externally-assigned runs have unknown weight shape
+        self._unit = [False] * len(self.runs)
 
     # ------------------------------------------------------------------
     @property
@@ -780,6 +788,7 @@ class CountIndex(_IndexBase):
         self.runs = [self._init_store(
             lambda: st.empty_run_count_store(self.initial_capacity,
                                              self.spec.nwords))]
+        self._unit = [self.spec.sentinel_safe]
         self._virgin = True
         self._ingested_weight = 0
         return self
@@ -795,14 +804,21 @@ class CountIndex(_IndexBase):
         self._consolidate()
 
     def _merge_two_smallest(self):
-        self.runs.sort(key=lambda r: r.keys.shape[-1], reverse=True)
-        b = self.runs.pop()
-        a = self.runs.pop()
-        key = ("run_merge_pair", a.keys.shape[-1], b.keys.shape[-1])
+        order = sorted(range(len(self.runs)),
+                       key=lambda i: self.runs[i].keys.shape[-1],
+                       reverse=True)
+        self.runs = [self.runs[i] for i in order]
+        self._unit = [self._unit[i] for i in order]
+        b, ub = self.runs.pop(), self._unit.pop()
+        a, ua = self.runs.pop(), self._unit.pop()
+        unit = ua and ub
+        key = ("run_merge_pair", a.keys.shape[-1], b.keys.shape[-1], unit)
         if key not in self._step_cache:
-            self._step_cache[key] = dx.make_run_merge_pair_step(self.mesh)
+            self._step_cache[key] = dx.make_run_merge_pair_step(
+                self.mesh, unit=unit)
         with self.timer.phase("merge"):
             self.runs.append(self._step_cache[key](a, b))
+        self._unit.append(unit)
 
     #: weight budget before a pressure check: headroom under int32 max
     _I32_WEIGHT_GUARD = (1 << 31) - (1 << 26)
@@ -842,16 +858,20 @@ class CountIndex(_IndexBase):
                 "prefix sums on a shard; use saturate= (clamped counts), "
                 "more shards, or smaller insert batches")
 
-    def _append_run(self, words, weights):
-        key = ("run_adopt", words.shape[-1])
+    def _append_run(self, words, weights, unit: bool = False):
+        unit = unit and self.spec.sentinel_safe
+        key = ("run_adopt", words.shape[-1], unit)
         if key not in self._step_cache:
-            self._step_cache[key] = dx.make_run_adopt_step(self.mesh)
+            self._step_cache[key] = dx.make_run_adopt_step(self.mesh,
+                                                           unit=unit)
         run = self._step_cache[key](words, weights)
         if self._virgin:
             self.runs = [run]
+            self._unit = [unit]
             self._virgin = False
         else:
             self.runs.append(run)
+            self._unit.append(unit)
         while len(self.runs) > self.max_runs:
             self._merge_two_smallest()
 
@@ -892,6 +912,7 @@ class CountIndex(_IndexBase):
             new_store, ovf = self._step_cache[key](self.runs[0])
             if int(self._fetch(ovf).max()) == 0:
                 self.runs = [new_store]
+                self._unit = [False]
                 return self
             new_cap = _next_pow2(new_cap + int(self._fetch(ovf).max()))
 
@@ -965,7 +986,7 @@ class CountIndex(_IndexBase):
                 # chunk weight <= its window count (pre-reduced run
                 # lengths sum to the valid windows routed here)
                 self._note_weight(self.nparts * rw.shape[-1])
-                self._append_run(rw, rwt)
+                self._append_run(rw, rwt, unit=True)
                 return self
             bucket_cap = _next_pow2(
                 bucket_cap + int(self._fetch(route_ovf).max()))
@@ -1043,6 +1064,7 @@ class CountIndex(_IndexBase):
                 tuple(self.runs), wsh, vsh)
             if int(self._fetch(ovf).max()) == 0:
                 self.runs = list(new_runs)
+                self._unit = [False] * len(self.runs)
                 return int(self._fetch(nerased).sum())
             bucket_cap *= 2
 
@@ -1063,6 +1085,7 @@ class CountIndex(_IndexBase):
                     self.mesh, lambda k, c: ~pred(k, c), self.saturate)
             new_store, nerased = self._step_cache[key](self.runs[0])
             self.runs = [new_store]
+            self._unit = [False]
             return int(self._fetch(nerased).sum())
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         counts = self.count(words)

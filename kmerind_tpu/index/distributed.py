@@ -619,11 +619,16 @@ def make_run_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
     ))
 
 
-def make_run_adopt_step(mesh: Mesh):
+def make_run_adopt_step(mesh: Mesh, unit: bool = False):
     """Jitted: adopt a sorted weighted run as the whole store (first
-    flush into an empty index — skips the merge)."""
+    flush into an empty index — skips the merge).  unit=True: the run
+    is file-ingest output (weight 1 per live row) — closed-form csum,
+    no prefix-sum dispatch."""
 
     def body(words_blk, weights_blk):
+        if unit:
+            return _stack(st.run_from_sorted_unit(words_blk[0],
+                                                  weights_blk[0]))
         return _stack(st.run_from_sorted(words_blk[0], weights_blk[0]))
 
     return jax.jit(jax.shard_map(
@@ -863,12 +868,16 @@ def make_runs_erase_step(mesh: Mesh, nparts: int, capacity: int,
     ))
 
 
-def make_run_merge_pair_step(mesh: Mesh):
+def make_run_merge_pair_step(mesh: Mesh, unit: bool = False):
     """Jitted: merge two run stores into one (bitonic merge + prefix-sum
-    rebuild) — the LSM level-merge."""
+    rebuild) — the LSM level-merge.  With unit=True both operands are
+    UNIT runs (weight 1 per live row; file-ingest output) and the merge
+    runs keys-only with closed-form weights/csum (st.run_merge_unit)."""
 
     def body(a_blk, b_blk):
         a, b = _unstack(a_blk), _unstack(b_blk)
+        if unit:
+            return _stack(st.run_merge_unit(a, b))
         return _stack(st.run_merge(a, b.keys, b.weights))
 
     return jax.jit(jax.shard_map(
@@ -1414,8 +1423,8 @@ def make_run_vec_export_step(mesh: Mesh, saturate: int | None = None):
         # are nondecreasing, so head/last scans broadcast within runs
         totals = []
         for j in range(9):
-            excl = store.bsum[:cap, j]
-            incl = store.bsum[1:, j]
+            incl = store.bsum[j]
+            excl = st._excl_of(incl)
             start = jax.lax.cummax(
                 jnp.where(neq_prev, excl, jnp.int32(-2147483648)), axis=0)
             end = jax.lax.cummin(
@@ -1592,16 +1601,16 @@ def make_run_vecq_export_step(mesh: Mesh, saturate: int | None = None):
         neq_prev, neq_next = st._adjacent_neq(store.keys)
         totals = []
         for j in range(9):
-            excl = store.bsum[:cap, j]
-            incl = store.bsum[1:, j]
+            incl = store.bsum[j]
+            excl = st._excl_of(incl)
             start = jax.lax.cummax(
                 jnp.where(neq_prev, excl, jnp.int32(-2147483648)), axis=0)
             end = jax.lax.cummin(
                 jnp.where(neq_next, incl,
                           jnp.int32(2147483647))[::-1], axis=0)[::-1]
             totals.append(end - start)
-        q_incl = store.qcsum[1:]
-        q_total = q_incl - st._broadcast_head(store.qcsum[:cap], neq_prev)
+        q_incl = store.qcsum
+        q_total = q_incl - st._broadcast_head(st._excl_of(q_incl), neq_prev)
         if saturate is not None:
             totals = [jnp.minimum(t, saturate) for t in totals]
         emit = neq_next & (totals[8] > 0)

@@ -678,6 +678,50 @@ def run_merge(store: RunCountStore, kcols: jax.Array,
     return run_from_sorted(keys, w)
 
 
+def run_from_sorted_unit(kcols: jax.Array,
+                         weights: jax.Array) -> RunCountStore:
+    """Adopt an already-sorted UNIT run (weight 1 per live row, sentinel
+    tail) with closed-form csum — no prefix-sum dispatch: live rows sort
+    to the front, so csum[i] = min(i, n_live)."""
+    n = kcols.shape[1]
+    live = ~jnp.all(kcols == jnp.uint32(_SENTINEL), axis=0)
+    n_live = jnp.sum(weights.astype(jnp.int32))
+    return RunCountStore(
+        keys=kcols,
+        weights=live.astype(jnp.int32),
+        csum=jnp.minimum(jnp.arange(n + 1, dtype=jnp.int32), n_live),
+    )
+
+
+@jax.jit
+def run_merge_unit(a: RunCountStore, b: RunCountStore) -> RunCountStore:
+    """Merge two UNIT runs: every live row carries weight 1 and the
+    sentinel keys mark exactly the dead tail — the shape
+    `make_run_ingest_step` emits for every file-ingested chunk.
+
+    Requires a sentinel-safe spec (kmer.py: nwords*32 > nbits, so no
+    real k-mer can equal the all-ones sentinel).  Under that invariant
+    the weight column is redundant: live rows are precisely the
+    non-sentinel keys and sort to the front, so the merge network runs
+    KEYS-ONLY (w operands instead of w+1 — one fewer column in every
+    compare-exchange HBM pass) and weights/csum are reconstructed in
+    closed form, with no prefix-sum dispatch at all:
+    weights = (key != sentinel), csum[i] = min(i, total live).
+
+    The reference times insert end-to-end per flavor
+    (test/benchmark/BenchmarkKmerIndex.cpp:480-593); this path is the
+    analog of its counting insert for the common file-build case."""
+    keys, _ = sortops.merge_sorted_runs_cols(a.keys, (), b.keys, ())
+    n = keys.shape[1]
+    live = ~jnp.all(keys == jnp.uint32(_SENTINEL), axis=0)
+    n_live = a.csum[-1] + b.csum[-1]
+    return RunCountStore(
+        keys=keys,
+        weights=live.astype(jnp.int32),
+        csum=jnp.minimum(jnp.arange(n + 1, dtype=jnp.int32), n_live),
+    )
+
+
 def _adjacent_neq(kcols: jax.Array):
     """(neq_prev bool[cap], neq_next bool[cap]) between adjacent rows of
     column-major keys [w, cap]."""
@@ -1121,14 +1165,16 @@ def run_bimol_compact(store: RunBimolStore, new_cap: int,
 @dataclasses.dataclass
 class RunVecStore:
     """De Bruijn node store in RUN layout: sorted keys with duplicates
-    allowed, per-row (edge byte, weight) payloads, and a [cap + 1, 9]
-    prefix-sum table of counter contributions.
+    allowed, per-row (edge byte, weight) payloads, and a [9, cap]
+    INCLUSIVE prefix-sum table of counter contributions (one contiguous
+    stream per counter).
 
     Row i contributes ``weights[i] * bit_j(ebytes[i])`` to counter j
     (j < 8: out A,C,G,T, in A,C,G,T — one increment per set DNA16 bit,
     edge_counts::update, de_bruijn_node_trait.hpp:195-245) and
     ``weights[i]`` to the self counter (j = 8).  Node counters of key q
-    are ``bsum[run_end(q)] - bsum[run_start(q)]`` — the vector reduction
+    are ``bsum[:, run_end(q) - 1] - bsum[:, run_start(q) - 1]`` (zero below
+    index 0) — the vector reduction
     virtualized into prefix sums, the same discipline that RunCountStore
     applies to counting (distributed_sorted_map.hpp:341,940 lazy-sort
     semantics).  The motivating measurement: the compacted VecStore
@@ -1149,7 +1195,7 @@ class RunVecStore:
     keys: jax.Array     # uint32[w, cap] — per-word COLUMNS, sorted
     ebytes: jax.Array   # int32[cap] DNA16 edge byte (left<<4 | right)
     weights: jax.Array  # int32[cap] occurrences collapsed into the row
-    bsum: jax.Array     # int32[cap + 1, 9] prefix sums of contributions
+    bsum: jax.Array     # int32[9, cap] INCLUSIVE prefix sums per counter
 
     @property
     def capacity(self) -> int:
@@ -1166,19 +1212,26 @@ def empty_run_vec_store(capacity: int, nwords: int) -> RunVecStore:
         keys=jnp.full((nwords, capacity), _SENTINEL, dtype=jnp.uint32),
         ebytes=jnp.zeros((capacity,), jnp.int32),
         weights=jnp.zeros((capacity,), jnp.int32),
-        bsum=jnp.zeros((capacity + 1, 9), jnp.int32),
+        bsum=jnp.zeros((9, capacity), jnp.int32),
     )
 
 
+def _excl_of(incl: jax.Array) -> jax.Array:
+    """Exclusive counterpart of an INCLUSIVE prefix-sum column [cap]."""
+    i = jnp.arange(incl.shape[0])
+    return jnp.where(i > 0, jnp.roll(incl, 1), jnp.zeros_like(incl))
+
+
 def _vec_bsum(ebytes: jax.Array, weights: jax.Array) -> jax.Array:
-    """int32[cap + 1, 9] prefix sums of per-row counter contributions."""
-    cap = ebytes.shape[0]
+    """int32[9, cap] INCLUSIVE prefix sums of per-row counter
+    contributions, one contiguous row per counter (the kernel-native
+    stream layout — no [cap, 9] interleave pass; bound gathers use the
+    fast axis-1 form `bsum[:, idx]`)."""
     cols = []
     for j in range(8):
         cols.append(_cumsum_i32(((ebytes >> j) & 1) * weights))
     cols.append(_cumsum_i32(weights))
-    incl = jnp.stack(cols, axis=1)
-    return jnp.concatenate([jnp.zeros((1, 9), jnp.int32), incl], axis=0)
+    return jnp.stack(cols, axis=0)
 
 
 def run_vec_from_sorted(kcols: jax.Array, ebytes: jax.Array,
@@ -1208,8 +1261,8 @@ def run_vec_distinct(store: RunVecStore) -> jax.Array:
     node count; sentinel padding has weight 0 and never counts)."""
     cap = store.capacity
     neq_prev, neq_next = _adjacent_neq(store.keys)
-    csum_excl = store.bsum[:cap, 8]
-    csum_incl = store.bsum[1:, 8]
+    csum_incl = store.bsum[8]
+    csum_excl = _excl_of(csum_incl)
     start = jax.lax.cummax(
         jnp.where(neq_prev, csum_excl, jnp.int32(-2147483648)), axis=0)
     end = jax.lax.cummin(
@@ -1248,10 +1301,13 @@ def run_vec_lookup(store: RunVecStore, queries: jax.Array,
     hi = jnp.where(hit, jnp.minimum(lo + g[w].astype(jnp.int32), cap), lo)
     lo_h = jnp.where(hit, lofc, 0)
     hi_h = jnp.where(hit, hi, 0)
-    # one fused [2m, 9] row gather of the prefix table at both bounds
-    both = store.bsum[jnp.concatenate([lo_h, hi_h])]
+    # one fused [9, 2m] axis-1 gather of the inclusive prefix rows at
+    # both run bounds; bound i reads incl[:, i-1] (zero at i == 0)
+    idx2 = jnp.concatenate([lo_h, hi_h])
+    g = store.bsum[:, jnp.clip(idx2 - 1, 0, cap - 1)]
+    g = jnp.where(idx2[None, :] > 0, g, 0)
     m = q.shape[0]
-    counts = both[m:] - both[:m]
+    counts = (g[:, m:] - g[:, :m]).T
     counts = jnp.where(hit[:, None], counts, 0)
     if saturate is not None:
         counts = jnp.minimum(counts, saturate)
@@ -1332,8 +1388,8 @@ class RunVecQStore:
     ebytes: jax.Array   # int32[cap]
     weights: jax.Array  # int32[cap]
     qsums: jax.Array    # float32[cap] — windowed scores collapsed in
-    bsum: jax.Array     # int32[cap + 1, 9]
-    qcsum: jax.Array    # float32[cap + 1] prefix sums of qsums
+    bsum: jax.Array     # int32[9, cap] INCLUSIVE prefix sums per counter
+    qcsum: jax.Array    # float32[cap] INCLUSIVE prefix sums of qsums
 
     @property
     def capacity(self) -> int:
@@ -1352,8 +1408,8 @@ def empty_run_vecq_store(capacity: int, nwords: int) -> RunVecQStore:
         ebytes=jnp.zeros((capacity,), jnp.int32),
         weights=jnp.zeros((capacity,), jnp.int32),
         qsums=jnp.zeros((capacity,), jnp.float32),
-        bsum=jnp.zeros((capacity + 1, 9), jnp.int32),
-        qcsum=jnp.zeros((capacity + 1,), jnp.float32),
+        bsum=jnp.zeros((9, capacity), jnp.int32),
+        qcsum=jnp.zeros((capacity,), jnp.float32),
     )
 
 
@@ -1364,8 +1420,7 @@ def run_vecq_from_sorted(kcols, ebytes, weights, qsums) -> RunVecQStore:
     return RunVecQStore(
         keys=kcols, ebytes=eb, weights=wt, qsums=qs,
         bsum=_vec_bsum(eb, wt),
-        qcsum=jnp.concatenate([jnp.zeros(1, jnp.float32),
-                               jnp.cumsum(qs)]),
+        qcsum=jnp.cumsum(qs),
     )
 
 
@@ -1419,13 +1474,15 @@ def run_vecq_lookup(store: RunVecQStore, queries: jax.Array,
     hi_h = jnp.where(hit, hi, 0)
     table = jnp.concatenate(
         [store.bsum,
-         jax.lax.bitcast_convert_type(store.qcsum, jnp.int32)[:, None]],
-        axis=1)
-    both = table[jnp.concatenate([lo_h, hi_h])]
+         jax.lax.bitcast_convert_type(store.qcsum, jnp.int32)[None, :]],
+        axis=0)
+    idx2 = jnp.concatenate([lo_h, hi_h])
+    g = table[:, jnp.clip(idx2 - 1, 0, cap - 1)]
+    g = jnp.where(idx2[None, :] > 0, g, 0)
     m = q.shape[0]
-    counts = both[m:, :9] - both[:m, :9]
-    qdiff = (jax.lax.bitcast_convert_type(both[m:, 9], jnp.float32)
-             - jax.lax.bitcast_convert_type(both[:m, 9], jnp.float32))
+    counts = (g[:9, m:] - g[:9, :m]).T
+    qdiff = (jax.lax.bitcast_convert_type(g[9, m:], jnp.float32)
+             - jax.lax.bitcast_convert_type(g[9, :m], jnp.float32))
     counts = jnp.where(hit[:, None], counts, 0)
     qdiff = jnp.where(hit, qdiff, 0.0)
     if saturate is not None:
