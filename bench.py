@@ -154,8 +154,9 @@ def main():
             tup.words, (), tup.valid, is_stable=False,
             sentinel_ok=spec.sentinel_safe, word_bits=spec.word_bits(),
             as_cols=True)
-        s_words = jnp.where(s_valid[None, :], s_words,
-                            jnp.uint32(0xFFFFFFFF))
+        if not spec.sentinel_safe:
+            s_words = jnp.where(s_valid[None, :], s_words,
+                                jnp.uint32(0xFFFFFFFF))
         return s_words, s_valid.astype(jnp.int32)
 
     unit_runs = spec.sentinel_safe  # the UNIT-run path CountIndex takes
@@ -375,11 +376,17 @@ def main():
                 words, (edges.astype(jnp.uint32),), wvalid,
                 is_stable=False, sentinel_ok=spec.sentinel_safe,
                 word_bits=spec.word_bits(), as_cols=True)
-            s_words = jnp.where(s_valid[None, :], s_words,
-                                jnp.uint32(0xFFFFFFFF))
-            return st.run_vec_from_sorted(
+            if not spec.sentinel_safe:
+                s_words = jnp.where(s_valid[None, :], s_words,
+                                    jnp.uint32(0xFFFFFFFF))
+            mk = (st.run_vec_from_sorted_unit if spec.sentinel_safe
+                  else st.run_vec_from_sorted)
+            return mk(
                 s_words, jnp.where(s_valid, s_eb, 0).astype(jnp.int32),
                 s_valid.astype(jnp.int32))
+
+        mg = (st.run_vec_merge_unit if spec.sentinel_safe
+              else st.run_vec_merge)
 
         @jax.jit
         def build(codes, valid, seg_id, salt0):
@@ -392,12 +399,12 @@ def main():
                               reverse=True)
                     b = runs.pop()
                     a = runs.pop()
-                    runs.append(st.run_vec_merge(a, b))
+                    runs.append(mg(a, b))
             acc = jnp.uint32(0)
             total = jnp.int32(0)
             for r in runs:
                 acc = acc + r.keys[0, 0]
-                total = total + r.bsum[-1, 8]
+                total = total + r.bsum[8, -1]
             return acc, total
 
         _log(f"compiling de Bruijn build ({C} chunks, "

@@ -65,6 +65,10 @@ class DeBruijnGraph(_IndexBase):
         # cannot target non-addressable devices under jax.distributed)
         self.runs: list = [self._init_store(
             lambda: self._rv_empty(initial_capacity, spec.nwords))]
+        #: per-run unit flags (weight 1 per live row — file-ingest runs);
+        #: unit pairs merge without the weight column, closed-form self
+        #: stream (st.run_vec_merge_unit)
+        self._unit: list = [spec.sentinel_safe]
         self._virgin = True
         self.compact_factor = 4
         #: host-side bound on any shard's raw weight total (int32 prefix
@@ -80,6 +84,7 @@ class DeBruijnGraph(_IndexBase):
     def store(self, value):
         self.runs = list(value) if isinstance(value, (list, tuple)) \
             else [value]
+        self._unit = [False] * len(self.runs)
 
     @property
     def capacity(self) -> int:
@@ -108,6 +113,7 @@ class DeBruijnGraph(_IndexBase):
         self.runs = [self._init_store(
             lambda: self._rv_empty(self.initial_capacity,
                                    self.spec.nwords))]
+        self._unit = [self.spec.sentinel_safe]
         self._virgin = True
         self._ingested_weight = 0
         return self
@@ -121,14 +127,20 @@ class DeBruijnGraph(_IndexBase):
         self._consolidate()
 
     def _merge_two_smallest(self):
-        self.runs.sort(key=lambda r: r.keys.shape[-1], reverse=True)
-        b = self.runs.pop()
-        a = self.runs.pop()
-        key = ("run_merge_pair", a.keys.shape[-1], b.keys.shape[-1])
+        order = sorted(range(len(self.runs)),
+                       key=lambda i: self.runs[i].keys.shape[-1],
+                       reverse=True)
+        self.runs = [self.runs[i] for i in order]
+        self._unit = [self._unit[i] for i in order]
+        b, ub = self.runs.pop(), self._unit.pop()
+        a, ua = self.runs.pop(), self._unit.pop()
+        unit = ua and ub
+        key = ("run_merge_pair", a.keys.shape[-1], b.keys.shape[-1], unit)
         if key not in self._step_cache:
-            self._step_cache[key] = self._rv_merge(self.mesh)
+            self._step_cache[key] = self._rv_merge(self.mesh, unit=unit)
         with self.timer.phase("merge"):
             self.runs.append(self._step_cache[key](a, b))
+        self._unit.append(unit)
 
     _I32_WEIGHT_GUARD = (1 << 31) - (1 << 26)
 
@@ -147,18 +159,21 @@ class DeBruijnGraph(_IndexBase):
                     "insert batches")
         self._ingested_weight += add
 
-    def _append_run(self, words, *payload_cols):
+    def _append_run(self, words, *payload_cols, unit: bool = False):
         """Adopt routed sorted columns as a run ((ebytes, weights) for the
         base graph; (ebytes, weights, qsums) for the quality engine)."""
-        key = ("run_adopt", words.shape[-1])
+        unit = unit and self.spec.sentinel_safe
+        key = ("run_adopt", words.shape[-1], unit)
         if key not in self._step_cache:
-            self._step_cache[key] = self._rv_adopt(self.mesh)
+            self._step_cache[key] = self._rv_adopt(self.mesh, unit=unit)
         run = self._step_cache[key](words, *payload_cols)
         if self._virgin:
             self.runs = [run]
+            self._unit = [unit]
             self._virgin = False
         else:
             self.runs.append(run)
+            self._unit.append(unit)
         while len(self.runs) > self.max_runs:
             self._merge_two_smallest()
 
@@ -197,6 +212,7 @@ class DeBruijnGraph(_IndexBase):
             new_run, ovf = self._step_cache[key](self.runs[0])
             if int(self._fetch(ovf).max()) == 0:
                 self.runs = [new_run]
+                self._unit = [False]
                 return self
             if new_cap >= cap:
                 # nothing to reclaim at this size; keep the raw run
@@ -299,7 +315,7 @@ class DeBruijnGraph(_IndexBase):
                     cols["codes"], cols["valid"], cols["owned"],
                     cols["seg_id"])
             if int(self._fetch(route_ovf).max()) == 0:
-                self._append_run(rw, reb, rwt)
+                self._append_run(rw, reb, rwt, unit=True)
                 return self
             bucket_cap = _next_pow2(
                 bucket_cap + int(self._fetch(route_ovf).max()))
@@ -486,7 +502,7 @@ class QualityDeBruijnGraph(DeBruijnGraph):
                     cols["codes"], cols["valid"], cols["owned"],
                     cols["seg_id"], cols["qual"])
             if int(self._fetch(route_ovf).max()) == 0:
-                self._append_run(rw, reb, rwt, rqs)
+                self._append_run(rw, reb, rwt, rqs, unit=True)
                 return self
             bucket_cap = _next_pow2(
                 bucket_cap + int(self._fetch(route_ovf).max()))

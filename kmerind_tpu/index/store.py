@@ -1255,6 +1255,54 @@ def run_vec_merge(a: RunVecStore, b: RunVecStore) -> RunVecStore:
     return run_vec_from_sorted(keys, eb, wt)
 
 
+def _vec_bsum_unit(eb: jax.Array, n_live: jax.Array) -> jax.Array:
+    """[9, n] inclusive counter prefix sums of a UNIT run: weights are 1
+    per live row (dead rows carry ebyte 0, so the bit streams need no
+    mask) and the self stream is closed-form min(i + 1, n_live)."""
+    n = eb.shape[0]
+    cols = [_cumsum_i32((eb >> j) & 1) for j in range(8)]
+    self_row = jnp.minimum(jnp.arange(1, n + 1, dtype=jnp.int32),
+                           n_live)
+    # ONE [9, n] stack (a stack + concat pair costs an extra full-table
+    # copy)
+    return jnp.stack(cols + [self_row], axis=0)
+
+
+def run_vec_from_sorted_unit(kcols: jax.Array,
+                             ebytes: jax.Array,
+                             weights: jax.Array) -> RunVecStore:
+    """Adopt a sorted UNIT edge run (file-ingest output: weight 1 per
+    live row, sentinel tail, dead ebytes 0) — closed-form self stream,
+    8 bit-stream scans with no weight multiply."""
+    eb = ebytes.astype(jnp.int32)
+    n_live = jnp.sum(weights.astype(jnp.int32))
+    n = kcols.shape[1]
+    live = jnp.arange(n, dtype=jnp.int32) < n_live
+    return RunVecStore(
+        keys=kcols, ebytes=eb, weights=live.astype(jnp.int32),
+        bsum=_vec_bsum_unit(eb, n_live))
+
+
+@jax.jit
+def run_vec_merge_unit(a: RunVecStore, b: RunVecStore) -> RunVecStore:
+    """Merge two UNIT edge runs: the weight column never rides the merge
+    network (w + 1 operands instead of w + 2) — weights and the self
+    stream come back in closed form (the count family's
+    `run_merge_unit` discipline applied to the de Bruijn store)."""
+    keys, (eb,) = sortops.merge_sorted_runs_cols(
+        a.keys, (a.ebytes,), b.keys, (b.ebytes,))
+    n = keys.shape[1]
+    # live totals from the weight flags, NOT bsum[8, -1]: a one-element
+    # read of the stacked table defeats XLA's dead-code elimination of
+    # the operands' full [9, n] tables (measured: in-program merges cost
+    # 39 ms vs 15 isolated until every input bsum stopped being forced)
+    n_live = jnp.sum(a.weights) + jnp.sum(b.weights)
+    live = jnp.arange(n, dtype=jnp.int32) < n_live
+    return RunVecStore(
+        keys=keys, ebytes=eb, weights=live.astype(jnp.int32),
+        bsum=_vec_bsum_unit(eb, n_live))
+
+
 @jax.jit
 def run_vec_distinct(store: RunVecStore) -> jax.Array:
     """int32 scalar: distinct keys with positive total weight (the graph's
@@ -1437,6 +1485,38 @@ def run_vecq_merge(a: RunVecQStore, b: RunVecQStore) -> RunVecQStore:
          jax.lax.bitcast_convert_type(b.qsums, jnp.uint32)))
     return run_vecq_from_sorted(
         keys, eb, wt, jax.lax.bitcast_convert_type(qb, jnp.float32))
+
+
+def run_vecq_from_sorted_unit(kcols, ebytes, weights,
+                              qsums) -> RunVecQStore:
+    """Adopt a sorted UNIT quality edge run (weight 1 per live row; dead
+    rows carry ebyte 0 and qsum 0.0) — closed-form self stream."""
+    eb = ebytes.astype(jnp.int32)
+    qs = qsums.astype(jnp.float32)
+    n_live = jnp.sum(weights.astype(jnp.int32))
+    n = kcols.shape[1]
+    live = jnp.arange(n, dtype=jnp.int32) < n_live
+    return RunVecQStore(
+        keys=kcols, ebytes=eb, weights=live.astype(jnp.int32), qsums=qs,
+        bsum=_vec_bsum_unit(eb, n_live), qcsum=jnp.cumsum(qs))
+
+
+@jax.jit
+def run_vecq_merge_unit(a: RunVecQStore, b: RunVecQStore) -> RunVecQStore:
+    """Merge two UNIT quality edge runs: w + 2 merge operands instead of
+    w + 3 (the weight column is closed-form)."""
+    keys, (eb, qb) = sortops.merge_sorted_runs_cols(
+        a.keys, (a.ebytes, jax.lax.bitcast_convert_type(a.qsums,
+                                                        jnp.uint32)),
+        b.keys, (b.ebytes, jax.lax.bitcast_convert_type(b.qsums,
+                                                        jnp.uint32)))
+    qs = jax.lax.bitcast_convert_type(qb, jnp.float32)
+    n = keys.shape[1]
+    n_live = jnp.sum(a.weights) + jnp.sum(b.weights)  # see run_vec_merge_unit
+    live = jnp.arange(n, dtype=jnp.int32) < n_live
+    return RunVecQStore(
+        keys=keys, ebytes=eb, weights=live.astype(jnp.int32), qsums=qs,
+        bsum=_vec_bsum_unit(eb, n_live), qcsum=jnp.cumsum(qs))
 
 
 @jax.jit

@@ -417,6 +417,16 @@ def run_length_weights_pallas(sorted_words: jax.Array,
 # ride along unexamined.
 
 _MG_BLOCK = 1 << 17           # elements per block (= 1024 rows x 128 lanes)
+
+
+def _mg_block_for(ncols: int) -> int:
+    """Merge block size by operand count: narrow column mixes (the
+    count family's keys-only unit merges, the de Bruijn keys+ebyte
+    merges) take 2^18-element blocks — per-pass DMA count halves and
+    one whole global stage moves into the fused local pass — while
+    wide mixes keep 2^17 so the 8-resident-block double-buffered global
+    kernel stays inside VMEM."""
+    return _MG_BLOCK * 2 if ncols <= 3 else _MG_BLOCK
 _MERGE_SENTINEL = 0xFFFFFFFF  # padding key (run-store convention: weight 0)
 
 
@@ -848,7 +858,8 @@ def bitonic_merge_pallas_cols(kcols: jax.Array, payloads=(),
 
 def _bitonic_merge_pallas_cols(kcols, payloads, interpret):
     w, n = kcols.shape
-    assert n & (n - 1) == 0 and n % _MG_BLOCK == 0
+    blk = _mg_block_for(w + len(payloads))
+    assert n & (n - 1) == 0 and n % blk == 0
     rows_total = n // _LANES
     cols = [kcols[j].reshape(rows_total, _LANES) for j in range(w)]
     for p in payloads:
@@ -860,7 +871,7 @@ def _bitonic_merge_pallas_cols(kcols, payloads, interpret):
         vma = frozenset()
     shapes = [jax.ShapeDtypeStruct((rows_total, _LANES), c.dtype, vma=vma)
               for c in cols]
-    return _merge_stage_loop(cols, shapes, w, n, n // 2, interpret)
+    return _merge_stage_loop(cols, shapes, w, n, n // 2, interpret, blk)
 
 
 def _bitonic_merge_pallas_cols_2op(a_kcols, a_payloads, b_kcols, b_payloads,
@@ -879,9 +890,10 @@ def _bitonic_merge_pallas_cols_2op(a_kcols, a_payloads, b_kcols, b_payloads,
     w, na = a_kcols.shape
     nb = b_kcols.shape[1]
     n = 2 * na
-    assert n % (4 * _MG_BLOCK) == 0 and nb % _MG_BLOCK == 0 and 0 < nb <= na
+    blk = _mg_block_for(len(a_payloads) + w)
+    assert n % (4 * blk) == 0 and nb % blk == 0 and 0 < nb <= na
     rows_total = n // _LANES
-    brows = _MG_BLOCK // _LANES
+    brows = blk // _LANES
     a_cols = [a_kcols[j].reshape(na // _LANES, _LANES) for j in range(w)]
     b_cols = [b_kcols[j].reshape(nb // _LANES, _LANES) for j in range(w)]
     for pa, pb in zip(a_payloads, b_payloads):
@@ -895,8 +907,8 @@ def _bitonic_merge_pallas_cols_2op(a_kcols, a_payloads, b_kcols, b_payloads,
     shapes = [jax.ShapeDtypeStruct((rows_total, _LANES), c.dtype, vma=vma)
               for c in a_cols]
     dtypes = [c.dtype for c in a_cols]
-    nb4 = n // (4 * _MG_BLOCK)
-    nbb = nb // _MG_BLOCK
+    nb4 = n // (4 * blk)
+    nbb = nb // blk
     cols = pl.pallas_call(
         _make_first_stage2_2op_kernel(ncols, w, brows, nb4, nbb,
                                       _MERGE_SENTINEL, dtypes),
@@ -913,29 +925,31 @@ def _bitonic_merge_pallas_cols_2op(a_kcols, a_payloads, b_kcols, b_payloads,
         # ncols=5); physical VMEM accommodates this (the double-buffered
         # global kernel already runs at 28 MB)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=4 * ncols * _MG_BLOCK * 4
-            + 16 * 1024 * 1024),
+            vmem_limit_bytes=4 * ncols * blk * 4
+            + 24 * 1024 * 1024),
         interpret=interpret,
     )(*a_cols, *b_cols)
-    return _merge_stage_loop(list(cols), shapes, w, n, n // 8, interpret)
+    return _merge_stage_loop(list(cols), shapes, w, n, n // 8, interpret,
+                             blk)
 
 
-def _merge_stage_loop(cols, shapes, w, n, d0, interpret):
+def _merge_stage_loop(cols, shapes, w, n, d0, interpret,
+                      blk: int = _MG_BLOCK):
     """Run the bitonic half-cleaner stages at distances d0, d0/2, …, 1
     over materialized [n/128, 128] VMEM-blocked columns (global paired /
-    double-buffered passes down to _MG_BLOCK, then one fused local
+    double-buffered passes down to the block size, then one fused local
     pass), and restack the outputs."""
     ncols = len(cols)
-    brows = _MG_BLOCK // _LANES
+    brows = blk // _LANES
 
     # global stages: d = d0 … _MG_BLOCK, fused in PAIRS (4 blocks in
     # VMEM, two compare-exchange stages per HBM pass) while two stages
     # remain; a single odd stage falls back to the pair-exchange kernel
     d = d0
-    while d >= _MG_BLOCK:
-        db = d // _MG_BLOCK
-        if d >= 2 * _MG_BLOCK:
-            ngroups = n // (4 * _MG_BLOCK)
+    while d >= blk:
+        db = d // blk
+        if d >= 2 * blk:
+            ngroups = n // (4 * blk)
             if ncols <= 5 and ngroups >= 2:
                 # double-buffered: 8 blocks resident (12 MB at ncols=3,
                 # 20 MB at k=63's ncols=5), next group prefetches during
@@ -959,8 +973,8 @@ def _merge_stage_loop(cols, shapes, w, n, d0, interpret):
                     # (+16 MB headroom for compare-exchange temporaries —
                     # payload-heavy ncols=5 mixes measured 31.5 MB)
                     compiler_params=pltpu.CompilerParams(
-                        vmem_limit_bytes=8 * ncols * _MG_BLOCK * 4
-                        + 16 * 1024 * 1024),
+                        vmem_limit_bytes=8 * ncols * blk * 4
+                        + 24 * 1024 * 1024),
                     interpret=interpret,
                 )(*cols)
             else:
@@ -983,7 +997,7 @@ def _merge_stage_loop(cols, shapes, w, n, d0, interpret):
             continue
         cols = pl.pallas_call(
             _make_global_stage_kernel(ncols, w, brows, db),
-            grid=(n // (2 * _MG_BLOCK),),
+            grid=(n // (2 * blk),),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * ncols,
             out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * ncols),
             out_shape=tuple(shapes),
@@ -997,11 +1011,11 @@ def _merge_stage_loop(cols, shapes, w, n, d0, interpret):
         cols = list(cols)
         d //= 2
 
-    # local stages: one call, every block runs log2(_MG_BLOCK) stages in VMEM
+    # local stages: one call, every block runs log2(blk) stages in VMEM
     blk_spec = pl.BlockSpec((brows, _LANES), lambda b: (b, 0))
     cols = pl.pallas_call(
-        _make_local_stages_kernel(ncols, w, brows, _MG_BLOCK // 2),
-        grid=(n // _MG_BLOCK,),
+        _make_local_stages_kernel(ncols, w, brows, blk // 2),
+        grid=(n // blk,),
         in_specs=[blk_spec] * ncols,
         out_specs=tuple([blk_spec] * ncols),
         out_shape=tuple(shapes),
@@ -1009,8 +1023,8 @@ def _merge_stage_loop(cols, shapes, w, n, d0, interpret):
         # need more than the 16 MB scoped-vmem default for the roll/
         # select temporaries (21.2 MB measured)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=4 * ncols * _MG_BLOCK * 4
-            + 16 * 1024 * 1024),
+            vmem_limit_bytes=4 * ncols * blk * 4
+            + 24 * 1024 * 1024),
         interpret=interpret,
     )(*cols)
 

@@ -411,8 +411,11 @@ def merge_sorted_runs(a_keys: jax.Array, a_payloads, b_keys: jax.Array,
     payloads = tuple(jnp.concatenate([pa, pb[::-1]])
                      for pa, pb in zip(a_payloads, b_payloads))
     if jax.default_backend() == "tpu":
-        from .pallas_kernels import _MG_BLOCK, bitonic_merge_pallas
-        if n >= 2 * _MG_BLOCK:
+        from . import pallas_kernels as pk
+        from .pallas_kernels import bitonic_merge_pallas
+        if (n >= 2 * pk._mg_block_for(keys.shape[1] + len(payloads))
+                and n % pk._mg_block_for(keys.shape[1]
+                                         + len(payloads)) == 0):
             return bitonic_merge_pallas(keys, payloads)
     return bitonic_merge(keys, payloads)
 
@@ -468,8 +471,9 @@ def merge_sorted_runs_cols(a_kcols: jax.Array, a_payloads,
         # first-stage kernel then reads A and B directly and the bitonic
         # concat/flip (34 ms per 33.5M-row merge on v5e — 2x the whole
         # compare-exchange network) is never materialized.
-        if (n >= 4 * pk._MG_BLOCK and na == n // 2
-                and nb > 0 and nb % pk._MG_BLOCK == 0
+        _blk = pk._mg_block_for(w + len(a_payloads))
+        if (n >= 4 * _blk and na == n // 2
+                and nb > 0 and nb % _blk == 0
                 and sentinel == pk._MERGE_SENTINEL):
             return pk._bitonic_merge_pallas_cols_2op(
                 a_kcols, tuple(a_payloads), b_kcols, tuple(b_payloads),
@@ -486,8 +490,9 @@ def merge_sorted_runs_cols(a_kcols: jax.Array, a_payloads,
     payloads = tuple(jnp.concatenate([pa, pb[::-1]])
                      for pa, pb in zip(a_payloads, b_payloads))
     if jax.default_backend() == "tpu":
-        from .pallas_kernels import _MG_BLOCK, bitonic_merge_pallas_cols
-        if n >= 2 * _MG_BLOCK:
+        from .pallas_kernels import bitonic_merge_pallas_cols
+        _blk2 = pk._mg_block_for(w + len(payloads))
+        if n >= 2 * _blk2 and n % _blk2 == 0:
             return bitonic_merge_pallas_cols(kcols, payloads)
     return bitonic_merge_cols(kcols, payloads)
 

@@ -88,6 +88,7 @@ def test_bitonic_merge_cols_fused_global_stages(monkeypatch, nblocks):
 
     small_block = 1 << 10
     monkeypatch.setattr(pk, "_MG_BLOCK", small_block)
+    monkeypatch.setattr(pk, "_mg_block_for", lambda ncols: small_block)
     n = nblocks * small_block
     half = n // 2
     rng = np.random.default_rng(nblocks)
@@ -137,6 +138,7 @@ def test_bitonic_merge_two_operand_entry(monkeypatch, nblocks, nbb):
 
     small_block = 1 << 10
     monkeypatch.setattr(pk, "_MG_BLOCK", small_block)
+    monkeypatch.setattr(pk, "_mg_block_for", lambda ncols: small_block)
     na = (nblocks // 2) * small_block
     nb = nbb * small_block
     rng = np.random.default_rng(nblocks * 31 + nbb)
