@@ -97,7 +97,9 @@ def main():
                     help="builds per dispatch in --mode ingest")
     ap.add_argument("--mode", default="e2e",
                     choices=("e2e", "ingest", "count_query",
-                             "multimap_find", "erase", "debruijn"))
+                             "multimap_find", "erase", "debruijn",
+                             "debruijn_quality", "position",
+                             "position_quality"))
     ap.add_argument("--queries", type=int, default=1 << 20,
                     help="query rows in the query-rate modes")
     ap.add_argument("--max-per-query", type=int, default=16,
@@ -428,6 +430,179 @@ def main():
         metric = ("kmers/s/chip (de Bruijn graph build END-TO-END: "
                   "%d chunks, k=%d, edge bytes + LSM merges + prefix "
                   "tables included)" % (C, args.k))
+    elif args.mode == "debruijn_quality":
+        # END-TO-END quality de Bruijn build: the debruijn mode plus each
+        # window's phred score riding the sorts/merges as one bitcast
+        # float column and the float quality prefix sums rebuilt per
+        # merge (de_bruijn_quality_engine,
+        # test/test/debruijn/de_bruijn_construct_engine.hpp:245 — the
+        # reference declares but never measures it; this is its first
+        # number).
+        from kmerind_tpu.debruijn.edges import (edge_bytes_for_windows,
+                                                revcomp_edge_byte)
+        from kmerind_tpu.ops import packing
+        from kmerind_tpu.quality import ILLUMINA18, window_quality
+        C, MAX_RUNS = args.chunks, args.max_runs
+        qual_np = np.random.default_rng(5).integers(
+            33, 75, args.bases).astype(np.uint8)
+        dqual = jax.device_put(qual_np, dev)
+
+        def dbq_ingest(codes, valid, seg_id, qual, salt):
+            c = codes.at[0].set(codes[0] ^ (salt & jnp.uint8(1)))
+            words, was_rc = packing.extract_canonical(c, spec)
+            wvalid = packing.window_valid(valid, seg_id, spec.k)
+            edges = edge_bytes_for_windows(c, valid, seg_id, spec.k,
+                                           spec.alphabet)
+            edges = jnp.where(was_rc, revcomp_edge_byte(edges), edges)
+            wq = window_quality(qual, spec.k, ILLUMINA18)
+            qbits = jax.lax.bitcast_convert_type(wq, jnp.uint32)
+            s_words, (s_eb, s_qb), s_valid = sortops.sort_rows(
+                words, (edges.astype(jnp.uint32), qbits), wvalid,
+                is_stable=False, sentinel_ok=spec.sentinel_safe,
+                word_bits=spec.word_bits(), as_cols=True)
+            if not spec.sentinel_safe:
+                s_words = jnp.where(s_valid[None, :], s_words,
+                                    jnp.uint32(0xFFFFFFFF))
+            qs = jnp.where(
+                s_valid,
+                jax.lax.bitcast_convert_type(s_qb, jnp.float32), 0.0)
+            mk = (st.run_vecq_from_sorted_unit if spec.sentinel_safe
+                  else st.run_vecq_from_sorted)
+            return mk(
+                s_words, jnp.where(s_valid, s_eb, 0).astype(jnp.int32),
+                s_valid.astype(jnp.int32), qs)
+
+        mgq = (st.run_vecq_merge_unit if spec.sentinel_safe
+               else st.run_vecq_merge)
+
+        @jax.jit
+        def build(codes, valid, seg_id, qual, salt0):
+            runs = []
+            for i in range(C):
+                runs.append(dbq_ingest(codes, valid, seg_id, qual,
+                                       salt0 + jnp.uint8(i)))
+                while len(runs) > MAX_RUNS:
+                    runs.sort(key=lambda r: r.keys.shape[-1],
+                              reverse=True)
+                    b = runs.pop()
+                    a = runs.pop()
+                    runs.append(mgq(a, b))
+            acc = jnp.float32(0)
+            total = jnp.int32(0)
+            for r in runs:
+                acc = acc + r.qcsum[-1] + r.keys[0, 0].astype(jnp.float32)
+                total = total + r.bsum[8, -1]
+            return acc, total
+
+        _log(f"compiling QUALITY de Bruijn build ({C} chunks, "
+             f"max_runs={MAX_RUNS})…", quiet)
+        t0 = time.perf_counter()
+        r = build(dcodes, dvalid, dseg, dqual, jnp.uint8(0))
+        total = int(np.asarray(r[1]))
+        compile_s[0] = time.perf_counter() - t0
+        _log(f"compile+first run: {compile_s[0]:.1f}s "
+             f"(total windows in store: {total})", quiet)
+        times = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            r = build(dcodes, dvalid, dseg, dqual, jnp.uint8(i))
+            np.asarray(r[0])
+            times.append(time.perf_counter() - t0)
+            _log(f"iter {i}: {times[-1]*1e3:.0f} ms/build", quiet)
+        n_windows = total
+        best = min(times)
+        tpu_rate = n_windows / best
+        metric = ("kmers/s/chip (QUALITY de Bruijn build END-TO-END: "
+                  "%d chunks, k=%d, edge bytes + phred scores + LSM "
+                  "merges + int and float prefix tables included)"
+                  % (C, args.k))
+    elif args.mode in ("position", "position_quality"):
+        # END-TO-END position(-quality) multimap build: per chunk,
+        # extract + canonicalize + synthesize the 64-bit ShortSequence
+        # ids + the multimap's merge-based flush (sort ONLY the batch +
+        # two-operand bitonic merge with the sorted store,
+        # store.multi_merge_flush), with capacity growth on the index's
+        # schedule.  The reference times insert on its position flavors
+        # (pINDEX=2/3, test/benchmark/BenchmarkKmerIndex.cpp:45-120,
+        # 480-523); this is the TPU analog, reported as pairs/s/chip.
+        from kmerind_tpu.ops import packing
+        with_q = args.mode == "position_quality"
+        C = args.chunks
+        _next_pow2 = lambda v: 1 << max(1, (int(v) - 1).bit_length())
+        nwin = args.bases
+        if with_q:
+            from kmerind_tpu.quality import ILLUMINA18, window_quality
+            qual_np = np.random.default_rng(5).integers(
+                33, 75, args.bases).astype(np.uint8)
+            dqual = jax.device_put(qual_np, dev)
+        else:
+            dqual = jnp.zeros((1,), jnp.uint8)
+
+        def pos_ingest(codes, valid, seg_id, qual, salt):
+            c = codes.at[0].set(codes[0] ^ (salt & jnp.uint8(1)))
+            words, _ = packing.extract_canonical(c, spec)
+            wvalid = packing.window_valid(valid, seg_id, spec.k)
+            # ShortSequenceKmerId-shaped 64-bit ids: sequence index in
+            # the high word, in-read offset in the low word
+            n = c.shape[0]
+            hi = seg_id.astype(jnp.uint32)
+            lo = (jnp.arange(n, dtype=jnp.uint32)
+                  % jnp.uint32(args.read_len))
+            if with_q:
+                wq = window_quality(qual, spec.k, ILLUMINA18)
+            else:
+                wq = None
+            return words, hi, lo, wq, wvalid
+
+        @jax.jit
+        def build(codes, valid, seg_id, qual, salt0):
+            cap = _next_pow2(nwin)
+            store = st.empty_multi_store(cap, spec.nwords)
+            total_ovf = jnp.int32(0)
+            for i in range(C):
+                words, hi, lo, wq, wvalid = pos_ingest(
+                    codes, valid, seg_id, qual, salt0 + jnp.uint8(i))
+                need = _next_pow2((i + 1) * nwin)
+                if need > cap:
+                    pad = need - cap
+                    store = st.MultiStore(
+                        keys=jnp.pad(store.keys, ((0, pad), (0, 0)),
+                                     constant_values=np.uint32(
+                                         0xFFFFFFFF)),
+                        val_hi=jnp.pad(store.val_hi, (0, pad)),
+                        val_lo=jnp.pad(store.val_lo, (0, pad)),
+                        val_q=jnp.pad(store.val_q, (0, pad)),
+                        size=store.size)
+                    cap = need
+                store, ovf = st.multi_merge_flush(
+                    store, words, hi, lo, wvalid, val_q=wq)
+                total_ovf = total_ovf + ovf
+            return store.size, total_ovf, store.keys[0, 0], \
+                store.val_q.sum()
+
+        _log(f"compiling {args.mode} build ({C} chunks)…", quiet)
+        t0 = time.perf_counter()
+        r = build(dcodes, dvalid, dseg, dqual, jnp.uint8(0))
+        total = int(np.asarray(r[0]))
+        assert int(np.asarray(r[1])) == 0
+        compile_s[0] = time.perf_counter() - t0
+        _log(f"compile+first run: {compile_s[0]:.1f}s "
+             f"(total pairs in store: {total})", quiet)
+        times = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            r = build(dcodes, dvalid, dseg, dqual, jnp.uint8(i))
+            np.asarray(r[2])
+            times.append(time.perf_counter() - t0)
+            _log(f"iter {i}: {times[-1]*1e3:.0f} ms/build", quiet)
+        n_windows = total
+        best = min(times)
+        tpu_rate = n_windows / best
+        metric = ("pairs/s/chip (%s multimap build END-TO-END: %d "
+                  "chunks, k=%d, 64-bit ids%s, merge-based flushes + "
+                  "capacity growth included)"
+                  % ("position-quality" if with_q else "position", C,
+                     args.k, " + phred scores" if with_q else ""))
     elif args.mode == "e2e":
         C, MAX_RUNS = args.chunks, args.max_runs
 
@@ -540,6 +715,8 @@ def main():
         "unit": ("queries/s" if args.mode in ("count_query",
                                               "multimap_find")
                  else "keys/s" if args.mode == "erase"
+                 else "pairs/s" if args.mode in ("position",
+                                                 "position_quality")
                  else "kmers/s"),
         "vs_baseline": round(tpu_rate / base_rate, 3),
         "compile_s": round(compile_s[0], 1),

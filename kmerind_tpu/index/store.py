@@ -263,26 +263,44 @@ def multi_merge_flush(store: MultiStore, words, val_hi, val_lo, valid,
     back to `multi_insert` otherwise.  Unlike `multi_insert` this is NOT
     stable across flushes (densehash_multimap makes no order promise).
 
-    Returns (new_store, overflow)."""
+    Returns (new_store, overflow).
+
+    val_q=None means the map carries NO quality payload (PositionIndex
+    without with_quality): the all-zero val_q column is an invariant of
+    such stores, so it is NOT sorted or merged — one fewer operand in
+    the batch sort (~+14 ms per 16.7M rows per sort column, round-2
+    ledger) and in every merge pass."""
     cap, w = store.keys.shape
-    qbits = (jnp.zeros(words.shape[0], jnp.uint32) if val_q is None
-             else jax.lax.bitcast_convert_type(
-                 val_q.astype(jnp.float32), jnp.uint32))
-    b_cols, (b_hi, b_lo, b_qb), _ = sortops.sort_rows(
-        words.astype(jnp.uint32),
-        (val_hi.astype(jnp.uint32), val_lo.astype(jnp.uint32), qbits),
-        valid, is_stable=False, sentinel_ok=True, as_cols=True)
-    m_cols, (m_hi, m_lo, m_qb) = sortops.merge_sorted_runs_cols(
-        store.keys.T,
-        (store.val_hi, store.val_lo,
-         jax.lax.bitcast_convert_type(store.val_q, jnp.uint32)),
-        b_cols, (b_hi, b_lo, b_qb))
+    if val_q is None:
+        b_cols, (b_hi, b_lo), _ = sortops.sort_rows(
+            words.astype(jnp.uint32),
+            (val_hi.astype(jnp.uint32), val_lo.astype(jnp.uint32)),
+            valid, is_stable=False, sentinel_ok=True, as_cols=True)
+        m_cols, (m_hi, m_lo) = sortops.merge_sorted_runs_cols(
+            store.keys.T, (store.val_hi, store.val_lo),
+            b_cols, (b_hi, b_lo))
+        m_qb = None
+    else:
+        qbits = jax.lax.bitcast_convert_type(
+            val_q.astype(jnp.float32), jnp.uint32)
+        b_cols, (b_hi, b_lo, b_qb), _ = sortops.sort_rows(
+            words.astype(jnp.uint32),
+            (val_hi.astype(jnp.uint32), val_lo.astype(jnp.uint32),
+             qbits),
+            valid, is_stable=False, sentinel_ok=True, as_cols=True)
+        m_cols, (m_hi, m_lo, m_qb) = sortops.merge_sorted_runs_cols(
+            store.keys.T,
+            (store.val_hi, store.val_lo,
+             jax.lax.bitcast_convert_type(store.val_q, jnp.uint32)),
+            b_cols, (b_hi, b_lo, b_qb))
     total = store.size + jnp.sum(valid.astype(jnp.int32))
     new = MultiStore(
         keys=m_cols[:, :cap].T,
         val_hi=m_hi[:cap],
         val_lo=m_lo[:cap],
-        val_q=jax.lax.bitcast_convert_type(m_qb[:cap], jnp.float32),
+        val_q=(store.val_q if m_qb is None
+               else jax.lax.bitcast_convert_type(m_qb[:cap],
+                                                 jnp.float32)),
         size=jnp.minimum(total, cap),
     )
     return new, jnp.maximum(total - cap, 0)
