@@ -129,6 +129,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent-compile-cache effectiveness counters (ask: a warm start
+    # must be attributable — trace vs cache-deserialize vs first run)
+    cache_stats = {"hits": 0, "misses": 0}
+    import jax.monitoring as _jm
+
+    def _on_event(event, **kw):
+        if event == "/jax/compilation_cache/cache_hits":
+            cache_stats["hits"] += 1
+        elif event == "/jax/compilation_cache/cache_misses":
+            cache_stats["misses"] += 1
+    _jm.register_event_listener(_on_event)
+
     from kmerind_tpu import DNA, KmerSpec
     from kmerind_tpu.index import store as st
     from kmerind_tpu.io.kmer_parsers import DeviceBases, extract_tuples
@@ -168,6 +180,7 @@ def main():
     dseg = jax.device_put(seg, dev)
 
     compile_s = [0.0]  # wall time to first result (compile or cache load)
+    breakdown: dict = {}  # e2e: trace_s / backend_s / first_run_s
 
     base_rate = None  # query modes compute their own numpy baseline
 
@@ -644,12 +657,28 @@ def main():
 
         _log(f"compiling e2e build ({C} chunks, max_runs={MAX_RUNS})…",
              quiet)
+        # staged cold-start breakdown: trace+lower / backend compile (or
+        # persistent-cache deserialize) / first dispatch+execute
         t0 = time.perf_counter()
-        r = build(dcodes, dvalid, dseg, jnp.uint8(0))
+        lowered = build.lower(dcodes, dvalid, dseg, jnp.uint8(0))
+        t_trace = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        compiled = lowered.compile()
+        t_backend = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r = compiled(dcodes, dvalid, dseg, jnp.uint8(0))
         total = int(np.asarray(r[1]))
-        compile_s[0] = time.perf_counter() - t0
+        t_first = time.perf_counter() - t0
+        compile_s[0] = t_trace + t_backend + t_first
+        breakdown.update(
+            trace_s=round(t_trace, 1), backend_s=round(t_backend, 1),
+            first_run_s=round(t_first, 1))
         _log(f"compile+first run: {compile_s[0]:.1f}s "
-             f"(total kmers in store: {total})", quiet)
+             f"(trace {t_trace:.1f} + backend {t_backend:.1f} + first "
+             f"run {t_first:.1f}; cache hits {cache_stats['hits']} / "
+             f"misses {cache_stats['misses']}; total kmers in store: "
+             f"{total})", quiet)
+        build = compiled
         times = []
         for i in range(args.iters):
             t0 = time.perf_counter()
@@ -709,6 +738,9 @@ def main():
     else:
         base_rate = PINNED_BASELINE
 
+    extra = dict(breakdown)
+    extra["cache_hits"] = cache_stats["hits"]
+    extra["cache_misses"] = cache_stats["misses"]
     print(json.dumps({
         "metric": metric,
         "value": round(tpu_rate, 1),
@@ -720,6 +752,7 @@ def main():
                  else "kmers/s"),
         "vs_baseline": round(tpu_rate / base_rate, 3),
         "compile_s": round(compile_s[0], 1),
+        **extra,
     }), flush=True)
 
 
