@@ -1371,17 +1371,6 @@ class BimoleculeCountIndex(CountIndex):
                 self.mesh)
         return self._step_cache[key](a, b)
 
-    def _merge_run(self, run_cols):
-        """Merge one adoptable sorted run into the store (adopting
-        directly when the store is virgin) — explicit-insert path."""
-        run = self._adopt_run(run_cols)
-        if self._virgin:
-            self.store = run
-            self._virgin = False
-            return
-        with self.timer.phase("merge"):
-            self.store = self._merge_pair(self.store, run)
-
     def _flush(self):
         if not self._pending:
             return
@@ -1591,7 +1580,15 @@ class BimoleculeCountIndex(CountIndex):
             run_cols = self._step_cache[key](
                 wsh, csh, hish, losh, ssh, vsh)
             if int(self._fetch(run_cols[-1]).max()) == 0:
-                self._merge_run(run_cols[:-1])
+                # pending + balanced flush (first query flushes) — an
+                # eager per-insert merge into the consolidated store
+                # doubles its capacity per call (next_pow2(big + small)
+                # == 2*big), the same pathology the streamed-build
+                # flush fix removed
+                self._pending.append(tuple(run_cols[:-1]))
+                self._pending_rows += run_cols[0].shape[-1]
+                if self._pending_rows >= self.flush_rows:
+                    self._flush()
                 return self
             bucket_cap *= 2
 

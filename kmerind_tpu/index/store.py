@@ -78,6 +78,15 @@ __all__ = [
 
 _SENTINEL = 0xFFFFFFFF
 
+#: join-vs-binary-search routing: query batches with
+#: m * JOIN_CROSSOVER_FACTOR >= capacity take the gather-free sort-merge
+#: join; smaller batches take the prefix-bucketed binary search.  8 is
+#: the measured v5e crossover (round-3 validation, round-5 per-family
+#: hardware sweep — ROADMAP "query-routing crossover").  Module-level so
+#: sweeps can force either path; read at TRACE time (changes need fresh
+#: shapes or jax.clear_caches()).
+JOIN_CROSSOVER_FACTOR = 8
+
 
 @dataclasses.dataclass
 class CountStore:
@@ -180,7 +189,7 @@ def count_lookup(store: CountStore, queries: jax.Array) -> jax.Array:
     (`sortops.lookup_join`), which is faster once gather cost dominates.
     """
     m = queries.shape[0]
-    if m * 8 >= store.capacity:
+    if m * JOIN_CROSSOVER_FACTOR >= store.capacity:
         return sortops.lookup_join(store.keys, store.size, store.counts,
                                    queries)
     q = queries.astype(jnp.uint32)
@@ -318,7 +327,7 @@ def multi_lookup_ranges(store: MultiStore, queries):
     sort-merge join (`sortops.lookup_join_ranges`)."""
     cap, w = store.keys.shape
     q = queries.astype(jnp.uint32)
-    if queries.shape[0] * 8 >= cap:
+    if queries.shape[0] * JOIN_CROSSOVER_FACTOR >= cap:
         return sortops.lookup_join_ranges(store.keys, store.size, q)
     size = jnp.asarray(store.size, jnp.int32)
     lo = sortops.lower_bound_bucketed(store.keys, size, q)
@@ -467,7 +476,7 @@ def vec_lookup(store: VecStore, queries: jax.Array):
     """(vals int32[m, d], found bool[m]) per query key.  Large batches
     (m*8 >= cap) use the gather-free sort-merge join."""
     q = queries.astype(jnp.uint32)
-    if queries.shape[0] * 8 >= store.capacity:
+    if queries.shape[0] * JOIN_CROSSOVER_FACTOR >= store.capacity:
         d = store.vals.shape[1]
         cols, found = sortops.lookup_join_vals(
             store.keys, store.size,
@@ -797,7 +806,7 @@ def run_lookup(store: RunCountStore, queries: jax.Array,
     cap = store.capacity
     w = store.keys.shape[0]
     q = queries.astype(jnp.uint32)
-    if m * 8 >= cap:
+    if m * JOIN_CROSSOVER_FACTOR >= cap:
         counts = sortops.lookup_join_runs_cols(store.keys, store.csum, q)
     else:
         # ONE binary search, not two: lower_bound lands on the first row
@@ -1754,7 +1763,7 @@ def kv_lookup(store: KVStore, queries):
     """(val_hi, val_lo, found) per query key.  Large batches
     (m*8 >= cap) use the gather-free sort-merge join."""
     q = queries.astype(jnp.uint32)
-    if queries.shape[0] * 8 >= store.capacity:
+    if queries.shape[0] * JOIN_CROSSOVER_FACTOR >= store.capacity:
         (hi, lo), found = sortops.lookup_join_vals(
             store.keys, store.size, (store.val_hi, store.val_lo), q)
         return hi, lo, found

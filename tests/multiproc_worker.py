@@ -72,6 +72,13 @@ elif kind == "sorted_count":
 elif kind == "debruijn":
     from kmerind_tpu.debruijn import DeBruijnGraph
     idx = DeBruijnGraph(spec, mesh=mesh, canonical=True, timer=timer)
+elif kind == "debruijn_quality":
+    from kmerind_tpu.debruijn import QualityDeBruijnGraph
+    idx = QualityDeBruijnGraph(spec, mesh=mesh, canonical=True,
+                               timer=timer)
+elif kind == "bimol":
+    from kmerind_tpu.index.api import BimoleculeCountIndex
+    idx = BimoleculeCountIndex(spec, mesh=mesh, timer=timer)
 elif kind == "value_min":
     # the generic unique-key value map; reduce="min" is order-independent
     # so contents are comparable across process counts (the reference's
@@ -93,7 +100,7 @@ if kind in ("stream_count", "fasta_stream_count"):
     # divergent chunk counts, exercising the lockstep equalization)
     idx.build_stream(path, block_bytes=128)
     num_bases = -1
-elif kind == "debruijn":
+elif kind in ("debruijn", "debruijn_quality"):
     # raw bytes for the dual-LUT edge semantics; FASTQ records are whole
     # per block, so no cross-block base halo is needed
     batch = host_block_batch(path, idx.parse_alphabet)
@@ -106,7 +113,7 @@ else:
 
 size = idx.size()
 contents = idx.to_dict()
-if kind == "debruijn":
+if kind in ("debruijn", "debruijn_quality"):
     # node-counter tuples serialize as lists; normalize for comparison
     contents = {k: list(v) for k, v in contents.items()}
 
@@ -122,7 +129,7 @@ def _pack_int(v: int) -> np.ndarray:
 
 
 qwords = np.stack([_pack_int(v) for v in some])
-if kind == "debruijn":
+if kind in ("debruijn", "debruijn_quality"):
     # the graph's query surface is node_counts (self-counter = count)
     vals, found = idx.node_counts(qwords)
     counts = np.where(found, vals[:, 8], 0)

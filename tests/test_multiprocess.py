@@ -10,6 +10,7 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 import oracle
@@ -195,3 +196,43 @@ def test_multiprocess_debruijn(ref_data_dir, tmp_path):
     expect = {str(k): list(v) for k, v in g.to_dict().items()}
     assert res["contents"] == expect
     assert res["size"] == len(expect)
+
+
+def test_multiprocess_debruijn_quality(ref_data_dir, tmp_path):
+    """Quality de Bruijn engine under real multi-process execution: the
+    integer counters must equal the single-process build exactly; the
+    float quality sums to float32-reorder tolerance (the run merges sum
+    them in routing order — ROADMAP, round 4).  The reference runs every
+    map flavor under mpirun np=1..4 (CMakeLists.txt:851-910)."""
+    path = ref_data_dir / "test.small.fastq"
+    res = _run_workers(2, 2, path, "debruijn_quality", tmp_path)
+    from kmerind_tpu import DNA, KmerSpec
+    from kmerind_tpu.debruijn import QualityDeBruijnGraph
+    g = QualityDeBruijnGraph(KmerSpec(21, DNA), canonical=True)
+    g.build(str(path))
+    expect = g.to_dict()
+    got = {int(k): v for k, v in res["contents"].items()}
+    assert sorted(got) == sorted(expect)
+    for k, want in expect.items():
+        have = got[k]
+        assert have[:10] == list(want[:10]), k
+        np.testing.assert_allclose(have[10], want[10], rtol=1e-3,
+                                   atol=1e-6)
+    assert res["size"] == len(expect)
+
+
+def test_multiprocess_bimolecule(ref_data_dir, tmp_path):
+    """Bimolecule preset under real multi-process execution: stored
+    orientations are the earliest 64-bit occurrence id — global record
+    order, so contents are process-count-independent and must equal the
+    single-process build."""
+    path = ref_data_dir / "test.small.fastq"
+    res = _run_workers(2, 2, path, "bimol", tmp_path)
+    from kmerind_tpu import DNA, KmerSpec
+    from kmerind_tpu.index.api import BimoleculeCountIndex
+    idx = BimoleculeCountIndex(KmerSpec(21, DNA))
+    idx.build(str(path))
+    expect = {str(k): v for k, v in idx.to_dict().items()}
+    assert res["contents"] == expect
+    assert res["size"] == len(expect)
+    assert res["timer_count_ok"]
