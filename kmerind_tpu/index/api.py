@@ -1865,10 +1865,11 @@ class PositionIndex(_MultimapSurfaceMixin, _IndexBase):
             self._grow(_next_pow2(
                 int(self._fetch(self.store.size).max()) + live))
         while True:
-            key = ("merge", n_rows, self.capacity)
+            key = ("merge", n_rows, self.capacity, self.with_quality)
             if key not in self._step_cache:
                 self._step_cache[key] = dx.make_multi_merge_step(
-                    self.mesh, sentinel_ok=self.spec.sentinel_safe)
+                    self.mesh, sentinel_ok=self.spec.sentinel_safe,
+                    with_q=self.with_quality)
             new_store, ovf = self._step_cache[key](
                 self.store, words, hi, lo, q, valid)
             if int(self._fetch(ovf).max()) == 0:

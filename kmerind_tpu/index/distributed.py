@@ -421,24 +421,29 @@ def make_multi_ingest_step(mesh: Mesh, nparts: int, spec, canonical: bool,
     ))
 
 
-def make_multi_merge_step(mesh: Mesh, sentinel_ok: bool = False):
+def make_multi_merge_step(mesh: Mesh, sentinel_ok: bool = False,
+                          with_q: bool = True):
     """Jitted: deferred multimap merge of owner-resident tuples.
 
     sentinel_ok (KmerSpec.sentinel_safe): flush by sorting ONLY the batch
     and bitonic-MERGING it with the already-sorted store (~2x cheaper than
-    the monolithic stable re-sort at equal sizes); otherwise fall back to
-    the flag-key `multi_insert` sort."""
+    the monolithic stable re-sort at equal sizes); otherwise the
+    liveness-FLAG merge (one extra key column) does the same for
+    full-word specs.  with_q=False (PositionIndex without quality): the
+    all-zero val_q column never rides the sort or merge."""
 
     def body(stores_blk, words_blk, hi_blk, lo_blk, q_blk, valid_blk):
         store = _unstack(stores_blk)
         if sentinel_ok:
             new_store, ovf = st.multi_merge_flush(
                 store, words_blk[0], hi_blk[0], lo_blk[0], valid_blk[0],
-                val_q=q_blk[0])
+                val_q=q_blk[0] if with_q else None)
         else:
-            new_store, ovf = st.multi_insert(
+            # sentinel-unsafe specs (k=16/32/64 DNA): liveness-flag
+            # merge — still no monolithic re-sort (st.multi_merge_flush_flagged)
+            new_store, ovf = st.multi_merge_flush_flagged(
                 store, words_blk[0], hi_blk[0], lo_blk[0], valid_blk[0],
-                val_q=q_blk[0])
+                val_q=q_blk[0] if with_q else None)
         return _stack(new_store), ovf[None]
 
     return jax.jit(jax.shard_map(

@@ -316,6 +316,63 @@ def multi_merge_flush(store: MultiStore, words, val_hi, val_lo, valid,
 
 
 @jax.jit
+def multi_merge_flush_flagged(store: MultiStore, words, val_hi, val_lo,
+                              valid, val_q: jax.Array | None = None):
+    """`multi_merge_flush` for SENTINEL-UNSAFE specs (k ≡ 0 mod 16 DNA:
+    k=16/32/64 — a real key can bit-equal the all-ones sentinel, so
+    dead rows cannot be marked in the key bits).  A liveness FLAG rides
+    the merge as a leading key column instead: the comparator sees
+    (flag, word0, …) so dead rows still tail-sort, at the cost of one
+    extra merge operand vs the sentinel-safe path — still a merge, not
+    `multi_insert`'s monolithic stable re-sort of cap + n rows.  Closes
+    the silent 3.4x flush cliff round 4 left on full-word specs; the
+    reference handles exactly this corner with split tables
+    (src/index/kmer_hash.hpp:333-480).
+
+    Returns (new_store, overflow)."""
+    cap, w = store.keys.shape
+    # batch: flag-mode sort (leading invalid-flag key), then the flag
+    # column (0 live / 1 dead) joins the key columns for the merge
+    if val_q is None:
+        b_cols, (b_hi, b_lo), b_valid = sortops.sort_rows(
+            words.astype(jnp.uint32),
+            (val_hi.astype(jnp.uint32), val_lo.astype(jnp.uint32)),
+            valid, is_stable=False, sentinel_ok=False, as_cols=True)
+        b_pay = (b_hi, b_lo)
+        s_pay = (store.val_hi, store.val_lo)
+    else:
+        qbits = jax.lax.bitcast_convert_type(
+            val_q.astype(jnp.float32), jnp.uint32)
+        b_cols, (b_hi, b_lo, b_qb), b_valid = sortops.sort_rows(
+            words.astype(jnp.uint32),
+            (val_hi.astype(jnp.uint32), val_lo.astype(jnp.uint32),
+             qbits),
+            valid, is_stable=False, sentinel_ok=False, as_cols=True)
+        b_pay = (b_hi, b_lo, b_qb)
+        s_pay = (store.val_hi, store.val_lo,
+                 jax.lax.bitcast_convert_type(store.val_q, jnp.uint32))
+    b_flag = (~b_valid).astype(jnp.uint32)
+    s_flag = (jnp.arange(cap) >= store.size).astype(jnp.uint32)
+    a_keys = jnp.concatenate([s_flag[None, :], store.keys.T], axis=0)
+    b_keys = jnp.concatenate([b_flag[None, :], b_cols], axis=0)
+    m_cols, m_pay = sortops.merge_sorted_runs_cols(a_keys, s_pay,
+                                                   b_keys, b_pay)
+    total = store.size + jnp.sum(valid.astype(jnp.int32))
+    live_out = jnp.arange(cap) < jnp.minimum(total, cap)
+    new = MultiStore(
+        keys=jnp.where(live_out[:, None], m_cols[1:, :cap].T,
+                       jnp.uint32(_SENTINEL)),
+        val_hi=m_pay[0][:cap],
+        val_lo=m_pay[1][:cap],
+        val_q=(store.val_q if val_q is None
+               else jax.lax.bitcast_convert_type(m_pay[2][:cap],
+                                                 jnp.float32)),
+        size=jnp.minimum(total, cap),
+    )
+    return new, jnp.maximum(total - cap, 0)
+
+
+@jax.jit
 def multi_lookup_ranges(store: MultiStore, queries):
     """(lo, hi) int32[m]: contiguous range of pairs per query key.
 

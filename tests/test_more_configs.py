@@ -163,3 +163,37 @@ def test_transform_presets_count(ref_data_dir, transform, distribution):
                    if transform == "lex_greater"
                    else v ^ oracle.revcomp_int(v, 21, DNA)] for v in some]
     assert list(got) == want
+
+
+@pytest.mark.parametrize("k", [16, 32])
+def test_position_index_full_word_specs(ref_data_dir, k):
+    """Full-word DNA specs (k ≡ 0 mod 16: no spare sentinel bit) route
+    the multimap flush through the FLAGGED merge
+    (store.multi_merge_flush_flagged) — round 4 silently fell back to
+    the monolithic re-sort here.  Contents must equal the oracle, like
+    the reference's full-word split-table corner
+    (src/index/kmer_hash.hpp:333-480)."""
+    from test_io import py_parse_fastq
+    path = ref_data_dir / "test.small.fastq"
+    spec = KmerSpec(k, DNA)
+    assert not spec.sentinel_safe
+    idx = PositionIndex(spec, mesh=make_mesh(4), id_kind="short",
+                        canonical=False)
+    idx.build(str(path))
+    recs = py_parse_fastq(path.read_text())
+    seqs_ids = []
+    for hdr, seq, qual, rstart, sstart in recs:
+        ids = [(rstart << 16) | (sstart - rstart + i)
+               for i in range(len(seq) - k + 1)]
+        seqs_ids.append((seq, ids))
+    expect = oracle.position_index(seqs_ids, k, DNA, canonical=False)
+    assert idx.to_dict() == expect
+    # query round trip on a repeated kmer
+    some = [kk for kk, v in expect.items() if len(v) > 1][:4] \
+        or list(expect)[:4]
+    qwords = np.stack([
+        spec.pack_codes([int(c) for c in oracle.int_to_codes(v, k, 2)])
+        for v in some])
+    counts = idx.count(qwords)
+    np.testing.assert_array_equal(counts,
+                                  [len(expect[v]) for v in some])

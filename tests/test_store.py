@@ -327,3 +327,68 @@ def test_run_vec_store_matches_oracle():
     # undersized compact reports overflow instead of silently dropping
     _, ovf2 = st.run_vec_compact(m, 16)
     assert int(ovf2) > 0
+
+
+def test_multi_merge_flush_flagged_matches_insert():
+    """The SENTINEL-UNSAFE flagged-merge flush (liveness flag as a
+    leading merge key column) must agree with the stable-sort insert —
+    including real keys that bit-equal the all-ones sentinel, the exact
+    hazard that excludes these specs from the sentinel-safe path."""
+    rng = np.random.default_rng(11)
+    cap = 256
+    s_merge = st.empty_multi_store(cap, 1)
+    s_sort = st.empty_multi_store(cap, 1)
+    oracle: dict[int, list] = {}
+    pool = np.array([0xFFFFFFFF, 0xFFFFFFFE, 0, 1, 2, 3, 7, 100],
+                    np.uint32)
+    for batch in range(4):
+        n = 48
+        keys = pool[rng.integers(0, len(pool), size=n)]
+        vals = rng.integers(0, 1 << 31, size=n).astype(np.uint32)
+        quals = rng.random(n).astype(np.float32)
+        valid = rng.random(n) > 0.25
+        args = (jnp.asarray(keys[:, None]),
+                jnp.asarray(np.zeros(n, np.uint32)),
+                jnp.asarray(vals), jnp.asarray(valid),
+                jnp.asarray(quals))
+        s_merge, ovf_m = st.multi_merge_flush_flagged(
+            s_merge, *args[:4], val_q=args[4])
+        s_sort, ovf_s = st.multi_insert(s_sort, *args[:4], val_q=args[4])
+        assert int(ovf_m) == int(ovf_s) == 0
+        for k, v, q, ok in zip(keys, vals, quals, valid):
+            if ok:
+                oracle.setdefault(int(k), []).append((int(v), float(q)))
+    assert int(s_merge.size) == int(s_sort.size) == \
+        sum(len(v) for v in oracle.values())
+    q = jnp.asarray(pool[:, None])
+    cnt_m = np.asarray(st.multi_count(s_merge, q))
+    cnt_s = np.asarray(st.multi_count(s_sort, q))
+    np.testing.assert_array_equal(cnt_m, cnt_s)
+    lo, hi = st.multi_lookup_ranges(s_merge, q)
+    _, lo_vals, qv, mask = st.multi_gather(s_merge, lo, hi,
+                                           max_per_query=64)
+    lo_vals, qv, mask = map(np.asarray, (lo_vals, qv, mask))
+    for i, k in enumerate(pool.tolist()):
+        got = sorted(zip(lo_vals[i][mask[i]].tolist(),
+                         qv[i][mask[i]].tolist()))
+        want = sorted(oracle.get(int(k), []))
+        assert [g[0] for g in got] == [w[0] for w in want], k
+        for (gv, gq), (wv, wq) in zip(got, want):
+            assert gq == pytest.approx(wq)
+
+
+def test_multi_merge_flush_flagged_no_quality_column():
+    """Flagged flush with val_q=None must keep the all-zero quality
+    column untouched (it never rides the merge)."""
+    rng = np.random.default_rng(12)
+    s = st.empty_multi_store(128, 1)
+    for _ in range(3):
+        keys = rng.integers(0, 10, 32).astype(np.uint32)
+        vals = rng.integers(0, 1000, 32).astype(np.uint32)
+        s, ovf = st.multi_merge_flush_flagged(
+            s, jnp.asarray(keys[:, None]),
+            jnp.asarray(np.zeros(32, np.uint32)), jnp.asarray(vals),
+            jnp.ones(32, bool))
+        assert int(ovf) == 0
+    assert int(s.size) == 96
+    assert np.asarray(s.val_q).sum() == 0.0
