@@ -241,17 +241,21 @@ def main():
         mq = wsh.shape[1]
         bucket_cap = idx._bucket_capacity(mq)
         t0 = time.perf_counter()
+        # per-run query-aux metadata (round 5): run totals + gather
+        # operand + bucket table built ONCE per store version — exactly
+        # what CountIndex.count() now does
+        aux = idx._ensure_aux()
         while True:
             step = dxm.make_runs_count_query_step(
                 idx.mesh, idx.nparts, bucket_cap, idx.hash_name,
-                idx.saturate, len(idx.runs))
-            counts, ovf = step(tuple(idx.runs), wsh, vsh)
+                idx.saturate, len(idx.runs), cached=True)
+            counts, ovf = step(tuple(idx.runs), wsh, vsh, *aux)
             if int(np.asarray(ovf).max()) == 0:
                 break
             bucket_cap *= 2
         compile_s[0] = time.perf_counter() - t0
         assert int(np.asarray(counts).sum()) >= m  # all sampled hits hit
-        best = timed_step(lambda: step(tuple(idx.runs), wsh, vsh),
+        best = timed_step(lambda: step(tuple(idx.runs), wsh, vsh, *aux),
                           lambda out: out[0].sum())
         n_windows = m
         tpu_rate = m / best
@@ -331,10 +335,13 @@ def main():
         bucket_cap = idx._bucket_capacity(mq)
         mpq = args.max_per_query
         t0 = time.perf_counter()
+        # per-store query-aux metadata (round 5), as PositionIndex.find
+        aux = idx._ensure_aux()
         while True:
             step = dxm.make_multi_find_step(
-                idx.mesh, idx.nparts, bucket_cap, idx.hash_name, mpq)
-            hi, lo, q, mask, nfound, ovf = step(idx.store, wsh, vsh)
+                idx.mesh, idx.nparts, bucket_cap, idx.hash_name, mpq,
+                cached=True)
+            hi, lo, q, mask, nfound, ovf = step(idx.store, wsh, vsh, aux)
             if int(np.asarray(ovf).max()) != 0:
                 bucket_cap *= 2
                 continue
@@ -346,7 +353,7 @@ def main():
         compile_s[0] = time.perf_counter() - t0
         pairs = int(np.asarray(nfound).sum())
         assert pairs >= m
-        best = timed_step(lambda: step(idx.store, wsh, vsh),
+        best = timed_step(lambda: step(idx.store, wsh, vsh, aux),
                           lambda out: out[4].sum())
         n_windows = m
         tpu_rate = m / best
@@ -394,14 +401,22 @@ def main():
             if not spec.sentinel_safe:
                 s_words = jnp.where(s_valid[None, :], s_words,
                                     jnp.uint32(0xFFFFFFFF))
-            mk = (st.run_vec_from_sorted_unit if spec.sentinel_safe
-                  else st.run_vec_from_sorted)
-            return mk(
+            # LAZY runs: counter tables are deferred to the end of the
+            # build (intermediate LSM runs never need them) — exactly
+            # what DeBruijnGraph does
+            if spec.sentinel_safe:
+                return st.run_vec_from_sorted_unit(
+                    s_words,
+                    jnp.where(s_valid, s_eb, 0).astype(jnp.int32),
+                    s_valid.astype(jnp.int32), table=False)
+            return st.run_vec_from_sorted(
                 s_words, jnp.where(s_valid, s_eb, 0).astype(jnp.int32),
                 s_valid.astype(jnp.int32))
 
-        mg = (st.run_vec_merge_unit if spec.sentinel_safe
-              else st.run_vec_merge)
+        if spec.sentinel_safe:
+            mg = lambda a, b: st.run_vec_merge_unit(a, b, table=False)
+        else:
+            mg = st.run_vec_merge
 
         @jax.jit
         def build(codes, valid, seg_id, salt0):
@@ -418,7 +433,9 @@ def main():
             acc = jnp.uint32(0)
             total = jnp.int32(0)
             for r in runs:
-                acc = acc + r.keys[0, 0]
+                r = st.run_vec_with_table(r)
+                acc = acc + r.keys[0, 0] + r.bsum[0, -1].astype(
+                    jnp.uint32)
                 total = total + r.bsum[8, -1]
             return acc, total
 
@@ -479,14 +496,19 @@ def main():
             qs = jnp.where(
                 s_valid,
                 jax.lax.bitcast_convert_type(s_qb, jnp.float32), 0.0)
-            mk = (st.run_vecq_from_sorted_unit if spec.sentinel_safe
-                  else st.run_vecq_from_sorted)
-            return mk(
+            if spec.sentinel_safe:
+                return st.run_vecq_from_sorted_unit(
+                    s_words,
+                    jnp.where(s_valid, s_eb, 0).astype(jnp.int32),
+                    s_valid.astype(jnp.int32), qs, table=False)
+            return st.run_vecq_from_sorted(
                 s_words, jnp.where(s_valid, s_eb, 0).astype(jnp.int32),
                 s_valid.astype(jnp.int32), qs)
 
-        mgq = (st.run_vecq_merge_unit if spec.sentinel_safe
-               else st.run_vecq_merge)
+        if spec.sentinel_safe:
+            mgq = lambda a, b: st.run_vecq_merge_unit(a, b, table=False)
+        else:
+            mgq = st.run_vecq_merge
 
         @jax.jit
         def build(codes, valid, seg_id, qual, salt0):
@@ -503,6 +525,7 @@ def main():
             acc = jnp.float32(0)
             total = jnp.int32(0)
             for r in runs:
+                r = st.run_vecq_with_table(r)
                 acc = acc + r.qcsum[-1] + r.keys[0, 0].astype(jnp.float32)
                 total = total + r.bsum[8, -1]
             return acc, total

@@ -48,6 +48,7 @@ class DeBruijnGraph(_IndexBase):
     _rv_merge = staticmethod(dx.make_run_vec_merge_pair_step)
     _rv_stats = staticmethod(dx.make_run_vec_stats_step)
     _rv_compact = staticmethod(dx.make_run_vec_compact_step)
+    _rv_table = staticmethod(dx.make_run_vec_table_step)
 
     def __init__(self, spec: KmerSpec, mesh=None, canonical: bool = True,
                  hash_name: str = "murmur", saturate: int | None = None,
@@ -95,6 +96,7 @@ class DeBruijnGraph(_IndexBase):
 
     def _distinct(self) -> np.ndarray:
         assert len(self.runs) == 1
+        self._ensure_tables()
         key = ("run_stats", self._run_caps())
         if key not in self._step_cache:
             self._step_cache[key] = self._rv_stats(self.mesh)
@@ -125,6 +127,7 @@ class DeBruijnGraph(_IndexBase):
 
     def _checkpoint_prepare(self):
         self._consolidate()
+        self._ensure_tables()
 
     def _merge_two_smallest(self):
         order = sorted(range(len(self.runs)),
@@ -135,12 +138,24 @@ class DeBruijnGraph(_IndexBase):
         b, ub = self.runs.pop(), self._unit.pop()
         a, ua = self.runs.pop(), self._unit.pop()
         unit = ua and ub
-        key = ("run_merge_pair", a.keys.shape[-1], b.keys.shape[-1], unit)
+        key = ("run_merge_pair", a.keys.shape[-1], b.keys.shape[-1], unit,
+               a.bsum is None, b.bsum is None)
         if key not in self._step_cache:
-            self._step_cache[key] = self._rv_merge(self.mesh, unit=unit)
+            self._step_cache[key] = self._rv_merge(self.mesh, unit=unit,
+                                                   table=False)
         with self.timer.phase("merge"):
             self.runs.append(self._step_cache[key](a, b))
         self._unit.append(unit)
+
+    def _ensure_tables(self):
+        """Materialize deferred counter tables on every run (queries,
+        exports, stats, and checkpoints read them)."""
+        for i, r in enumerate(self.runs):
+            if r.bsum is None:
+                key = ("run_table", r.keys.shape[-1])
+                if key not in self._step_cache:
+                    self._step_cache[key] = self._rv_table(self.mesh)
+                self.runs[i] = self._step_cache[key](r)
 
     _I32_WEIGHT_GUARD = (1 << 31) - (1 << 26)
 
@@ -150,7 +165,8 @@ class DeBruijnGraph(_IndexBase):
             # worst case routes every window to one shard)
             totals = np.zeros(self.nparts, np.int64)
             for r in self.runs:
-                totals += self._fetch(r.bsum[..., 8, -1]).astype(np.int64)
+                totals += self._fetch(
+                    r.weights.sum(-1)).astype(np.int64)
             self._ingested_weight = int(totals.max())
             if self._ingested_weight + add > (1 << 31) - 1:
                 raise OverflowError(
@@ -160,12 +176,16 @@ class DeBruijnGraph(_IndexBase):
         self._ingested_weight += add
 
     def _append_run(self, words, *payload_cols, unit: bool = False):
-        """Adopt routed sorted columns as a run ((ebytes, weights) for the
-        base graph; (ebytes, weights, qsums) for the quality engine)."""
+        """Adopt routed sorted columns as a LAZY run ((ebytes, weights)
+        for the base graph; (ebytes, weights, qsums) for the quality
+        engine).  Counter tables are deferred: intermediate LSM runs are
+        merge fodder and would rebuild the [9, cap] table at every
+        level; `_ensure_tables` materializes before any query/export."""
         unit = unit and self.spec.sentinel_safe
         key = ("run_adopt", words.shape[-1], unit)
         if key not in self._step_cache:
-            self._step_cache[key] = self._rv_adopt(self.mesh, unit=unit)
+            self._step_cache[key] = self._rv_adopt(self.mesh, unit=unit,
+                                                   table=False)
         run = self._step_cache[key](words, *payload_cols)
         if self._virgin:
             self.runs = [run]
@@ -223,6 +243,7 @@ class DeBruijnGraph(_IndexBase):
         """Pre-grow total capacity (map_base::reserve).  Run capacities
         are otherwise data-driven; reserving pads the last run's sentinel
         tail (weight-0 rows never affect a counter)."""
+        self._ensure_tables()
         per = _next_pow2(-(-n // self.nparts))
         cur = self.capacity
         if per <= cur:
@@ -324,6 +345,7 @@ class DeBruijnGraph(_IndexBase):
     def node_counts(self, kmers):
         """(counts int32[m, 9], found bool[m]) per query node —
         edge_counts payload lookup summed over the run list."""
+        self._ensure_tables()
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
@@ -377,6 +399,7 @@ class DeBruijnGraph(_IndexBase):
         the consolidated run's raw columns (keys, edge bytes, weights) —
         weight-0 rows are dead, so no per-shard sizes are needed."""
         self._consolidate()
+        self._ensure_tables()
         r = self.runs[0]
         np.savez_compressed(
             path, kind="debruijn", k=self.spec.k,
@@ -426,6 +449,7 @@ class DeBruijnGraph(_IndexBase):
     def to_dict(self):
         """{kmer_int: (out ACGT, in ACGT, self) counters}."""
         self._consolidate()
+        self._ensure_tables()
         key = ("export", self._run_caps())
         if key not in self._step_cache:
             self._step_cache[key] = dx.make_run_vec_export_step(
@@ -468,6 +492,7 @@ class QualityDeBruijnGraph(DeBruijnGraph):
     _rv_merge = staticmethod(dx.make_run_vecq_merge_pair_step)
     _rv_stats = staticmethod(dx.make_run_vecq_stats_step)
     _rv_compact = staticmethod(dx.make_run_vecq_compact_step)
+    _rv_table = staticmethod(dx.make_run_vecq_table_step)
 
     def __init__(self, spec: KmerSpec, mesh=None, canonical: bool = True,
                  hash_name: str = "murmur", saturate: int | None = None,
@@ -508,6 +533,7 @@ class QualityDeBruijnGraph(DeBruijnGraph):
                 bucket_cap + int(self._fetch(route_ovf).max()))
 
     def reserve(self, n: int):
+        self._ensure_tables()
         per = _next_pow2(-(-n // self.nparts))
         cur = self.capacity
         if per <= cur:
@@ -548,6 +574,7 @@ class QualityDeBruijnGraph(DeBruijnGraph):
         return mean.astype(np.float32), n, found
 
     def _node_payload(self, kmers):
+        self._ensure_tables()
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
@@ -621,6 +648,7 @@ class QualityDeBruijnGraph(DeBruijnGraph):
     def to_dict(self):
         """{kmer_int: (9 counters..., n_windows, qsum)}."""
         self._consolidate()
+        self._ensure_tables()
         key = ("export", self._run_caps())
         if key not in self._step_cache:
             self._step_cache[key] = dx.make_run_vecq_export_step(

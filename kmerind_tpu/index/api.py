@@ -1015,6 +1015,28 @@ class CountIndex(_IndexBase):
         words = self._maybe_canonicalize_queries(self._to_words(kmers))
         return self._insert_rows(words, np.ones(words.shape[0], np.int32))
 
+    def _ensure_aux(self):
+        """Per-run query-aux metadata (run totals + fused-gather operand
+        + prefix-bucket table, st.run_query_aux), cached by run IDENTITY:
+        any mutation replaces the run pytree objects, so staleness is
+        impossible by construction.  The per-call O(cap) scans these
+        replace measured ~230 ms per 1M-query call at a 16.7M-row shard
+        — flat in m, i.e. the former query-rate ceiling."""
+        cache = getattr(self, "_aux_cache", [])
+        new, out = [], []
+        for r in self.runs:
+            hit = next((a for (rr, a) in cache if rr is r), None)
+            if hit is None:
+                key = ("run_aux", r.keys.shape[-1])
+                if key not in self._step_cache:
+                    self._step_cache[key] = dx.make_run_aux_step(
+                        self.mesh)
+                hit = self._step_cache[key](r)
+            new.append((r, hit))
+            out.append(hit)
+        self._aux_cache = new
+        return out
+
     def count(self, kmers) -> np.ndarray:
         """Per-query counts, original order (Index::count,
         kmer_index.hpp:142)."""
@@ -1023,15 +1045,23 @@ class CountIndex(_IndexBase):
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
         bucket_cap = self._bucket_capacity(mq)
+        # ALWAYS the cached-aux lookup: the round-5 hardware sweep
+        # showed the sort-merge join scaling ~linearly in m (101 ms at
+        # m=2^18 -> 2397 ms at 2^23 vs bsearch flat 237 -> 320 at a
+        # 16.7M-row shard) — the join only ever beat the UNCACHED
+        # bsearch's per-call O(cap) scans, which the aux cache removes
+        # (ROADMAP round-5 crossover table)
+        cached = True
+        aux = self._ensure_aux()
         while True:
-            key = ("count", mq, bucket_cap, self._run_caps())
+            key = ("count", mq, bucket_cap, self._run_caps(), cached)
             if key not in self._step_cache:
                 self._step_cache[key] = dx.make_runs_count_query_step(
                     self.mesh, self.nparts, bucket_cap, self.hash_name,
-                    self.saturate, len(self.runs))
+                    self.saturate, len(self.runs), cached=cached)
             with self.timer.phase("count"):
                 counts, ovf = self._step_cache[key](
-                    tuple(self.runs), wsh, vsh)
+                    tuple(self.runs), wsh, vsh, *aux)
             if int(self._fetch(ovf).max()) == 0:
                 return self._fetch(counts).reshape(-1)[:m]
             bucket_cap *= 2
@@ -1992,21 +2022,40 @@ class PositionIndex(_MultimapSurfaceMixin, _IndexBase):
             self._maybe_canonicalize_queries(self._to_words(kmers)),
             max_per_query, with_quality, grow_to_fit)
 
+    def _ensure_aux(self):
+        """Query-aux metadata for the multimap store (st.multi_query_aux),
+        cached by store IDENTITY — any mutation replaces the store pytree
+        object, so staleness is impossible by construction."""
+        cache = getattr(self, "_aux_cache", None)
+        if cache is not None and cache[0] is self.store:
+            return cache[1]
+        key = ("multi_aux", self.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = dx.make_multi_aux_step(self.mesh)
+        aux = self._step_cache[key](self.store)
+        self._aux_cache = (self.store, aux)
+        return aux
+
     def _find_words(self, words, max_per_query, with_quality=False,
                     grow_to_fit=True):
         self._flush()
         (wsh,), vsh, m = self._shard_rows(words)
         mq = wsh.shape[1]
         bucket_cap = self._bucket_capacity(mq)
+        # ALWAYS the cached-aux lookup (see CountIndex.count: the join
+        # only beat the uncached per-call scans)
+        cached = True
+        aux = (self._ensure_aux(),)
         while True:
-            key = ("find", mq, bucket_cap, self.capacity, max_per_query)
+            key = ("find", mq, bucket_cap, self.capacity, max_per_query,
+                   cached)
             if key not in self._step_cache:
                 self._step_cache[key] = dx.make_multi_find_step(
                     self.mesh, self.nparts, bucket_cap, self.hash_name,
-                    max_per_query)
+                    max_per_query, cached=cached)
             with self.timer.phase("find"):
                 hi, lo, q, mask, nfound, ovf = self._step_cache[key](
-                    self.store, wsh, vsh)
+                    self.store, wsh, vsh, *aux)
             if int(self._fetch(ovf).max()) != 0:
                 bucket_cap *= 2
                 continue

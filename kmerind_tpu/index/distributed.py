@@ -169,8 +169,23 @@ def make_multi_count_step(mesh: Mesh, nparts: int, capacity: int, hash_name: str
     ))
 
 
+def make_multi_aux_step(mesh: Mesh):
+    """Jitted: build the multimap's query-aux metadata
+    (st.multi_query_aux), cached by the index per store version."""
+
+    def body(stores_blk):
+        ext, bstart = st.multi_query_aux(_unstack(stores_blk))
+        return ext[None], bstart[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)),) * 2,
+    ))
+
+
 def make_multi_find_step(mesh: Mesh, nparts: int, capacity: int,
-                         hash_name: str, max_per_query: int):
+                         hash_name: str, max_per_query: int,
+                         cached: bool = False):
     """Jitted multimap find: returns per-query payload lists
     (hi[p,m,max], lo[p,m,max], q[p,m,max], mask[p,m,max], counts[p,m],
     overflow[p]) in original query order — the find path of
@@ -178,15 +193,22 @@ def make_multi_find_step(mesh: Mesh, nparts: int, capacity: int,
 
     counts is the TRUE multiplicity per query (the reference's two-pass
     size estimation, :328-420); callers compare it against max_per_query to
-    detect truncation and retry with a larger gather width."""
+    detect truncation and retry with a larger gather width.  cached=True:
+    the store's query-aux metadata (make_multi_aux_step) rides as extra
+    operands and the per-call scans disappear."""
 
-    def body(stores_blk, queries_blk, qvalid_blk):
+    def body(stores_blk, queries_blk, qvalid_blk, *aux_blk):
         store = _unstack(stores_blk)
         queries, qvalid = queries_blk[0], qvalid_blk[0]
         owner = owners_for(queries, nparts, hash_name)
         (rq,), rvalid, route = dist.distribute(
             (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
-        lo, hi = st.multi_lookup_ranges(store, rq)
+        if cached:
+            (ext_blk, bstart_blk), = aux_blk
+            lo, hi = st.multi_lookup_ranges_aux(
+                store, ext_blk[0], bstart_blk[0], rq)
+        else:
+            lo, hi = st.multi_lookup_ranges(store, rq)
         hi = jnp.where(rvalid, hi, lo)  # empty range for padding slots
         vhi, vlo, vq, mask = st.multi_gather(store, lo, hi, max_per_query)
         qbits = jax.lax.bitcast_convert_type(vq, jnp.uint32)
@@ -200,7 +222,8 @@ def make_multi_find_step(mesh: Mesh, nparts: int, capacity: int,
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh))),
+        in_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh)))
+        + ((P(axes_of(mesh)),) if cached else ()),
         out_specs=(P(axes_of(mesh)),) * 6,
     ))
 
@@ -806,21 +829,47 @@ def make_run_compact_step(mesh: Mesh, new_cap: int,
 # sorted map defers its sort to first query the same way
 # (distributed_sorted_map.hpp:341,940).  Queries visit every run and sum.
 
+def make_run_aux_step(mesh: Mesh):
+    """Jitted: build one run's query-aux metadata (st.run_query_aux —
+    run totals + fused-gather operand + prefix-bucket table), cached by
+    the index per run VERSION so queries stop paying the per-call
+    O(cap) scans (measured flat ~230 ms/call at a 16.7M-row shard
+    regardless of m)."""
+
+    def body(stores_blk):
+        ext, bstart = st.run_query_aux(_unstack(stores_blk))
+        return ext[None], bstart[None]
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes_of(mesh)),),
+        out_specs=(P(axes_of(mesh)),) * 2,
+    ))
+
+
 def make_runs_count_query_step(mesh: Mesh, nparts: int, capacity: int,
                                hash_name: str, saturate: int | None,
-                               nruns: int):
+                               nruns: int, cached: bool = False):
     """Jitted count query over a list of runs: route once, csum-difference
-    lookup in each run, sum, reply."""
+    lookup in each run, sum, reply.  cached=True: per-run aux metadata
+    (make_run_aux_step) rides as extra operands and the per-call scans
+    disappear (st.run_lookup_aux)."""
 
-    def body(stores_blk, queries_blk, qvalid_blk):
+    def body(stores_blk, queries_blk, qvalid_blk, *aux_blks):
         stores = [_unstack(s) for s in stores_blk]
         queries, qvalid = queries_blk[0], qvalid_blk[0]
         owner = owners_for(queries, nparts, hash_name)
         (rq,), rvalid, route = dist.distribute(
             (queries,), owner, qvalid, nparts, capacity, axes_of(mesh))
-        total = st.run_lookup(stores[0], rq, None)
-        for s in stores[1:]:
-            total = total + st.run_lookup(s, rq, None)
+        if cached:
+            total = None
+            for ext_blk, bstart_blk in aux_blks:
+                part = st.run_lookup_aux(ext_blk[0], bstart_blk[0], rq,
+                                         None)
+                total = part if total is None else total + part
+        else:
+            total = st.run_lookup(stores[0], rq, None)
+            for s in stores[1:]:
+                total = total + st.run_lookup(s, rq, None)
         if saturate is not None:
             total = jnp.minimum(total, saturate)
         local = jnp.where(rvalid, total, 0)
@@ -830,7 +879,8 @@ def make_runs_count_query_step(mesh: Mesh, nparts: int, capacity: int,
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh))),
+        in_specs=(P(axes_of(mesh)), P(axes_of(mesh)), P(axes_of(mesh)))
+        + ((P(axes_of(mesh)),) * nruns if cached else ()),
         out_specs=(P(axes_of(mesh)), P(axes_of(mesh))),
     ))
 
@@ -1335,14 +1385,24 @@ def make_debruijn_run_ingest_step(mesh: Mesh, nparts: int, spec,
     ))
 
 
-def make_run_vec_adopt_step(mesh: Mesh, unit: bool = False):
+def make_run_vec_adopt_step(mesh: Mesh, unit: bool = False,
+                            table: bool = True):
     """Jitted: adopt a sorted edge run as the whole store.  unit=True:
     file-ingest output (weight 1 per live row) — closed-form self
-    stream, no weight-masked bit streams."""
+    stream, no weight-masked bit streams.  table=False: LAZY run (the
+    counter table is deferred until a query/export needs it)."""
 
     def body(words_blk, ebytes_blk, weights_blk):
-        fs = st.run_vec_from_sorted_unit if unit else st.run_vec_from_sorted
-        return _stack(fs(words_blk[0], ebytes_blk[0], weights_blk[0]))
+        if unit:
+            out = st.run_vec_from_sorted_unit(
+                words_blk[0], ebytes_blk[0], weights_blk[0], table=table)
+        else:
+            out = st.run_vec_from_sorted(
+                words_blk[0], ebytes_blk[0], weights_blk[0])
+            if not table:
+                out = st.RunVecStore(keys=out.keys, ebytes=out.ebytes,
+                                     weights=out.weights, bsum=None)
+        return _stack(out)
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
@@ -1351,18 +1411,40 @@ def make_run_vec_adopt_step(mesh: Mesh, unit: bool = False):
     ))
 
 
-def make_run_vec_merge_pair_step(mesh: Mesh, unit: bool = False):
+def make_run_vec_merge_pair_step(mesh: Mesh, unit: bool = False,
+                                 table: bool = True):
     """Jitted: merge two edge runs (bitonic merge + prefix rebuild).
     unit=True: both operands are unit runs — the weight column never
-    rides the merge (st.run_vec_merge_unit)."""
+    rides the merge (st.run_vec_merge_unit).  table=False: the output
+    is a LAZY run (no counter table — intermediate LSM level)."""
 
     def body(a_blk, b_blk):
-        mg = st.run_vec_merge_unit if unit else st.run_vec_merge
-        return _stack(mg(_unstack(a_blk), _unstack(b_blk)))
+        a, b = _unstack(a_blk), _unstack(b_blk)
+        if unit:
+            out = st.run_vec_merge_unit(a, b, table=table)
+        else:
+            out = st.run_vec_merge(a, b)
+            if not table:
+                out = st.RunVecStore(keys=out.keys, ebytes=out.ebytes,
+                                     weights=out.weights, bsum=None)
+        return _stack(out)
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axes_of(mesh)),) * 2,
+        out_specs=P(axes_of(mesh)),
+    ))
+
+
+def make_run_vec_table_step(mesh: Mesh):
+    """Jitted: materialize a LAZY run's counter table."""
+
+    def body(stores_blk):
+        return _stack(st.run_vec_with_table(_unstack(stores_blk)))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),),
         out_specs=P(axes_of(mesh)),
     ))
 
@@ -1522,14 +1604,20 @@ def make_debruijn_quality_run_ingest_step(mesh: Mesh, nparts: int, spec,
     ))
 
 
-def make_run_vecq_adopt_step(mesh: Mesh, unit: bool = False):
+def make_run_vecq_adopt_step(mesh: Mesh, unit: bool = False,
+                             table: bool = True):
     """Jitted: adopt a sorted quality edge run as the whole store."""
 
     def body(words_blk, ebytes_blk, weights_blk, qsums_blk):
-        fs = (st.run_vecq_from_sorted_unit if unit
-              else st.run_vecq_from_sorted)
-        return _stack(fs(words_blk[0], ebytes_blk[0], weights_blk[0],
-                         qsums_blk[0]))
+        if unit:
+            out = st.run_vecq_from_sorted_unit(
+                words_blk[0], ebytes_blk[0], weights_blk[0],
+                qsums_blk[0], table=table)
+        else:
+            out = st.run_vecq_from_sorted(
+                words_blk[0], ebytes_blk[0], weights_blk[0],
+                qsums_blk[0])
+        return _stack(out)
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
@@ -1538,14 +1626,37 @@ def make_run_vecq_adopt_step(mesh: Mesh, unit: bool = False):
     ))
 
 
-def make_run_vecq_merge_pair_step(mesh: Mesh, unit: bool = False):
+def make_run_vecq_merge_pair_step(mesh: Mesh, unit: bool = False,
+                                  table: bool = True):
     def body(a_blk, b_blk):
-        mg = st.run_vecq_merge_unit if unit else st.run_vecq_merge
-        return _stack(mg(_unstack(a_blk), _unstack(b_blk)))
+        a, b = _unstack(a_blk), _unstack(b_blk)
+        if unit:
+            out = st.run_vecq_merge_unit(a, b, table=table)
+        else:
+            out = st.run_vecq_merge(a, b)
+            if not table:
+                out = st.RunVecQStore(keys=out.keys, ebytes=out.ebytes,
+                                      weights=out.weights,
+                                      qsums=out.qsums, bsum=None,
+                                      qcsum=None)
+        return _stack(out)
 
     return jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axes_of(mesh)),) * 2,
+        out_specs=P(axes_of(mesh)),
+    ))
+
+
+def make_run_vecq_table_step(mesh: Mesh):
+    """Jitted: materialize a LAZY quality run's tables."""
+
+    def body(stores_blk):
+        return _stack(st.run_vecq_with_table(_unstack(stores_blk)))
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes_of(mesh)),),
         out_specs=P(axes_of(mesh)),
     ))
 

@@ -412,6 +412,58 @@ def multi_lookup_ranges(store: MultiStore, queries):
     return lo, hi
 
 
+@functools.partial(jax.jit, static_argnames=("tbits",))
+def multi_query_aux(store: MultiStore, tbits: int = 16):
+    """Per-store-version query metadata for the multimap (the round-5
+    query-aux cache, `run_query_aux`'s twin): the per-call run-length
+    scans, the [cap, w+1] fused-gather operand, and the prefix-bucket
+    table are store-version-invariant.  Returns (ext uint32[cap, w+1]:
+    key rows + run-length column, bstart int32[2^16 + 1])."""
+    cap, w = store.keys.shape
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    prev = jnp.roll(store.keys, 1, axis=0)
+    neq_prev = jnp.any(store.keys != prev, axis=1).at[0].set(True)
+    start = jax.lax.cummax(jnp.where(neq_prev, idx, -1), axis=0)
+    nxt = jnp.roll(store.keys, -1, axis=0)
+    neq_next = jnp.any(store.keys != nxt, axis=1).at[cap - 1].set(True)
+    end = jax.lax.cummin(
+        jnp.where(neq_next, idx + 1, jnp.int32(2147483647))[::-1],
+        axis=0)[::-1]
+    runlen = end - start
+    ext = jnp.concatenate(
+        [store.keys, runlen.astype(jnp.uint32)[:, None]], axis=1)
+    bstart = sortops._prefix_starts(store.keys[:, 0], tbits)
+    return ext, bstart
+
+
+@jax.jit
+def multi_lookup_ranges_aux(store: MultiStore, ext: jax.Array,
+                            bstart: jax.Array, queries):
+    """`multi_lookup_ranges`'s bucketed branch against CACHED metadata
+    (no per-call scans / table build / concat).  The refinement rounds
+    gather from store.keys (contiguous [cap, w]); only the final fused
+    bound gather reads the [cap, w+1] ext (a minor-dim prefix slice of
+    ext would materialize 200 MB per call on the row-major layout)."""
+    cap, w = store.keys.shape
+    q = queries.astype(jnp.uint32)
+    size_i = jnp.asarray(store.size, jnp.int32)
+    tbits = (bstart.shape[0] - 1).bit_length() - 1
+    b = (q[:, 0] >> jnp.uint32(32 - tbits)).astype(jnp.int32)
+    t2 = jnp.stack([bstart[:-1], bstart[1:]], axis=0)
+    g0 = t2[:, b]
+    lo0 = jnp.minimum(g0[0], size_i)
+    hi0 = jnp.minimum(g0[1], size_i)
+    lo = sortops._bsearch_rounds(store.keys, q, lo0, hi0, "left",
+                                 cols=False)
+    lofc = jnp.clip(lo, 0, cap - 1)
+    g = ext[lofc]
+    hit = (lo < size_i) & jnp.all(g[:, :w] == q, axis=-1)
+    hi = jnp.where(hit,
+                   jnp.minimum(lo + g[:, w].astype(jnp.int32), size_i),
+                   lo)
+    return lo, hi
+
+
 @jax.jit
 def multi_count(store: MultiStore, queries) -> jax.Array:
     lo, hi = multi_lookup_ranges(store, queries)
@@ -848,6 +900,52 @@ def run_distinct(store: RunCountStore) -> jax.Array:
     return jnp.sum((is_head & (total > 0)).astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("tbits",))
+def run_query_aux(store: RunCountStore, tbits: int = 16):
+    """Per-store-version query metadata (the round-5 query-aux cache):
+    everything `run_lookup`'s bsearch branch recomputed PER CALL is
+    store-version-invariant — the run-total scans, the [w+1, cap] fused
+    gather operand, and the 2^16-entry prefix-bucket table together
+    measured ~200+ ms per 1M-query call at a 16.7M-row shard (flat in
+    m: the per-call O(cap) work dominated the search itself).  Built
+    once per run version, invalidated by any run mutation.
+
+    Returns (ext uint32[w + 1, cap]: key columns + run-total row,
+    bstart int32[2^tbits + 1]: prefix-bucket starts).  With the table
+    CACHED, bigger tables only cost build-once memory and cut the
+    refinement rounds — but tbits=20 built INSIDE the shard_map aux
+    step produced wrong seeds on the axon TPU backend (store-level
+    tbits=20 is bit-correct on the same chip; suspected searchsorted
+    lowering interaction, ROADMAP round-5).  Default stays at the
+    hardware-proven 16."""
+    _, _, total = run_totals(store)
+    ext = jnp.concatenate(
+        [store.keys, total.astype(jnp.uint32)[None, :]], axis=0)
+    bstart = sortops._prefix_starts(store.keys[0], tbits)
+    return ext, bstart
+
+
+@functools.partial(jax.jit, static_argnames=("saturate",))
+def run_lookup_aux(ext: jax.Array, bstart: jax.Array, queries: jax.Array,
+                   saturate: int | None = None) -> jax.Array:
+    """`run_lookup`'s bucketed branch against CACHED metadata: one
+    seeded bsearch refinement + one fused [w+1, m] gather — no per-call
+    scans, no table build, no concat."""
+    w = ext.shape[0] - 1
+    cap = ext.shape[1]
+    q = queries.astype(jnp.uint32)
+    lo = sortops.lower_bound_cols_prebuilt(ext, w, bstart, q)
+    lofc = jnp.clip(lo, 0, cap - 1)
+    g = ext[:, lofc]
+    hit = lo < cap
+    for j in range(w):
+        hit &= g[j] == q[:, j]
+    counts = jnp.where(hit, g[w].astype(jnp.int32), 0)
+    if saturate is not None:
+        counts = jnp.minimum(counts, saturate)
+    return counts
+
+
 @functools.partial(jax.jit, static_argnames=("saturate",))
 def run_lookup(store: RunCountStore, queries: jax.Array,
                saturate: int | None = None) -> jax.Array:
@@ -1279,7 +1377,11 @@ class RunVecStore:
     keys: jax.Array     # uint32[w, cap] — per-word COLUMNS, sorted
     ebytes: jax.Array   # int32[cap] DNA16 edge byte (left<<4 | right)
     weights: jax.Array  # int32[cap] occurrences collapsed into the row
-    bsum: jax.Array     # int32[9, cap] INCLUSIVE prefix sums per counter
+    #: int32[9, cap] INCLUSIVE prefix sums per counter — or None on a
+    #: LAZY run (intermediate LSM runs are merge fodder; their tables
+    #: would be rebuilt and thrown away every level, so the graph defers
+    #: them until a query/export needs answers: run_vec_with_table)
+    bsum: jax.Array | None
 
     @property
     def capacity(self) -> int:
@@ -1354,25 +1456,29 @@ def _vec_bsum_unit(eb: jax.Array, n_live: jax.Array) -> jax.Array:
 
 def run_vec_from_sorted_unit(kcols: jax.Array,
                              ebytes: jax.Array,
-                             weights: jax.Array) -> RunVecStore:
+                             weights: jax.Array,
+                             table: bool = True) -> RunVecStore:
     """Adopt a sorted UNIT edge run (file-ingest output: weight 1 per
     live row, sentinel tail, dead ebytes 0) — closed-form self stream,
-    8 bit-stream scans with no weight multiply."""
+    8 bit-stream scans with no weight multiply.  table=False defers the
+    counter table (LAZY run)."""
     eb = ebytes.astype(jnp.int32)
     n_live = jnp.sum(weights.astype(jnp.int32))
     n = kcols.shape[1]
     live = jnp.arange(n, dtype=jnp.int32) < n_live
     return RunVecStore(
         keys=kcols, ebytes=eb, weights=live.astype(jnp.int32),
-        bsum=_vec_bsum_unit(eb, n_live))
+        bsum=_vec_bsum_unit(eb, n_live) if table else None)
 
 
-@jax.jit
-def run_vec_merge_unit(a: RunVecStore, b: RunVecStore) -> RunVecStore:
+@functools.partial(jax.jit, static_argnames=("table",))
+def run_vec_merge_unit(a: RunVecStore, b: RunVecStore,
+                       table: bool = True) -> RunVecStore:
     """Merge two UNIT edge runs: the weight column never rides the merge
     network (w + 1 operands instead of w + 2) — weights and the self
     stream come back in closed form (the count family's
-    `run_merge_unit` discipline applied to the de Bruijn store)."""
+    `run_merge_unit` discipline applied to the de Bruijn store).
+    table=False defers the counter table (intermediate LSM runs)."""
     keys, (eb,) = sortops.merge_sorted_runs_cols(
         a.keys, (a.ebytes,), b.keys, (b.ebytes,))
     n = keys.shape[1]
@@ -1384,7 +1490,17 @@ def run_vec_merge_unit(a: RunVecStore, b: RunVecStore) -> RunVecStore:
     live = jnp.arange(n, dtype=jnp.int32) < n_live
     return RunVecStore(
         keys=keys, ebytes=eb, weights=live.astype(jnp.int32),
-        bsum=_vec_bsum_unit(eb, n_live))
+        bsum=_vec_bsum_unit(eb, n_live) if table else None)
+
+
+@jax.jit
+def run_vec_with_table(store: RunVecStore) -> RunVecStore:
+    """Materialize a LAZY run's counter table (generic weights)."""
+    if store.bsum is not None:
+        return store
+    return RunVecStore(keys=store.keys, ebytes=store.ebytes,
+                       weights=store.weights,
+                       bsum=_vec_bsum(store.ebytes, store.weights))
 
 
 @jax.jit
@@ -1520,8 +1636,8 @@ class RunVecQStore:
     ebytes: jax.Array   # int32[cap]
     weights: jax.Array  # int32[cap]
     qsums: jax.Array    # float32[cap] — windowed scores collapsed in
-    bsum: jax.Array     # int32[9, cap] INCLUSIVE prefix sums per counter
-    qcsum: jax.Array    # float32[cap] INCLUSIVE prefix sums of qsums
+    bsum: jax.Array | None   # int32[9, cap] INCLUSIVE per-counter (lazy: None)
+    qcsum: jax.Array | None  # float32[cap] INCLUSIVE qsums (lazy: None)
 
     @property
     def capacity(self) -> int:
@@ -1571,8 +1687,8 @@ def run_vecq_merge(a: RunVecQStore, b: RunVecQStore) -> RunVecQStore:
         keys, eb, wt, jax.lax.bitcast_convert_type(qb, jnp.float32))
 
 
-def run_vecq_from_sorted_unit(kcols, ebytes, weights,
-                              qsums) -> RunVecQStore:
+def run_vecq_from_sorted_unit(kcols, ebytes, weights, qsums,
+                              table: bool = True) -> RunVecQStore:
     """Adopt a sorted UNIT quality edge run (weight 1 per live row; dead
     rows carry ebyte 0 and qsum 0.0) — closed-form self stream."""
     eb = ebytes.astype(jnp.int32)
@@ -1582,11 +1698,13 @@ def run_vecq_from_sorted_unit(kcols, ebytes, weights,
     live = jnp.arange(n, dtype=jnp.int32) < n_live
     return RunVecQStore(
         keys=kcols, ebytes=eb, weights=live.astype(jnp.int32), qsums=qs,
-        bsum=_vec_bsum_unit(eb, n_live), qcsum=jnp.cumsum(qs))
+        bsum=_vec_bsum_unit(eb, n_live) if table else None,
+        qcsum=jnp.cumsum(qs) if table else None)
 
 
-@jax.jit
-def run_vecq_merge_unit(a: RunVecQStore, b: RunVecQStore) -> RunVecQStore:
+@functools.partial(jax.jit, static_argnames=("table",))
+def run_vecq_merge_unit(a: RunVecQStore, b: RunVecQStore,
+                        table: bool = True) -> RunVecQStore:
     """Merge two UNIT quality edge runs: w + 2 merge operands instead of
     w + 3 (the weight column is closed-form)."""
     keys, (eb, qb) = sortops.merge_sorted_runs_cols(
@@ -1600,7 +1718,19 @@ def run_vecq_merge_unit(a: RunVecQStore, b: RunVecQStore) -> RunVecQStore:
     live = jnp.arange(n, dtype=jnp.int32) < n_live
     return RunVecQStore(
         keys=keys, ebytes=eb, weights=live.astype(jnp.int32), qsums=qs,
-        bsum=_vec_bsum_unit(eb, n_live), qcsum=jnp.cumsum(qs))
+        bsum=_vec_bsum_unit(eb, n_live) if table else None,
+        qcsum=jnp.cumsum(qs) if table else None)
+
+
+@jax.jit
+def run_vecq_with_table(store: RunVecQStore) -> RunVecQStore:
+    """Materialize a LAZY quality run's tables (generic weights)."""
+    if store.bsum is not None:
+        return store
+    return RunVecQStore(keys=store.keys, ebytes=store.ebytes,
+                        weights=store.weights, qsums=store.qsums,
+                        bsum=_vec_bsum(store.ebytes, store.weights),
+                        qcsum=jnp.cumsum(store.qsums))
 
 
 @jax.jit
@@ -1817,10 +1947,14 @@ def kv_insert(store: KVStore, words, val_hi, val_lo, valid,
 
 @jax.jit
 def kv_lookup(store: KVStore, queries):
-    """(val_hi, val_lo, found) per query key.  Large batches
-    (m*8 >= cap) use the gather-free sort-merge join."""
+    """(val_hi, val_lo, found) per query key.  SMALL batches take the
+    gather-free sort-merge join — the round-5 hardware sweep INVERTED
+    this family's rule: at a 16.7M-row store the kv bsearch costs a
+    flat ~660-930 ms/call (two-column bound work + per-call scans)
+    while the join is ~90 ms at m=2^18 and grows ~linearly, crossing
+    at m ≈ cap/8 (ROADMAP round-5 crossover table)."""
     q = queries.astype(jnp.uint32)
-    if queries.shape[0] * JOIN_CROSSOVER_FACTOR >= store.capacity:
+    if queries.shape[0] * JOIN_CROSSOVER_FACTOR <= store.capacity:
         (hi, lo), found = sortops.lookup_join_vals(
             store.keys, store.size, (store.val_hi, store.val_lo), q)
         return hi, lo, found

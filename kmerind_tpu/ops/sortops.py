@@ -739,6 +739,25 @@ def lower_bound_cols_bucketed(kcols: jax.Array, size, queries: jax.Array,
     return _bsearch_rounds(kcols, queries, lo, hi, "left", cols=True)
 
 
+def lower_bound_cols_prebuilt(ext: jax.Array, w: int, bstart: jax.Array,
+                              queries: jax.Array):
+    """`lower_bound_cols_bucketed` with PREBUILT per-store metadata (the
+    round-5 query-aux cache): `ext` is uint32[w + extra, cap] whose first
+    w rows are the sorted key columns (extra rows ride along for the
+    caller's fused bound gather), `bstart` the int32[2^16 + 1] prefix
+    starts.  The per-call O(cap) table build disappears — queries pay
+    only the seeded refinement rounds."""
+    tbits = 16
+    b = (queries[:, 0].astype(jnp.uint32)
+         >> jnp.uint32(32 - tbits)).astype(jnp.int32)
+    t2 = jnp.stack([bstart[:-1], bstart[1:]], axis=0)
+    g = t2[:, b]
+    zero = jnp.asarray(bstart[-1], jnp.int32) * 0
+    lo = g[0] + zero
+    hi = g[1] + zero
+    return _bsearch_rounds(ext[:w], queries, lo, hi, "left", cols=True)
+
+
 def lower_bound_bucketed(keys: jax.Array, size, queries: jax.Array,
                          tbits: int = 16):
     """Row-major twin of `lower_bound_cols_bucketed` — searches the live
